@@ -3,36 +3,96 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in ``tubes_spark`` (see SURVEY.md §2 for the
+operator → reference mapping).  Queries without an oracle entry are
+non-SQL-expressible (xxhash64-seeded LSH structures) and get the
+driver's rows-only check; their semantics are verified in tests/
+against brute-force ground truth instead.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from tubes_spark import queries as Q
+from tubes_spark.oracles import ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return Q.flagship_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # core stateless surface (SURVEY §2.3) + source algebra (§2.4)
+    "flagship_pricing_summary": Q.flagship_pricing_summary,
+    "map_net_price": Q.map_net_price,
+    "filter_pushdown": Q.filter_pushdown,
+    "take_ordered": Q.take_ordered,
+    "drop_skip": Q.drop_skip,
+    "takewhile_error": Q.takewhile_error,
+    "concat_ordered": Q.concat_ordered,
+    "merge_interleave": Q.merge_interleave,
+    "cartesian_ap": Q.cartesian_ap,
+    "flatmap_words": Q.flatmap_words,
+    "numeric_source_math": Q.numeric_source_math,
+    "each_literal_map": Q.each_literal_map,
+    "every_nullable": Q.every_nullable,
+    "mapm_pandas_upper": Q.mapm_pandas_upper,
+    # folds / running state (§2.2, §2.6)
+    "fold_global": Q.fold_global,
+    "running_user_sum": Q.running_user_sum,
+    "running_user_avg": Q.running_user_avg,
+    # joins (north-star)
+    "join_broadcast_parts": Q.join_broadcast_parts,
+    "q3_shipping_priority": Q.q3_shipping_priority,
+    "q5_nation_revenue": Q.q5_nation_revenue,
+    "asof_purchase": Q.asof_purchase,
+    "latest_event_per_user": Q.latest_event_per_user,
+    "topn_orders_per_customer": Q.topn_orders_per_customer,
+    # event-time windows (north-star)
+    "tumbling_hourly": Q.tumbling_hourly,
+    "sliding_10m": Q.sliding_10m,
+    "session_30m": Q.session_30m,
+    # set ops / shaping
+    "distinct_segments": Q.distinct_segments,
+    "topk_orders": Q.topk_orders,
+    "customers_without_orders": Q.customers_without_orders,
+    "customers_with_orders": Q.customers_with_orders,
+    "pivot_event_counts": Q.pivot_event_counts,
+    "rollup_flag_status": Q.rollup_flag_status,
+    "json_extract_props": Q.json_extract_props,
+    # sink/routing algebra (§2.5)
+    "route_choose_counts": Q.route_choose_counts,
+    "divide_parts": Q.divide_parts,
+    # text analysis (north-star)
+    "text_token_counts": Q.text_token_counts,
+    "text_quality": Q.text_quality,
+    "text_langid": Q.text_langid,
+    "text_fingerprint": Q.text_fingerprint,
+    # dedup (north-star)
+    "dedup_exact_docs": Q.dedup_exact_docs,
+    "jaccard_near_dup_pairs": Q.jaccard_near_dup_pairs,
+    "dedup_minhash_survivors": Q.dedup_minhash_survivors,
+    "dedup_simhash_survivors": Q.dedup_simhash_survivors,
+    # similarity search (north-star)
+    "knn_bruteforce": Q.knn_bruteforce,
+    "knn_lsh_approx": Q.knn_lsh_approx,
+    "embedding_dedup_survivors": Q.embedding_dedup_survivors,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

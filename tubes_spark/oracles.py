@@ -1,0 +1,381 @@
+"""DuckDB oracle SQL for every oracle-checkable query in queries.py.
+
+Mirrors the float discipline documented there: decimal-exact sums,
+raw IEEE per-row arithmetic, round(...,6) transcendentals, floor-epoch
+BIGINT timestamps.  Tables are pre-registered views over the same
+parquet files the Spark side reads.
+"""
+
+DSUM = "CAST(SUM(CAST({x} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+def _dsum(x: str) -> str:
+    return DSUM.format(x=x)
+
+
+NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_STOPWORDS = ["the", "and", "of", "to", "in", "is", "it", "that", "for", "on"]
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "est", "une"],
+    "es": ["el", "los", "es", "una", "que"],
+}
+
+
+def _marker_score(words) -> str:
+    return " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in words
+    )
+
+
+def _lang_case() -> str:
+    langs = sorted(_LANG_MARKERS)
+    scores = {l: f"s_{l}" for l in langs}
+    best = f"greatest({', '.join(scores.values())})"
+    whens = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    return f"CASE WHEN best <= 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["flagship_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum('l_quantity')} AS sum_qty,
+  {_dsum('l_extendedprice')} AS sum_base_price,
+  {_dsum('l_extendedprice*(1-l_discount)')} AS sum_disc_price,
+  {_dsum('l_extendedprice*(1-l_discount)*(1+l_tax)')} AS sum_charge,
+  COUNT(*) AS count_order,
+  {_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+  {_dsum('l_extendedprice')} / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["map_net_price"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS net_price
+FROM lineitem
+"""
+
+ORACLES["filter_pushdown"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem WHERE l_quantity >= 45 AND l_discount <= 0.02
+"""
+
+ORACLES["take_ordered"] = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 500
+"""
+
+ORACLES["drop_skip"] = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey OFFSET 1000
+"""
+
+ORACLES["takewhile_error"] = """
+WITH c AS (
+  SELECT min(event_id) AS cut FROM events WHERE event_id % 5000 = 4999
+)
+SELECT event_id, event_type, value FROM events, c
+WHERE c.cut IS NULL OR event_id < c.cut
+"""
+
+ORACLES["concat_ordered"] = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+ORACLES["merge_interleave"] = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 100000
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 100000
+"""
+
+ORACLES["cartesian_ap"] = """
+SELECT r_name || '_' || n_name AS pair FROM region CROSS JOIN nation
+"""
+
+ORACLES["flatmap_words"] = f"""
+SELECT doc_id, unnest(string_split({NORM_TEXT}, ' ')) AS word FROM documents
+"""
+
+ORACLES["numeric_source_math"] = """
+SELECT l_orderkey, l_linenumber,
+  sqrt(l_quantity) AS sqrt_qty,
+  round(exp(l_discount), 6) AS exp_disc,
+  round(ln(1.0 + l_discount), 6) AS ln1p_disc,
+  round(sin(l_quantity), 6) AS sin_qty,
+  abs(-l_tax) AS abs_tax
+FROM lineitem
+"""
+
+ORACLES["fold_global"] = f"""
+SELECT COUNT(*) AS n_rows,
+  {_dsum('l_quantity')} AS total_qty,
+  min(l_shipdate) AS min_ship,
+  max(l_shipdate) AS max_ship,
+  COUNT(DISTINCT l_suppkey) AS n_supp
+FROM lineitem
+"""
+
+ORACLES["running_user_sum"] = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER
+    (PARTITION BY user_id ORDER BY event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+FROM events
+"""
+
+ORACLES["running_user_avg"] = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+    / (COUNT(*) OVER w) AS run_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["mapm_pandas_upper"] = """
+SELECT doc_id, upper(substr(text, 1, 30)) AS head FROM documents
+"""
+
+ORACLES["each_literal_map"] = """
+SELECT (r.range + 1) * 2 AS value FROM range(10) r
+"""
+
+ORACLES["every_nullable"] = """
+SELECT r.range + 1 AS value FROM range(5) r
+UNION ALL SELECT NULL
+"""
+
+ORACLES["join_broadcast_parts"] = f"""
+SELECT p_brand,
+  COUNT(*) AS n_items,
+  {_dsum('l_quantity')} AS sum_qty,
+  {_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+ORACLES["q3_shipping_priority"] = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+ORACLES["q5_nation_revenue"] = f"""
+SELECT n_name,
+  {_dsum('l_extendedprice*(1-l_discount)')} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+ORACLES["asof_purchase"] = """
+SELECT l.event_id, l.user_id, l.value,
+  (SELECT r.value FROM events r
+   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id AND r.ts <= l.ts
+   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS last_purchase_value
+FROM events l WHERE l.event_type = 'view'
+"""
+
+ORACLES["latest_event_per_user"] = """
+SELECT user_id, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+ORACLES["topn_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  CAST(row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+FROM orders
+QUALIFY rn <= 3
+"""
+
+ORACLES["tumbling_hourly"] = f"""
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+  COUNT(*) AS window_count,
+  {_dsum('value')} AS window_sum
+FROM events GROUP BY 1
+"""
+
+ORACLES["sliding_10m"] = f"""
+SELECT CAST(floor(epoch(ts)/300)*300 - t.off AS BIGINT) AS window_start,
+  COUNT(*) AS window_count,
+  {_dsum('value')} AS window_sum
+FROM events CROSS JOIN (VALUES (0), (300)) t(off)
+GROUP BY 1
+"""
+
+ORACLES["session_30m"] = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+  CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+  COUNT(*) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+ORACLES["distinct_segments"] = "SELECT DISTINCT c_mktsegment FROM customer"
+
+ORACLES["topk_orders"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+ORACLES["customers_without_orders"] = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+ORACLES["customers_with_orders"] = """
+SELECT c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+ORACLES["pivot_event_counts"] = """
+SELECT user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY user_id
+"""
+
+ORACLES["rollup_flag_status"] = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLES["json_extract_props"] = """
+SELECT CAST(props->>'k' AS INTEGER) AS k, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+ORACLES["route_choose_counts"] = f"""
+SELECT CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS branch,
+  COUNT(*) AS n, {_dsum('value')} AS sum_value
+FROM events GROUP BY 1
+"""
+
+ORACLES["divide_parts"] = """
+SELECT 'time' AS part, event_id, CAST(CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) AS payload FROM events
+UNION ALL
+SELECT 'value' AS part, event_id, value AS payload FROM events
+"""
+
+ORACLES["text_token_counts"] = r"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_words
+FROM documents
+"""
+
+_sw_hits = " + ".join(
+    rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in _STOPWORDS
+)
+ORACLES["text_quality"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    length(text) AS nc,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS na,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS np,
+    len(string_split_regex(trim(text), '\\s+')) AS tk,
+    {_sw_hits} AS sh
+  FROM documents
+)
+SELECT doc_id,
+  round(
+    0.3 * (CASE WHEN nc >= 50 AND nc <= 20000 THEN 1.0 ELSE 0.3 END)
+    + 0.3 * least((na / greatest(nc, 1)) * 1.25, 1.0)
+    + 0.25 * least((sh / greatest(tk, 1)) * 4.0, 1.0)
+    + 0.15 * (CASE WHEN (np / greatest(tk, 1)) <= 0.5 THEN 1.0 ELSE 0.2 END)
+  , 6) AS quality
+FROM t
+"""
+
+_lang_scores = ",\n    ".join(
+    f"{_marker_score(ws)} AS s_{l}" for l, ws in sorted(_LANG_MARKERS.items())
+)
+ORACLES["text_langid"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    {_lang_scores}
+  FROM documents
+), m AS (
+  SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM t
+)
+SELECT doc_id, lang, {_lang_case()} AS lang_pred FROM m
+"""
+
+ORACLES["text_fingerprint"] = f"""
+SELECT doc_id, md5({NORM_TEXT}) AS fp FROM documents
+"""
+
+ORACLES["dedup_exact_docs"] = f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE doc_id IN (
+  SELECT min(doc_id) FROM documents GROUP BY {NORM_TEXT}
+)
+"""
+
+_SHINGLES = f"""
+list_transform(
+  range(1, greatest(len(string_split({NORM_TEXT}, ' ')) - 2, 1) + 1),
+  i -> array_to_string(list_slice(string_split({NORM_TEXT}, ' '), i, i + 2), ' ')
+)
+"""
+ORACLES["jaccard_near_dup_pairs"] = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents
+), sized AS (
+  SELECT doc_id, s, len(s) AS n FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sized a JOIN sized b
+  ON a.doc_id < b.doc_id AND a.n <= 2*b.n AND b.n <= 2*a.n
+WHERE len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+"""
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * ce[i]::DOUBLE))"
+_QNORM = "sqrt(list_sum(list_transform(range(1, 65), i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))"
+_CNORM = "sqrt(list_sum(list_transform(range(1, 65), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))"
+ORACLES["knn_bruteforce"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+    round({_DOT} / ({_QNORM} * {_CNORM}), 6) AS cos_sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+FROM s
+QUALIFY rank <= 10
+"""

@@ -1,0 +1,122 @@
+"""Sink — the reference's await-only consumer + contravariant algebra.
+
+``Sink m a`` (Tubes/Sink.hs:94-96) consumes a stream.  Here a Sink wraps
+``Callable[[DataFrame], None]`` and the algebra composes *writers*:
+
+* ``contramap`` (Tubes/Sink.hs:98-99)  — pre-transform the batch
+* ``divide``    (Tubes/Sink.hs:101-105)— split each element, feed two sinks
+* ``conquer``   (Tubes/Sink.hs:107)    — discard (noop writer)
+* ``choose``    (Tubes/Sink.hs:112-116)— route by predicate to one of two
+* ``<>`` broadcast (Tubes/Sink.hs:118-119) — duplicate to both
+
+Batch: the incoming DataFrame is persisted once, then each leaf sink
+writes its slice.  Streaming: pass :meth:`Sink.for_each_batch` to
+``writeStream.foreachBatch`` — the canonical multi-sink pattern.
+Multi-sink writes are at-least-once per sink, not atomic across sinks
+(documented divergence, SURVEY.md §7.4 item 5).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WriteFn = Callable[[DataFrame], None]
+
+
+class Sink:
+    __slots__ = ("fn",)
+
+    def __init__(self, fn: WriteFn):
+        self.fn = fn
+
+    def __call__(self, df: DataFrame) -> None:
+        self.fn(df)
+
+    # Contravariant (Tubes/Sink.hs:98-99)
+    def contramap(self, f: Callable[[DataFrame], DataFrame]) -> "Sink":
+        return Sink(lambda df: self.fn(f(df)))
+
+    # Divisible.divide (Tubes/Sink.hs:101-105)
+    @staticmethod
+    def divide(split: Callable[[DataFrame], tuple[DataFrame, DataFrame]],
+               s1: "Sink", s2: "Sink") -> "Sink":
+        def run(df: DataFrame) -> None:
+            df = df.persist()
+            try:
+                a, b = split(df)
+                s1(a)
+                s2(b)
+            finally:
+                df.unpersist()
+        return Sink(run)
+
+    # Divisible.conquer (Tubes/Sink.hs:107)
+    @staticmethod
+    def conquer() -> "Sink":
+        return Sink(lambda df: None)
+
+    # Decidable.choose (Tubes/Sink.hs:112-116): route by predicate.
+    @staticmethod
+    def choose(pred: Column, on_true: "Sink", on_false: "Sink") -> "Sink":
+        def run(df: DataFrame) -> None:
+            df = df.persist()
+            try:
+                on_true(df.filter(pred))
+                on_false(df.filter(~pred))
+            finally:
+                df.unpersist()
+        return Sink(run)
+
+    # Semigroup broadcast (Tubes/Sink.hs:118-119): every element to both.
+    def __add__(self, other: "Sink") -> "Sink":
+        def run(df: DataFrame) -> None:
+            df = df.persist()
+            try:
+                self(df)
+                other(df)
+            finally:
+                df.unpersist()
+        return Sink(run)
+
+    # ------------------------------------------------------------- factories
+
+    @staticmethod
+    def parquet(path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> "Sink":
+        def run(df: DataFrame) -> None:
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+        return Sink(run)
+
+    @staticmethod
+    def memory(out: list) -> "Sink":
+        """Collect into a driver-side list — ``display`` test double
+        (Tubes.hs:193-196)."""
+        return Sink(lambda df: out.extend(df.collect()))
+
+    @staticmethod
+    def console(n: int = 20) -> "Sink":
+        return Sink(lambda df: df.show(n, truncate=False))
+
+    # --------------------------------------------------------------- streaming
+
+    def for_each_batch(self):
+        """Adapter for ``writeStream.foreachBatch`` — runs the whole sink
+        tree once per micro-batch."""
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            self.fn(batch_df)
+        return fn
+
+
+def tee(sink: Sink) -> Callable[[DataFrame], DataFrame]:
+    """``tee`` (Tubes/Channel.hs:199-206): feed each batch to a sink,
+    then forward it unchanged — a side-effect observer stage."""
+    def stage(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        sink(df)
+        return df
+    return stage

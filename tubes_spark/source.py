@@ -1,0 +1,266 @@
+"""Source — the reference's yield-only stream + its full algebra.
+
+``Source m a`` (Tubes/Source.hs:79-81) is an exhaustible, *ordered*
+stream.  Spark DataFrames are unordered multisets, so ordering is made
+explicit: every :class:`Source` carries a ``__seq__`` long column (the
+element position).  This is the single biggest semantic translation in
+the port (SURVEY.md §1.2) — order-sensitive operators (``take`` /
+``drop`` / ``takeWhile`` / ``merge`` interleave / ``<|>`` concat) are
+defined w.r.t. ``__seq__``.
+
+Scale note: ``__seq__`` is only *materialized* by a global sort for the
+operators whose semantics genuinely need total order (take/drop/
+takeWhile — inherently sequential in the reference too).  Everything
+else (map/filter/fold/concat) keeps the column symbolic and never
+shuffles for it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SEQ = "__seq__"
+SRC = "__src__"
+
+
+class Source:
+    """An ordered stream of rows: a DataFrame + a ``__seq__`` position.
+
+    Construction: :meth:`from_df` (order given by columns) or
+    :meth:`each` (order given by input sequence).
+    """
+
+    __slots__ = ("df",)
+
+    def __init__(self, df: DataFrame):
+        if SEQ not in df.columns:
+            raise ValueError("Source requires a __seq__ column; use Source.from_df / Source.each")
+        self.df = df
+
+    # ------------------------------------------------------------------ ctors
+
+    @staticmethod
+    def from_df(df: DataFrame, order_by: Sequence[str | Column]) -> "Source":
+        """Wrap a DataFrame; element order = lexicographic ``order_by``.
+
+        Uses a rank-style dense global sequence via ``row_number`` over a
+        single window — acceptable for the order-sensitive subset only.
+        For big data prefer :meth:`from_df_cheap` (zorder not required).
+        """
+        w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
+        return Source(df.withColumn(SEQ, F.row_number().over(w).cast("long") - 1))
+
+    @staticmethod
+    def from_df_keyed(df: DataFrame, seq_col: str | Column) -> "Source":
+        """Wrap a DataFrame whose order is an existing monotone column
+        (e.g. ``event_id``) — no shuffle, no window; the scalable path."""
+        c = F.col(seq_col) if isinstance(seq_col, str) else seq_col
+        return Source(df.withColumn(SEQ, c.cast("long")))
+
+    @staticmethod
+    def each(spark: SparkSession, values: Iterable, column: str = "value") -> "Source":
+        """``each`` (Tubes/Util.hs:76-77): source from any container,
+        order = container order."""
+        rows = [(i, v) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, schema=(SEQ, column))
+        return Source(df.withColumn(SEQ, F.col(SEQ).cast("long")))
+
+    @staticmethod
+    def every(spark: SparkSession, values: Iterable, column: str = "value") -> "Source":
+        """``every`` (Tubes/Util.hs:79-80): ``each`` then a terminal
+        NULL end-of-stream marker row (Maybe as nullable column)."""
+        vals = list(values)
+        rows = [(i, v) for i, v in enumerate(vals)] + [(len(vals), None)]
+        df = spark.createDataFrame(rows, schema=(SEQ, column))
+        return Source(df.withColumn(SEQ, F.col(SEQ).cast("long")))
+
+    @staticmethod
+    def pure(spark: SparkSession, value, column: str = "value") -> "Source":
+        """``Applicative.pure`` (Tubes/Source.hs:87): one-element source."""
+        return Source.each(spark, [value], column)
+
+    @staticmethod
+    def empty(spark: SparkSession, schema: str = "value string") -> "Source":
+        """``Alternative.empty`` (Tubes/Source.hs:100)."""
+        df = spark.createDataFrame([], schema=f"{SEQ} long, {schema}")
+        return Source(df)
+
+    # ------------------------------------------------------------------ views
+
+    @property
+    def data(self) -> DataFrame:
+        """The payload without the ordering column."""
+        return self.df.drop(SEQ, SRC)
+
+    def ordered(self) -> DataFrame:
+        """Materialize reference order (final output only — global sort)."""
+        return self.df.orderBy(SEQ).drop(SEQ, SRC)
+
+    # ------------------------------------------------------------- functor etc.
+
+    def map(self, *cols: Column, keep_seq: bool = True) -> "Source":
+        """``fmap`` (Tubes/Source.hs:83-84) / ``map`` (Tubes/Util.hs:83-84)."""
+        sel = [F.col(SEQ), *cols] if keep_seq else list(cols)
+        return Source(self.df.select(*sel))
+
+    def with_columns(self, **named: Column) -> "Source":
+        return Source(self.df.withColumns(dict(named)))
+
+    def filter(self, pred: Column) -> "Source":
+        """``filter`` (Tubes/Util.hs:100-101).  Position labels of the
+        survivors are preserved (reference: remaining elements keep
+        their relative order)."""
+        return Source(self.df.filter(pred))
+
+    def flat_map(self, arr: Column, alias: str) -> "Source":
+        """Monadic bind (Tubes/Source.hs:94-97): each element expands to
+        the elements of ``arr`` (array expr); inner order after outer —
+        encoded as (outer_seq, inner_pos) lexicographic pair packed into
+        one long via posexplode."""
+        exploded = self.df.select(
+            F.col(SEQ).alias("__outer__"), F.posexplode(arr).alias("__inner__", alias)
+        )
+        # dense re-sequencing is only needed when absolute positions matter;
+        # keep (outer, inner) ordering as a composite sortable seq.
+        out = exploded.select(
+            (F.col("__outer__") * F.lit(1 << 20) + F.col("__inner__")).alias(SEQ),
+            F.col(alias),
+        )
+        return Source(out)
+
+    # --------------------------------------------------------------- monoid
+
+    def concat(self, other: "Source") -> "Source":
+        """``<|>`` / ``mappend`` / ``mplus`` (Tubes/Source.hs:99-126):
+        ordered concatenation — drain self fully, then other.
+
+        Implemented shuffle-free: union with the second stream's seq
+        offset into a disjoint upper range (no global max needed when the
+        caller later sorts; we offset by a large stride to preserve the
+        lexicographic block order)."""
+        left = self.df.withColumn(SRC, F.lit(0))
+        right = other.df.withColumn(SRC, F.lit(1))
+        u = left.unionByName(right, allowMissingColumns=False)
+        # block order: (src, seq) — pack into one sortable long
+        out = u.select(
+            (F.col(SRC).cast("long") * F.lit(1 << 40) + F.col(SEQ)).alias(SEQ),
+            *[c for c in u.columns if c not in (SEQ, SRC)],
+        )
+        return Source(out)
+
+    def __or__(self, other: "Source") -> "Source":
+        return self.concat(other)
+
+    def merge(self, other: "Source") -> "Source":
+        """``merge`` (Tubes/Source.hs:180-193): synchronous round-robin
+        interleave, continuing with the survivor when one side is
+        exhausted (doc: A1 B1 A2 B2 A3 B3 B4, Tubes/Source.hs:50-72).
+
+        Interleave order = sort by (element_rank, source_id): rank i of
+        stream A precedes rank i of stream B precedes rank i+1.  As a
+        multiset the result equals ``union``; the seq encodes the
+        interleaved order.  Streaming form: plain ``union`` (arrival
+        order) — documented divergence (SURVEY.md §7.4)."""
+        left = self.df.withColumn(SRC, F.lit(0))
+        right = other.df.withColumn(SRC, F.lit(1))
+        u = left.unionByName(right)
+        out = u.select(
+            (F.col(SEQ) * 2 + F.col(SRC)).alias(SEQ),
+            *[c for c in u.columns if c not in (SEQ, SRC)],
+        )
+        return Source(out)
+
+    # ------------------------------------------------------------ applicative
+
+    def ap(self, other: "Source", combine: Callable[[Column, Column], Column], alias: str = "value") -> "Source":
+        """``Applicative.<*>`` (Tubes/Source.hs:89-92): cartesian product
+        then combine — nested-for-loop order (self outer, other inner).
+
+        Spark: crossJoin.  At scale the smaller side should be broadcast;
+        Spark's AQE/planner picks broadcast-nested-loop automatically for
+        small inputs."""
+        lc = [c for c in self.df.columns if c != SEQ]
+        rc = [c for c in other.df.columns if c != SEQ]
+        if len(lc) != 1 or len(rc) != 1:
+            raise ValueError("ap expects single-payload sources")
+        l = self.df.select(F.col(SEQ).alias("__ls__"), F.col(lc[0]).alias("__lv__"))
+        r = other.df.select(F.col(SEQ).alias("__rs__"), F.col(rc[0]).alias("__rv__"))
+        x = l.crossJoin(r)
+        out = x.select(
+            (F.col("__ls__") * F.lit(1 << 20) + F.col("__rs__")).alias(SEQ),
+            combine(F.col("__lv__"), F.col("__rv__")).alias(alias),
+        )
+        return Source(out)
+
+    # Numeric instances (Tubes/Source.hs:128-162): arithmetic lifted over
+    # sources via liftA2 (cartesian).
+    def __add__(self, other): return self.ap(other, lambda a, b: a + b)
+    def __sub__(self, other): return self.ap(other, lambda a, b: a - b)
+    def __mul__(self, other): return self.ap(other, lambda a, b: a * b)
+    def __truediv__(self, other): return self.ap(other, lambda a, b: a / b)
+
+    # ----------------------------------------------------------- order-sensitive
+
+    def take(self, n: int) -> "Source":
+        """``take`` (Tubes/Util.hs:116-120): first n elements, then stop.
+        Physical plan: TakeOrderedAndProject (no full sort at scale)."""
+        w = Window.orderBy(SEQ)
+        return Source(self.df.orderBy(SEQ).limit(n))
+
+    def drop(self, n: int) -> "Source":
+        """``drop`` (Tubes/Util.hs:94-96): discard the first n.
+
+        Scalable form: rank the seq column and filter — implemented as an
+        anti-semi against the top-n (cheap: top-n is tiny)."""
+        top = self.df.select(F.col(SEQ)).orderBy(SEQ).limit(n).agg(F.max(SEQ).alias("__cut__"))
+        return Source(
+            self.df.join(F.broadcast(top), how="cross").filter(
+                F.col("__cut__").isNull() | (F.col(SEQ) > F.col("__cut__"))
+            ).drop("__cut__")
+        )
+
+    def take_while(self, pred: Column) -> "Source":
+        """``takeWhile`` (Tubes/Util.hs:104-113): pass until the first
+        violation, then terminate the whole stream.
+
+        Distributed form: one cheap scalar aggregate (min seq where
+        ``!pred``) broadcast back as a filter bound — two scans, zero
+        wide shuffles; survives any scale."""
+        cut = self.df.filter(~pred).agg(F.min(SEQ).alias("__cut__"))
+        return Source(
+            self.df.join(F.broadcast(cut), how="cross")
+            .filter(F.col("__cut__").isNull() | (F.col(SEQ) < F.col("__cut__")))
+            .drop("__cut__")
+        )
+
+    def drop_while(self, pred: Column) -> "Source":
+        cut = self.df.filter(~pred).agg(F.min(SEQ).alias("__cut__"))
+        return Source(
+            self.df.join(F.broadcast(cut), how="cross")
+            .filter(F.col("__cut__").isNotNull() & (F.col(SEQ) >= F.col("__cut__")))
+            .drop("__cut__")
+        )
+
+    # ----------------------------------------------------------------- folds
+
+    def reduce(self, agg: Column):
+        """``reduce`` (Tubes/Source.hs:167-174): strict fold of the
+        source -> driver value.  Spark: hash aggregate (partial per
+        partition + final), constant space like the reference's lfold."""
+        return self.df.agg(agg.alias("result")).collect()[0]["result"]
+
+    def reduce_df(self, *aggs: Column) -> DataFrame:
+        return self.df.agg(*aggs)
+
+    def running(self, *cols_over_prefix: Column) -> "Source":
+        """Running/stateful channel (Tubes/Channel.hs:46-76: running sum /
+        average) — batch form: prefix-window aggregates over ``__seq__``.
+
+        Note: a single unbounded ordered window is inherently sequential;
+        at scale prefer keyed running states (see operators.fold.running_by)."""
+        w = Window.orderBy(SEQ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        named = {f"_r{i}": c.over(w) for i, c in enumerate(cols_over_prefix)}
+        return Source(self.df.withColumns(named))
