@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}.
+
+Each query is executed once warm (after a small warm-up action so JVM/
+codegen startup isn't billed to the first query) and timed to full
+materialization (count / collect of the final result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from tubes_spark.session import get_spark
+
+HEADLINE = [
+    # one per operator family — mirrors BASELINE.md's budget rows
+    "flagship_pricing_summary",   # fold/agg family
+    "map_net_price",              # stateless map
+    "filter_pushdown",            # stateless filter
+    "merge_interleave",           # concat/merge family
+    "running_user_sum",           # stateful running fold
+    "join_broadcast_parts",       # broadcast join
+    "q3_shipping_priority",       # multi-join + topk
+    "q5_nation_revenue",          # 6-table join
+    "asof_purchase",              # as-of join
+    "tumbling_hourly",            # event-time window
+    "session_30m",                # session window
+    "dedup_exact_docs",           # dedup exact
+    "dedup_minhash_survivors",    # dedup minhash LSH
+    "knn_bruteforce",             # similarity search
+    "text_quality",               # text analysis
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+    spark = get_spark("tubes_spark_bench", cpus=cpus, shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # warm-up: touch every table once so first-query time is not file
+    # listing, and spawn the python worker pool so the first pandas-UDF
+    # query isn't billed for 32 interpreter startups
+    from tubes_spark.catalog import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, t, sf_dir).count()
+    import pandas as pd  # noqa: F401
+    spark.range(1000).repartition(cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run absorbs codegen/JIT noise
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -8,9 +8,36 @@ free; keep all filtering declarative so they reach the scan
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_workers_have_package(spark: SparkSession) -> None:
+    """Ship tubes_spark to executor python workers via addPyFile.
+
+    UDF closures reference module-level helpers, which cloudpickle
+    serializes *by reference*; workers then need the package importable.
+    The driver controls its own session/cwd, so we can't rely on
+    PYTHONPATH — zipping the package and addPyFile-ing it is the same
+    mechanism used for real cluster submission (--py-files)."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = os.path.join(tempfile.gettempdir(), f"tubes_spark_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(Path("tubes_spark") / py.relative_to(pkg_dir)))
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(app)
 
 TABLES = (
     "region",
@@ -31,6 +58,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_workers_have_package(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tubes_spark.operators.text import normalize, word_shingles
+from tubes_spark.operators.text import normalize, word_shingles, word_shingles_from_tokens
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -36,11 +36,18 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(shingles: Column, k: int = 64, seed: int = 1337) -> Column:
-    """k minhash values of a shingle set: min over xxhash64(shingle, seed_i).
-    array<long>, computed with JVM transform/array_min — no UDF."""
+def minhash_signature(shingle_hashes: Column, k: int = 64, seed: int = 1337) -> Column:
+    """k minhash values over pre-hashed shingles (array<long>).
+
+    Cost discipline: each shingle string is hashed to 64 bits ONCE
+    upstream; the k-member hash family is derived from that long via
+    xxhash64(h, seed_i) — hashing 8 bytes, not re-hashing the string
+    k times.  array<long>, all JVM transform/array_min, no UDF."""
     return F.array(
-        *[F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))) for i in range(k)]
+        *[
+            F.array_min(F.transform(shingle_hashes, lambda h, i=i: F.xxhash64(h, F.lit(seed + i))))
+            for i in range(k)
+        ]
     )
 
 
@@ -57,6 +64,28 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sh: distinct shingle strings, hs: 64-bit shingle hashes),
+    repartitioned for compute parallelism.
+
+    The repartition matters even on small inputs: a single parquet file
+    arrives as ONE partition and the signature math would run on one
+    core; at 100 TB the same holds per-file — always spread CPU-bound
+    narrow work across the cluster before computing."""
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    return (
+        df.select(F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("toks"))
+        .repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), F.array_distinct(word_shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"))
+        .withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -64,6 +93,7 @@ def minhash_candidates(
     shingle_k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH banding.
 
@@ -73,9 +103,19 @@ def minhash_candidates(
     no all-pairs comparison ever happens.
     Returns (id_a, id_b) with id_a < id_b, distinct."""
     rows = num_hashes // bands
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    base = shingles if shingles is not None else shingle_frame(df, text_col, id_col, shingle_k)
+    # signature via explode + 64 codegen'd hash projections + hash-agg min:
+    # higher-order-function lambdas (transform/aggregate) run interpreted,
+    # so the array formulation is ~10x slower; this shape is whole-stage
+    # codegen end-to-end and map-side combines before the one shuffle.
+    seed = 1337
+    tok = base.select(F.col(id_col), F.explode("hs").alias("h"))
+    mins = tok.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    sh = mins.select(
+        F.col(id_col), F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
     banded = sh.select(
         F.col(id_col), F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.h").alias("h"))
@@ -96,11 +136,13 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (verify step after LSH).
     Joins the (small) candidate set back to shingle arrays; similarity =
     |A∩B| / |A∪B| via array_intersect/array_union — JVM-side."""
-    sh = df.select(F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
+    base = shingles if shingles is not None else shingle_frame(df, text_col, id_col, shingle_k)
+    sh = base.select(F.col(id_col), F.col("sh"))
     out = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")
@@ -124,10 +166,13 @@ def dedup_minhash(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Near-dedup: drop any doc that has a higher-similarity twin with a
-    smaller id (greedy keep-first, the standard large-corpus policy)."""
-    cand = minhash_candidates(df, text_col, id_col, shingle_k=shingle_k)
+    smaller id (greedy keep-first, the standard large-corpus policy).
+    The shingle frame is computed once and shared (cached) between the
+    LSH candidate stage and the exact verify stage."""
+    sh = shingle_frame(df, text_col, id_col, shingle_k).persist()
+    cand = minhash_candidates(df, text_col, id_col, shingle_k=shingle_k, shingles=sh)
     dup_ids = (
-        jaccard_pairs(df, cand, text_col, id_col, shingle_k=shingle_k)
+        jaccard_pairs(df, cand, text_col, id_col, shingle_k=shingle_k, shingles=sh)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
@@ -135,37 +180,57 @@ def dedup_minhash(
     return df.join(dup_ids, on=id_col, how="left_anti")
 
 
-def simhash(text_col: Column, bits: int = 64, shingle_k: int = 2) -> Column:
-    """SimHash signature: sign-sum of per-shingle hash bits.
+def simhash_from_hashes(hs: Column, bits: int = 32) -> Column:
+    """SimHash signature from pre-hashed shingles (array<long>).
 
-    Column-only formulation: for each bit b, count shingles whose hash
-    has bit b set vs unset; bit b of the result = majority.  Expressed
-    as aggregate over the shingle array — one pass, no UDF."""
-    sh = word_shingles(text_col, shingle_k)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    def bit_vote(b: int) -> Column:
-        ones = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(1 << 63))) != 0, 1).otherwise(0),
-        )
-        return (ones * 2 > F.size(hashes)).cast("int")
-    # pack 64 bit votes into one long
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = bit_vote(b).cast("long")
-        out = out + F.shiftleft(vote, b)
-    return out
+    Single aggregate pass: the accumulator is the per-bit ones-count
+    vector (zip_with over the bit expansion of each hash); the majority
+    votes are then packed into one long.  No UDF, no repeated scans of
+    the array — the naive per-bit formulation re-walks the array `bits`
+    times and re-inlines the shingle expression each walk."""
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    ones = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda b: F.getbit(h, b)),
+            lambda a, x: a + x,
+        ),
+    )
+    n = F.size(hs)
+    # pack: 2^b is exact as double for b <= 52, so bits <= 52 is safe
+    return F.aggregate(
+        F.zip_with(
+            ones,
+            idx,
+            lambda o, b: F.when(o * 2 > n, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
-def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+def simhash(text_col: Column, bits: int = 32, shingle_k: int = 2) -> Column:
+    """SimHash over inline text (convenience; hot paths should use
+    shingle_frame + simhash_from_hashes)."""
+    hs = F.transform(word_shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+    return simhash_from_hashes(hs, bits)
+
+
+def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  bits: int = 32, shingle_k: int = 2) -> DataFrame:
     """Exact-signature SimHash dedup (hamming radius 0): group by the
     signature, keep lowest id.  For radius>0 at scale, band the signature
     into 4 chunks and LSH-join like minhash (pigeonhole)."""
+    sh = shingle_frame(df, text_col, id_col, shingle_k)
+    sig = sh.select(F.col(id_col), simhash_from_hashes(F.col("hs"), bits).alias("__sh__"))
     w = Window.partitionBy("__sh__").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__sh__", simhash(F.col(text_col), bits=bits))
-        .withColumn("__rn__", F.row_number().over(w))
+    keep = (
+        sig.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
-        .drop("__sh__", "__rn__")
+        .select(id_col)
     )
+    return df.join(keep, on=id_col, how="left_semi")

@@ -1,22 +1,36 @@
 """Similarity search over embedding columns (north-star extension).
 
-Baseline: brute-force cosine top-k — a broadcast of the (small) query
-set against the (huge) corpus, dot products via ``F.zip_with`` +
-``F.aggregate`` (JVM lambda expressions, no Python), then a per-query
-top-k window.  Scale path: LSH bucketing (random hyperplane signs) so
-only same-bucket pairs are compared — the corpus shuffles once on a
-small integer bucket key.
+Design for scale:
+
+* Dense vector math belongs in Arrow-batched numpy (BLAS matmul inside
+  ``mapInPandas``/``applyInPandas``) — Spark's higher-order array
+  lambdas (zip_with/aggregate) run *interpreted*, ~100x slower than a
+  matmul, and per-element SQL is the wrong shape for SIMD.
+* Brute force: broadcast the (small) query matrix into each task; the
+  corpus streams through in Arrow batches; no shuffle at all until the
+  final per-query top-k (tiny).
+* Scale path: sign-LSH bucketing — corpus shuffles ONCE on a small int
+  bucket key; only same-bucket pairs are scored.
+
+Column helpers (dot/norm/cosine) are kept for small/inline use and for
+oracle-matched queries where scoring must be expression-deterministic.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# ---------------------------------------------------------------- Column form
+
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<float/double> columns — zip_with +
-    aggregate, fully JVM-side."""
+    """Dot product of two array columns — JVM expression form (use for
+    small inline cases; hot paths go through numpy below)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -34,6 +48,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------- numpy core
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy()).astype(np.float64, copy=False)
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side collect of the query set (small by contract — the
+    big side is always the corpus)."""
+    pdf = queries.select(id_col, vec_col).toPandas()
+    qids = pdf[id_col].to_numpy()
+    qm = _to_matrix(pdf[vec_col])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    return qids, qm
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -43,45 +73,72 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    queries is broadcast (it is the small side by construction); the
-    corpus is scanned once with no shuffle; per-query top-k via a
-    window over the query id — shuffle rows = |corpus|×|queries| scored
-    pairs only if materialized; rank pushes down to partial top-k with
-    AQE.  Excludes self-matches."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv__"))
-    scored = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("cos_sim"),
+    Plan: corpus repartitioned for parallelism -> mapInPandas computing
+    a single (batch x queries) matmul per Arrow batch -> per-query
+    top-k window over the scored pairs.  Zero shuffles of vector data;
+    the scored-pair stream is (|corpus| x |queries|) narrow rows.
+    Excludes self-matches; deterministic tiebreak by neighbor_id."""
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    n_parts = max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _to_matrix(pdf[vec_col])
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # (nc, nq)
+            nc, nq = sims.shape
+            yield pd.DataFrame({
+                "neighbor_id": np.repeat(pdf[id_col].to_numpy(), nq),
+                "query_id": np.tile(qids, nc),
+                "cos_sim": np.round(sims.ravel(), 6),
+            })
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(score, schema="neighbor_id long, query_id long, cos_sim double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 7) -> Column:
-    """Sign-LSH bucket id: sign pattern of dot products with n_planes
-    pseudo-random hyperplanes.  Planes are derived deterministically from
-    (seed, plane, coordinate) via a hash -> [-1,1) weights, so both the
-    Spark side and any oracle can reproduce them."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        # deterministic pseudo-weights: hash(p, i) scaled to [-1, 1)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, i: v.cast("double")
-                * ((F.pmod(F.xxhash64(F.lit(seed + p), i), F.lit(2000003)) / F.lit(1000001.5)) - F.lit(1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed -> reproducible
+    buckets across runs and executors)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def bucket_ids(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-LSH bucket per vector: the sign pattern of projections onto
+    n_planes fixed random hyperplanes, packed into an int.  Arrow-batched
+    numpy projection; the bucket key is what the later join shuffles on."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    weights = np.power(2, np.arange(n_planes))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _to_matrix(pdf[vec_col])
+            signs = (cm @ planes.T) >= 0  # (n, planes)
+            out = pdf[[id_col, vec_col]].copy()
+            out[out_col] = (signs @ weights).astype(np.int64)
+            yield out
+
+    schema = f"{id_col} long, {vec_col} array<float>, {out_col} long"
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
 def knn_lsh(
@@ -89,27 +146,43 @@ def knn_lsh(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 6,
+    n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only compare query/corpus pairs sharing an LSH
-    bucket.  One narrow shuffle on the integer bucket key; candidate set
-    shrinks ~2^n_planes-fold vs brute force."""
-    b = lambda df, idn, vn: df.select(
-        F.col(id_col).alias(idn), F.col(vec_col).alias(vn),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
-    c = b(corpus, "neighbor_id", "__cv__")
-    q = b(queries, "query_id", "__qv__")
+    """Approximate top-k: score only query/corpus pairs sharing an LSH
+    bucket.  One narrow shuffle of the corpus on the int bucket key;
+    per-bucket scoring is a numpy matmul inside applyInPandas."""
+    qb = bucket_ids(queries, dim, n_planes, id_col=id_col, vec_col=vec_col)
+    q_by_bucket: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for b, grp in qb.toPandas().groupby("bucket"):
+        qm = _to_matrix(grp[vec_col])
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        q_by_bucket[int(b)] = (grp[id_col].to_numpy(), qm)
+
+    cb = bucket_ids(corpus, dim, n_planes, id_col=id_col, vec_col=vec_col)
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        entry = q_by_bucket.get(int(key[0]))
+        if entry is None or len(pdf) == 0:
+            return pd.DataFrame({"neighbor_id": [], "query_id": [], "cos_sim": []}).astype(
+                {"neighbor_id": "int64", "query_id": "int64", "cos_sim": "float64"}
+            )
+        qids, qm = entry
+        cm = _to_matrix(pdf[vec_col])
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = cm @ qm.T
+        nc, nq = sims.shape
+        return pd.DataFrame({
+            "neighbor_id": np.repeat(pdf[id_col].to_numpy(), nq),
+            "query_id": np.tile(qids, nc),
+            "cos_sim": np.round(sims.ravel(), 6),
+        })
+
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        cb.groupBy("bucket")
+        .applyInPandas(score, schema="neighbor_id long, query_id long, cos_sim double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv__"), F.col("__cv__")), 6).alias("cos_sim"),
-        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -123,21 +196,26 @@ def embedding_dedup(
     vec_col: str = "embedding",
     n_planes: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-dup removal: bucket by sign-LSH, compare
-    within buckets, drop the higher id of any pair above threshold."""
+    """Embedding-cosine near-dup removal: bucket by sign-LSH, pairwise
+    matmul within each bucket, drop the higher id of any pair >= the
+    threshold.  Shuffle = one pass on the int bucket key; within-bucket
+    work is quadratic only in the bucket size (2^n_planes buckets)."""
     if not dim:
         raise ValueError("pass the embedding dimensionality")
-    b = df.select(
-        F.col(id_col), F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    cb = bucket_ids(df, dim, n_planes, id_col=id_col, vec_col=vec_col)
+
+    def find_dups(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"dup_id": []}).astype({"dup_id": "int64"})
+        ids = pdf[id_col].to_numpy()
+        cm = _to_matrix(pdf[vec_col])
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = cm @ cm.T
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        dup = np.unique(np.maximum(ids[ii], ids[jj]))
+        return pd.DataFrame({"dup_id": dup.astype(np.int64)})
+
+    dups = cb.groupBy("bucket").applyInPandas(find_dups, schema="dup_id long")
+    return df.join(
+        dups.withColumnRenamed("dup_id", id_col).distinct(), on=id_col, how="left_anti"
     )
-    a2 = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b2 = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    dups = (
-        a2.join(b2, on="bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    return df.join(dups, on=id_col, how="left_anti")

@@ -57,13 +57,24 @@ def char_ngrams(text: Column, n: int) -> Column:
     )
 
 
-def word_shingles(text: Column, k: int) -> Column:
-    """Word k-shingles -> array<string> (for MinHash / Jaccard)."""
-    toks = F.split(normalize(text), " ")
+def word_shingles_from_tokens(toks: Column, k: int) -> Column:
+    """Word k-shingles from a pre-split token array column.
+
+    Pass a *materialized column* (not an inline split expression):
+    codegen substitutes child expressions textually, so an inline
+    ``split(...)`` would be re-evaluated per transform element —
+    O(words^2) string splitting."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     return F.when(F.size(toks) < k, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     )
+
+
+def word_shingles(text: Column, k: int) -> Column:
+    """Word k-shingles -> array<string> (for MinHash / Jaccard).
+    Prefer tokenizing into a column first + word_shingles_from_tokens
+    for hot paths (see that function's cost note)."""
+    return word_shingles_from_tokens(F.split(normalize(text), " "), k)
 
 
 def fingerprint(text: Column) -> Column:
