@@ -1,0 +1,158 @@
+"""The reference's worked doc examples as executable golden tests
+(SURVEY.md §5 — the reference ships zero tests; its Haddock examples
+are the informal spec).  Each cites the reference file:line."""
+
+from pyspark.sql import functions as F
+
+from tubes_spark.source import Source
+from tubes_spark.sink import Sink, tee
+from tubes_spark.pipe import Pipe, cat, pmap, pfilter
+from tubes_spark.streaming.state import batch_resumable_fold
+
+
+def vals(src, col="value"):
+    return [r[col] for r in src.ordered().collect()]
+
+
+def test_each_map_pipeline(spark):
+    """runTube $ each [1..10] >< map (*2) — Tubes/Core.hs:136-138."""
+    out = Source.each(spark, range(1, 11)).map((F.col("value") * 2).alias("value"))
+    assert vals(out) == [2, 4, 6, 8, 10, 12, 14, 16, 18, 20]
+
+
+def test_merge_interleave_order(spark):
+    """merge with uneven sources -> A1 B1 A2 B2 A3 B3 B4
+    (Tubes/Source.hs:50-72)."""
+    a = Source.each(spark, ["A1", "A2", "A3"])
+    b = Source.each(spark, ["B1", "B2", "B3", "B4"])
+    assert vals(a.merge(b)) == ["A1", "B1", "A2", "B2", "A3", "B3", "B4"]
+
+
+def test_concat_drains_first_fully(spark):
+    """<|> ordered concatenation — Tubes/Source.hs:99-126."""
+    a = Source.each(spark, [1, 2, 3])
+    b = Source.each(spark, [4, 5])
+    assert vals(a | b) == [1, 2, 3, 4, 5]
+
+
+def test_contramap_summing_sink(spark):
+    """(*2) >$< sum-sink: 1..5 summed after doubling = 30
+    (Tubes/Sink.hs:38-62: 15 plain, 30 contramapped)."""
+    src = Source.each(spark, [1, 2, 3, 4, 5])
+    got = []
+    plain = Sink.memory(got).contramap(lambda df: df.agg(F.sum("value").alias("value")))
+    plain(src.data)
+    assert got[0]["value"] == 15
+    got2 = []
+    doubled = Sink.memory(got2).contramap(
+        lambda df: df.select((F.col("value") * 2).alias("value")).agg(F.sum("value").alias("value"))
+    )
+    doubled(src.data)
+    assert got2[0]["value"] == 30
+
+
+def test_sink_broadcast_both_receive(spark):
+    """Sink <> duplicates every element to both sinks
+    (Tubes/Sink.hs:64-91: two lines per element)."""
+    a, b = [], []
+    both = Sink.memory(a) + Sink.memory(b)
+    both(Source.each(spark, [1, 2, 3]).data)
+    assert len(a) == 3 and len(b) == 3
+
+
+def test_divide_splits_elements(spark):
+    """divide: each element split into two parts, one per sink
+    (Tubes/Sink.hs:101-105)."""
+    left, right = [], []
+    s = Sink.divide(
+        lambda df: (df.select("value"), df.select((F.col("value") * 10).alias("tens"))),
+        Sink.memory(left),
+        Sink.memory(right),
+    )
+    s(Source.each(spark, [1, 2]).data)
+    assert [r["value"] for r in left] == [1, 2] or sorted(r["value"] for r in left) == [1, 2]
+    assert sorted(r["tens"] for r in right) == [10, 20]
+
+
+def test_choose_routes_by_predicate(spark):
+    """Decidable.choose routing — Tubes/Sink.hs:112-116."""
+    evens, odds = [], []
+    s = Sink.choose(F.col("value") % 2 == 0, Sink.memory(evens), Sink.memory(odds))
+    s(Source.each(spark, [1, 2, 3, 4, 5]).data)
+    assert sorted(r["value"] for r in evens) == [2, 4]
+    assert sorted(r["value"] for r in odds) == [1, 3, 5]
+
+
+def test_running_average(spark):
+    """Arrow running-average demo: 0,10,7,8 -> 0.0, 5.0, 5.666…, 6.25
+    (Tubes/Channel.hs:36-77)."""
+    src = Source.each(spark, [0.0, 10.0, 7.0, 8.0])
+    out = src.running(s=F.sum("value"), n=F.count(F.lit(1)))
+    rows = out.df.orderBy("__seq__").select((F.col("s") / F.col("n")).alias("avg")).collect()
+    avgs = [round(r["avg"], 4) for r in rows]
+    assert avgs == [0.0, 5.0, 5.6667, 6.25]
+
+
+def test_resumable_fold(spark):
+    """lfold resumption: sum 1..10 = 55, resume with 11..20 -> 210
+    (Tubes/Util.hs:158-172)."""
+    total, resume = batch_resumable_fold(range(1, 11), lambda a, v: a + v, 0.0)
+    assert total == 55
+    total2, _ = resume(range(11, 21))
+    assert total2 == 210
+
+
+def test_tee_observes_and_forwards(spark):
+    """tee: side-feed a sink, forward unchanged — Tubes/Channel.hs:199-206."""
+    seen = []
+    stage = tee(Sink.memory(seen))
+    out = stage(Source.each(spark, [1, 2, 3]).data)
+    assert sorted(r["value"] for r in out.collect()) == [1, 2, 3]
+    assert len(seen) == 3
+
+
+def test_take_drop_takewhile_order(spark):
+    src = Source.each(spark, [5, 3, 8, 1, 9, 2])
+    assert vals(src.take(3)) == [5, 3, 8]          # positional, not sorted
+    assert vals(src.drop(4)) == [9, 2]
+    assert vals(src.take_while(F.col("value") != 1)) == [5, 3, 8]
+    assert vals(src.drop_while(F.col("value") != 1)) == [1, 9, 2]
+
+
+def test_every_ends_with_nothing(spark):
+    out = vals(Source.every(spark, [1, 2]))
+    assert out == [1, 2, None]
+
+
+def test_cartesian_ap_order(spark):
+    """Applicative <*> nests loops: left outer, right inner
+    (Tubes/Source.hs:89-92)."""
+    a = Source.each(spark, [1, 2])
+    b = Source.each(spark, [10, 20])
+    assert vals(a.ap(b, lambda x, y: x + y)) == [11, 21, 12, 22]
+
+
+def test_flatmap_order(spark):
+    src = Source.each(spark, [2, 3])
+    out = src.flat_map(F.sequence(F.lit(1), F.col("value")), "n")
+    assert vals(out, "n") == [1, 2, 1, 2, 3]
+
+
+def test_pipe_composition_and_cat(spark):
+    """(><) composition + cat identity + RULES map-fusion equivalence
+    (Tubes/Core.hs:140-150, Tubes/Util.hs:66-91)."""
+    df = Source.each(spark, range(10)).data
+    double = pmap((F.col("value") * 2).alias("value"))
+    inc = pmap((F.col("value") + 1).alias("value"))
+    fused = pmap(((F.col("value") * 2) + 1).alias("value"))
+    p1 = (double >> inc)(df).collect()
+    p2 = fused(df).collect()
+    assert [r["value"] for r in p1] == [r["value"] for r in p2]
+    assert (cat >> double)(df).collect() == double(df).collect()
+    assert (double >> cat)(df).collect() == double(df).collect()
+
+
+def test_pipe_rrshift_sugar(spark):
+    df = Source.each(spark, [1, 2, 3]).data
+    out = df >> pfilter(F.col("value") > 1) >> pmap((F.col("value") * 100).alias("value"))
+    assert sorted(r["value"] for r in out.collect()) == [200, 300]

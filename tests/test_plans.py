@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(predicate pushdown, column pruning, broadcast joins, map-side partial
+aggregation) must be visible in explain output — not assumed."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+import tubes_spark.queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_nodes(p: str, name: str) -> int:
+    """Count physical-plan nodes by their detail header `(i) Name` —
+    formatted explain prints every node twice (tree + detail block)."""
+    return len(re.findall(rf"\(\d+\) {name}\b", p))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = plan_of(Q.filter_pushdown(spark, SF))
+    assert "PushedFilters" in p
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_quantity", p), p
+
+
+def test_column_pruning(spark):
+    """map_net_price touches 4 columns; the scan must not read all 11."""
+    p = plan_of(Q.map_net_price(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"}
+
+
+def test_broadcast_join_for_dimension(spark):
+    p = plan_of(Q.join_broadcast_parts(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_q5_broadcasts_all_dims(spark):
+    p = plan_of(Q.q5_nation_revenue(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Grouped fold must show partial (map-side) + final hash aggregate."""
+    p = plan_of(Q.flagship_pricing_summary(spark, SF))
+    assert n_nodes(p, "HashAggregate") >= 2, p
+    assert "Exchange" in p
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    """AQE only reveals codegen spans in the final plan — execute first."""
+    df = Q.flagship_pricing_summary(spark, SF)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("codegen")
+    p = buf.getvalue()
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
+    assert m and int(m.group(1)) >= 1, p[:2000]
+
+
+def test_take_uses_limit_not_full_sort(spark):
+    """take(n) should plan TakeOrderedAndProject, not a global Sort."""
+    p = plan_of(Q.take_ordered(spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_running_fold_single_shuffle(spark):
+    """Per-key running sum: exactly one Exchange (hashpartitioning on
+    user_id) — no extra shuffles."""
+    p = plan_of(Q.running_user_sum(spark, SF))
+    assert n_nodes(p, "Exchange") == 1, p
+
+
+def test_asof_single_shuffle(spark):
+    """The union/window as-of join shuffles once on the by-key."""
+    p = plan_of(Q.asof_purchase(spark, SF))
+    # one Exchange for the window partitionBy; union sides read pre-shuffle
+    assert n_nodes(p, "Exchange") == 1, p

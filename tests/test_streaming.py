@@ -1,0 +1,155 @@
+"""Structured Streaming tests: the Pump side (SURVEY.md §5 item 4).
+
+Covers: resumable keyed fold via applyInPandasWithState with
+stop/restart-from-checkpoint (the reference's pump resumption,
+Tubes/Util.hs:158-172), multi-sink foreachBatch, windowed agg with
+watermark on a replayed file stream."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tubes_spark.catalog import load_table
+from tubes_spark.sink import Sink
+from tubes_spark.streaming.run import file_replay_source, run_stream
+from tubes_spark.streaming.state import running_fold
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="tubes_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_stream(spark, src_dir: str):
+    schema = load_table(spark, "events", SF).schema
+    return file_replay_source(spark, src_dir, schema)
+
+
+def _prep_events_dir(spark, tmpdir: str, n_files: int = 4) -> str:
+    """Split the events table into several parquet files so the stream
+    replays as several micro-batches."""
+    src = f"{tmpdir}/in"
+    load_table(spark, "events", SF).repartition(n_files).write.parquet(src)
+    return src
+
+
+def test_streaming_fold_matches_batch(spark, tmpdir):
+    """Streaming keyed fold over a replay == batch groupBy sum."""
+    src_dir = _prep_events_dir(spark, tmpdir)
+    stream = _events_stream(spark, src_dir)
+    folded = running_fold(stream, ["user_id"], "value")
+    q = (
+        folded.writeStream.format("memory")
+        .queryName("fold_out")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per key = final accumulator
+    out = spark.sql(
+        "SELECT key, max_by(acc, n) AS acc, max(n) AS n FROM fold_out GROUP BY key"
+    ).collect()
+    got = {int(r["key"]): (round(r["acc"], 6), r["n"]) for r in out}
+    expect = {
+        r["user_id"]: (round(r["s"], 6), r["n"])
+        for r in load_table(spark, "events", SF)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_streaming_fold_resumes_from_checkpoint(spark, tmpdir):
+    """Stop the query, add more data, restart with the same checkpoint:
+    state continues (pump resumption, Tubes/Util.hs:158-172)."""
+    src = f"{tmpdir}/in"
+    e = load_table(spark, "events", SF)
+    first = e.filter(F.col("event_id") < 500)
+    second = e.filter(F.col("event_id") >= 500)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        """The memory sink can't recover from a checkpoint; foreachBatch can."""
+        rows = []
+        stream = _events_stream(spark, src)
+        folded = running_fold(stream, ["user_id"], "value")
+        q = (
+            folded.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    drain()                       # phase 1: first half only
+    second.coalesce(1).write.mode("append").parquet(src)
+    rows2 = drain()               # phase 2: resumes, sees only new files
+    got = {}
+    for r in rows2:               # last update per key = final accumulator
+        k = int(r["key"])
+        got[k] = max(got.get(k, 0), r["n"])
+    expect_n = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        # phase-2 memory sink only holds keys updated in phase 2
+        if r["user_id"] in {x["user_id"] for x in second.select("user_id").distinct().collect()}
+    }
+    for k, n in got.items():
+        assert n == expect_n[k], f"user {k}: resumed count {n} != total {expect_n[k]}"
+
+
+def test_multi_sink_foreachbatch(spark, tmpdir):
+    """Sink broadcast + choose tree driven by one streaming query
+    (Tubes/Sink.hs:118-119 over micro-batches)."""
+    src_dir = _prep_events_dir(spark, tmpdir)
+    stream = _events_stream(spark, src_dir).select("event_id", "value")
+    hi, lo, allrows = [], [], []
+    sink = Sink.choose(F.col("value") >= 50, Sink.memory(hi), Sink.memory(lo)) + Sink.memory(allrows)
+    q = run_stream(stream, sink, checkpoint=f"{tmpdir}/ck2")
+    q.awaitTermination(120)
+    n = load_table(spark, "events", SF).count()
+    assert len(allrows) == n
+    assert len(hi) + len(lo) == n
+
+
+def test_windowed_agg_with_watermark(spark, tmpdir):
+    """Tumbling window + watermark over the replayed stream equals the
+    batch window aggregation (AvailableNow drains everything)."""
+    src_dir = _prep_events_dir(spark, tmpdir)
+    stream = _events_stream(spark, src_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ck3")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"], r["n"]) for r in spark.sql("SELECT win, n FROM win_out").collect()
+    }
+    expect = {
+        (r["win"]["start"], r["n"])
+        for r in load_table(spark, "events", SF)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect

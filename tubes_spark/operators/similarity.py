@@ -105,11 +105,12 @@ def knn_bruteforce(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int, seed: int, n_tables: int = 1) -> np.ndarray:
     """Deterministic random hyperplanes (fixed seed -> reproducible
-    buckets across runs and executors)."""
+    buckets across runs and executors).  Shape (n_tables, n_planes, dim):
+    each table is an independent sign-LSH hash for OR-amplification."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+    return rng.standard_normal((n_tables, n_planes, dim))
 
 
 def bucket_ids(
@@ -120,21 +121,31 @@ def bucket_ids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "bucket",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Sign-LSH bucket per vector: the sign pattern of projections onto
-    n_planes fixed random hyperplanes, packed into an int.  Arrow-batched
-    numpy projection; the bucket key is what the later join shuffles on."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Sign-LSH bucket(s) per vector: the sign pattern of projections
+    onto n_planes fixed random hyperplanes, packed into an int.  With
+    n_tables > 1, each vector is emitted once per table (OR-amplified
+    LSH) with the table id packed into the high bits of the bucket key.
+    Arrow-batched numpy projection; the small int bucket key is the only
+    thing the later join shuffles on."""
+    planes = _hyperplanes(dim, n_planes, seed, n_tables)  # (L, P, dim)
     weights = np.power(2, np.arange(n_planes))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cm = _to_matrix(pdf[vec_col])
-            signs = (cm @ planes.T) >= 0  # (n, planes)
-            out = pdf[[id_col, vec_col]].copy()
-            out[out_col] = (signs @ weights).astype(np.int64)
+            cm = _to_matrix(pdf[vec_col])  # (n, dim)
+            # (n, L, P) sign pattern per table, packed to (n, L) ints
+            signs = np.einsum("nd,lpd->nlp", cm, planes) >= 0
+            packed = signs @ weights + (np.arange(n_tables) << n_planes)
+            n = len(pdf)
+            out = pdf[[id_col, vec_col]]
+            if n_tables > 1:
+                out = out.iloc[np.repeat(np.arange(n), n_tables)].reset_index(drop=True)
+            out = out.copy()
+            out[out_col] = packed.astype(np.int64).ravel()
             yield out
 
     schema = f"{id_col} long, {vec_col} array<float>, {out_col} long"
@@ -149,18 +160,28 @@ def knn_lsh(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 8,
 ) -> DataFrame:
     """Approximate top-k: score only query/corpus pairs sharing an LSH
-    bucket.  One narrow shuffle of the corpus on the int bucket key;
+    bucket in at least one of n_tables independent tables
+    (OR-amplification: a neighbor at angle theta collides with prob
+    1-(1-(1-theta/pi)^P)^L, so L=8 tables of P=4 planes recall ~85% of
+    60-degree neighbors where a single table recalls ~20%).  One narrow
+    shuffle of the corpus on the int bucket key (corpus replicated L
+    times in that shuffle — still tiny vs. pairwise scoring);
     per-bucket scoring is a numpy matmul inside applyInPandas."""
-    qb = bucket_ids(queries, dim, n_planes, id_col=id_col, vec_col=vec_col)
+    qb = bucket_ids(
+        queries, dim, n_planes, id_col=id_col, vec_col=vec_col, n_tables=n_tables
+    )
     q_by_bucket: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for b, grp in qb.toPandas().groupby("bucket"):
         qm = _to_matrix(grp[vec_col])
         qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
         q_by_bucket[int(b)] = (grp[id_col].to_numpy(), qm)
 
-    cb = bucket_ids(corpus, dim, n_planes, id_col=id_col, vec_col=vec_col)
+    cb = bucket_ids(
+        corpus, dim, n_planes, id_col=id_col, vec_col=vec_col, n_tables=n_tables
+    )
 
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         entry = q_by_bucket.get(int(key[0]))
@@ -183,6 +204,8 @@ def knn_lsh(
         cb.groupBy("bucket")
         .applyInPandas(score, schema="neighbor_id long, query_id long, cos_sim double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # the same pair can collide in several tables; one vote is enough
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

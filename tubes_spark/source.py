@@ -255,12 +255,12 @@ class Source:
     def reduce_df(self, *aggs: Column) -> DataFrame:
         return self.df.agg(*aggs)
 
-    def running(self, *cols_over_prefix: Column) -> "Source":
+    def running(self, **named: Column) -> "Source":
         """Running/stateful channel (Tubes/Channel.hs:46-76: running sum /
         average) — batch form: prefix-window aggregates over ``__seq__``.
+        Pass unaliased aggregate columns as kwargs: ``running(s=F.sum(..))``.
 
         Note: a single unbounded ordered window is inherently sequential;
         at scale prefer keyed running states (see operators.fold.running_by)."""
         w = Window.orderBy(SEQ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        named = {f"_r{i}": c.over(w) for i, c in enumerate(cols_over_prefix)}
-        return Source(self.df.withColumns(named))
+        return Source(self.df.withColumns({name: c.over(w) for name, c in named.items()}))
