@@ -86,7 +86,28 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity search (north-star)
     "knn_bruteforce": Q.knn_bruteforce,
     "knn_lsh_approx": Q.knn_lsh_approx,
+    "knn_ivf_approx": Q.knn_ivf_approx,
     "embedding_dedup_survivors": Q.embedding_dedup_survivors,
+    # TPC-H-shape battery: joins, semi/anti, correlated aggs, disjunctions
+    "q6_forecast_revenue": Q.q6_forecast_revenue,
+    "q4_priority_exists": Q.q4_priority_exists,
+    "q12_line_priority": Q.q12_line_priority,
+    "q14_promo_revenue": Q.q14_promo_revenue,
+    "q10_returned_revenue": Q.q10_returned_revenue,
+    "q15_top_supplier": Q.q15_top_supplier,
+    "q17_small_qty_revenue": Q.q17_small_qty_revenue,
+    "q18_large_orders": Q.q18_large_orders,
+    "q19_disjunctive": Q.q19_disjunctive,
+    "q22_idle_customers": Q.q22_idle_customers,
+    "q7_nation_volume": Q.q7_nation_volume,
+    "orders_by_month": Q.orders_by_month,
+    "string_funcs_parts": Q.string_funcs_parts,
+    "orders_above_cust_avg": Q.orders_above_cust_avg,
+    # text/multimodal extensions
+    "text_tfidf_top_terms": Q.text_tfidf_top_terms,
+    "text_winnow_fingerprints": Q.text_winnow_fingerprints,
+    "multimodal_bytes_stats": Q.multimodal_bytes_stats,
+    "multimodal_features": Q.multimodal_features,
 }
 
 

@@ -110,3 +110,50 @@ def test_multimodal_feature_plumbing(spark):
         assert len(r["feature"]) == 4
     nb = {r["media_id"]: r["n_bytes"] for r in out}
     assert nb == {"m1": 3, "m2": 2, "m3": 0}
+
+
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    from tubes_spark.operators import similarity as S
+    emb = load_table(spark, "embeddings", SF)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(emb, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_ivf(emb, q, dim=64, k=10, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 4/16 cells covers ~the nearest quadrant of the space
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_winnow_matches_python_reference(spark):
+    """Pin the JVM-side winnowing (k-gram rolling-hash fingerprints)
+    against a literal pure-python implementation of the algorithm,
+    using Spark's own xxhash64 for the gram hashes."""
+    import re as _re
+
+    from tubes_spark.operators import text as T
+
+    d = load_table(spark, "documents", SF).limit(20).cache()
+    k, w = 8, 4
+    got = {r["doc_id"]: list(r["fps"]) for r in T.winnow(d, "text", k=k, w=w).collect()}
+
+    # gram -> xxhash64 via Spark itself (the hash fn is the JVM's)
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    grams_per_doc = {}
+    for doc_id, text in texts.items():
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        n = max(len(norm) - (k - 1), 1)
+        grams_per_doc[doc_id] = [norm[i:i + k] for i in range(n)]
+    all_grams = sorted({g for gs in grams_per_doc.values() for g in gs})
+    hdf = spark.createDataFrame([(g,) for g in all_grams], "g string")
+    hmap = {r["g"]: r["h"] for r in hdf.select("g", F.xxhash64("g").alias("h")).collect()}
+
+    for doc_id, grams in grams_per_doc.items():
+        hashes = [hmap[g] for g in grams]
+        n_windows = max(len(hashes) - (w - 1), 1)
+        expect = sorted({min(hashes[i:i + w]) for i in range(n_windows)})
+        assert got[doc_id] == expect, f"doc {doc_id}"

@@ -242,3 +242,93 @@ def embedding_dedup(
     return df.join(
         dups.withColumnRenamed("dup_id", id_col).distinct(), on=id_col, how="left_anti"
     )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+def _kmeans_centroids(mat: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Tiny deterministic spherical k-means on a driver-side sample.
+    The sample is small by design (centroid training reads a capped
+    sample, never the full corpus); assignment is distributed."""
+    rng = np.random.default_rng(seed)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    return cent
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    n_cells k-means cells; each query probes its n_probe nearest cells
+    and scores only those members.
+
+    Scale shape: centroids train on a bounded driver-side sample (one
+    small collect), assignment is one Arrow-batched matmul pass, and the
+    only shuffle is on the int cell id.  Each corpus vector lands in
+    exactly one cell, so candidate pairs are unique — no dedup pass."""
+    sample = corpus.select(vec_col).limit(sample_cap).toPandas()
+    cent = _kmeans_centroids(_to_matrix(sample[vec_col]), n_cells, seed)
+
+    qids_all, qm_all = _collect_queries(queries, id_col, vec_col)
+    probes = np.argsort(-(qm_all @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    q_by_cell: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for c in range(len(cent)):
+        members = np.nonzero((probes == c).any(axis=1))[0]
+        if len(members):
+            q_by_cell[c] = (qids_all[members], qm_all[members])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _to_matrix(pdf[vec_col])
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = np.argmax(cm @ cent.T, axis=1).astype(np.int64)
+            yield out
+
+    cells = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cell long"
+    )
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        entry = q_by_cell.get(int(key[0]))
+        if entry is None or len(pdf) == 0:
+            return pd.DataFrame({"neighbor_id": [], "query_id": [], "cos_sim": []}).astype(
+                {"neighbor_id": "int64", "query_id": "int64", "cos_sim": "float64"}
+            )
+        qids, qm = entry
+        cm = _to_matrix(pdf[vec_col])
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = cm @ qm.T
+        nc, nq = sims.shape
+        return pd.DataFrame({
+            "neighbor_id": np.repeat(pdf[id_col].to_numpy(), nq),
+            "query_id": np.tile(qids, nc),
+            "cos_sim": np.round(sims.ravel(), 6),
+        })
+
+    scored = (
+        cells.groupBy("cell")
+        .applyInPandas(score, schema="neighbor_id long, query_id long, cos_sim double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

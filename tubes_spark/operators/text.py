@@ -151,3 +151,40 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint_md5(t).alias("fp"),
     )
+
+
+def winnow(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every char k-gram of the normalized text, slide a
+    window of w hashes, keep each window's minimum — the selected hash
+    set is a position-robust fingerprint for near-dup detection.
+
+    Entirely JVM-side array expressions (sequence/transform/slice/
+    array_min) over xxhash64 — no UDF, codegen-friendly.  Emits the
+    distinct selected hashes as `fps` plus summary stats."""
+    t = F.col(text_col)
+    norm = normalize(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(k)),
+    )
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n_windows = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, F.least(F.lit(w), F.size(hashes)))),
+    )
+    fps = F.array_sort(F.array_distinct(mins))
+    return df.select(
+        F.col(id_col),
+        fps.alias("fps"),
+        F.size(fps).alias("n_fp"),
+        F.element_at(fps, 1).alias("fp_min"),
+        F.element_at(fps, -1).alias("fp_max"),
+    )

@@ -379,3 +379,178 @@ SELECT query_id, neighbor_id, cos_sim,
 FROM s
 QUALIFY rank <= 10
 """
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape battery
+# ---------------------------------------------------------------------------
+
+ORACLES["q6_forecast_revenue"] = f"""
+SELECT {_dsum('l_extendedprice*l_discount')} AS revenue, COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24
+"""
+
+ORACLES["q4_priority_exists"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q12_line_priority"] = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+ORACLES["q14_promo_revenue"] = f"""
+SELECT round(
+  100.0 * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")}
+        / {_dsum('l_extendedprice*(1-l_discount)')}, 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+ORACLES["q10_returned_revenue"] = f"""
+SELECT c_custkey, c_name, {_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["q15_top_supplier"] = """
+WITH per_supp AS (
+  SELECT l_suppkey, SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,6))) AS rev_exact
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+), ranked AS (
+  SELECT *, rank() OVER (ORDER BY rev_exact DESC) AS rnk FROM per_supp
+)
+SELECT s_suppkey, s_name, CAST(rev_exact AS DOUBLE) AS total_revenue
+FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+WHERE rnk = 1
+"""
+
+ORACLES["q17_small_qty_revenue"] = f"""
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {_dsum('l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN avg_qty ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+"""
+
+ORACLES["q18_large_orders"] = f"""
+WITH big AS (
+  SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_dsum('l_quantity')} > 120
+)
+SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+"""
+
+ORACLES["q19_disjunctive"] = f"""
+SELECT {_dsum('l_extendedprice*(1-l_discount)')} AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_type = 'PROMO' AND p_size <= 50 AND l_quantity >= 20)
+"""
+
+ORACLES["q22_idle_customers"] = f"""
+WITH ab AS (SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, COUNT(*) AS numcust, {_dsum('c_acctbal')} AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+ORACLES["q7_nation_volume"] = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {_dsum('l_extendedprice*(1-l_discount)')} AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name != cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+ORACLES["orders_by_month"] = f"""
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS month_total
+FROM orders GROUP BY 1, 2
+"""
+
+ORACLES["string_funcs_parts"] = """
+SELECT p_partkey,
+  upper(p_name) AS uname,
+  length(p_name) AS name_len,
+  substr(p_name, 1, 5) AS prefix5,
+  concat_ws('/', p_brand, p_type) AS brand_type,
+  levenshtein(p_name, 'red widget') AS lev_widget,
+  replace(p_name, ' ', '_') AS snake_name
+FROM part
+"""
+
+ORACLES["orders_above_cust_avg"] = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg, 6) AS cust_avg
+FROM w WHERE o_totalprice > cust_avg
+"""
+
+# ---------------------------------------------------------------------------
+# Text / multimodal extensions
+# ---------------------------------------------------------------------------
+
+ORACLES["text_tfidf_top_terms"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({NORM_TEXT}, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+), doclen AS (
+  SELECT doc_id, COUNT(*) AS len FROM words GROUP BY doc_id
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+    round((CAST(tf.tf AS DOUBLE) / doclen.len)
+          * ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN doclen ON tf.doc_id = doclen.doc_id
+          JOIN df ON tf.term = df.term
+          CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+ORACLES["multimodal_bytes_stats"] = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  ascii(substr(text, 1, 1)) AS first_byte,
+  length(base64(encode(text))) AS b64_len
+FROM documents
+"""

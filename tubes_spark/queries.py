@@ -521,3 +521,305 @@ def knn_lsh_approx(spark, sf_dir):
 def embedding_dedup_survivors(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_dedup(emb, threshold=0.98, dim=64).select("vec_id")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shape battery (adapted to the synthetic schema): joins, semi/anti,
+# correlated aggregates, disjunctive predicates, conditional aggregation.
+# --------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight filter + single agg — the pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS as left-semi join, grouped count."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q12_line_priority(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(hi).alias("high_line_count"),
+             F.sum(1 - hi).alias("low_line_count"))
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast dim join + conditional revenue ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"))
+        .select(F.round("promo_revenue_pct", 6).alias("promo_revenue_pct"))
+    )
+
+
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: max-revenue supplier(s) — rank over an exact
+    decimal sum so the argmax is deterministic (no float-equality HAVING)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_exact"))
+    w = Window.orderBy(F.col("rev_exact").desc())
+    top = per_supp.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    return (
+        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev_exact").cast("double").alias("total_revenue"))
+    )
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated aggregate (per-part avg quantity)
+    decorrelated into a broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING on a grouped sum, then enrich via join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+    )
+
+
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs join predicate (brand/size/qty bands) —
+    planner must keep the equi-join key and push the residual."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    band1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & \
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    band2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30) & \
+        (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 35)
+    band3 = (F.col("p_type") == "PROMO") & (F.col("p_size") <= 50) & \
+        (F.col("l_quantity") >= 20)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(band1 | band2 | band3).agg(
+        dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar subquery (avg positive balance) + anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal), how="cross")
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal")).alias("totacctbal"))
+    )
+
+
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: supplier-nation x customer-nation trade volume by
+    year (two broadcast dims, one fact-fact join, date part extraction)."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(rev).alias("volume"))
+    )
+
+
+def orders_by_month(spark, sf_dir):
+    """Date-function family: truncate to month, count + exact sum."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("month_total"))
+    )
+
+
+def string_funcs_parts(spark, sf_dir):
+    """String-function family over part names (upper/substr/concat/
+    levenshtein/replace) — all JVM expressions, portable to the oracle."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("lev_widget"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+    )
+
+
+def orders_above_cust_avg(spark, sf_dir):
+    """Correlated scalar subquery shape: orders above their customer's
+    average order value — decorrelated as a per-key window average."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_exact = F.avg(F.col("o_totalprice").cast("decimal(27,6)")).over(w)
+    return (
+        o.withColumn("cust_avg", avg_exact.cast("double"))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", F.round("cust_avg", 6).alias("cust_avg"))
+    )
+
+
+# --------------------------------------------------------------------------
+# More text analysis (north-star): TF-IDF, winnowing fingerprints
+# --------------------------------------------------------------------------
+
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms.  Rank on the 6-dp-rounded score
+    (ties broken by term asc) so the ordering is engine-portable."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar; at scale use a broadcast agg
+    words = d.select(
+        "doc_id", F.explode(F.split(text.normalize(F.col("text")), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.round(
+        (F.col("tf") / F.col("len"))
+        * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+        6,
+    )
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .select("doc_id", "term", score.alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprint summary per document (k=8,
+    w=4).  xxhash64-based, so no SQL oracle (rows-only check); semantics
+    are pinned against a pure-python reference in tests."""
+    d = _t(spark, sf_dir, "documents")
+    out = text.winnow(d, "text", k=8, w=4)
+    return out.select("doc_id", "n_fp", "fp_min", "fp_max")
+
+
+def multimodal_bytes_stats(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads with typed metadata.
+    The payload here is the utf8 encoding of the doc text (the container
+    has no image libs); the byte-level plumbing is real."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.ascii(F.substring(F.col("text"), 1, 1)).alias("first_byte"),
+        # Spark MIME-chunks base64 with CRLF every 76 chars; strip for parity
+        F.length(F.regexp_replace(F.base64(payload), r"[\r\n]", "")).alias("b64_len"),
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary media columns
+    (decode step is a deterministic fake; plumbing is real — schema,
+    batching, null-safety).  Rows-only check; exact values pinned in
+    tests/test_dedup_similarity.py::test_multimodal_feature_plumbing."""
+    from tubes_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    out = extract_features(media, dim=8)
+    return out.select(
+        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+def knn_ivf_approx(spark, sf_dir):
+    """IVF (inverted-file) ANN: coarse k-means cells + multi-probe.
+    Rows-only check; recall vs brute force pinned in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_ivf(emb, q, dim=64, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
