@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from tubes_spark.operators.text import normalize, word_shingles, word_shingles_from_tokens
+from tubes_spark.operators.text import normalize, word_shingles
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -70,19 +70,33 @@ def shingle_frame(
     id_col: str = "doc_id",
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sh: distinct shingle strings, hs: 64-bit shingle hashes),
-    repartitioned for compute parallelism.
+    """(id, hs: distinct 64-bit shingle hashes), repartitioned for
+    compute parallelism.
 
-    The repartition matters even on small inputs: a single parquet file
-    arrives as ONE partition and the signature math would run on one
-    core; at 100 TB the same holds per-file — always spread CPU-bound
-    narrow work across the cluster before computing."""
+    Shingle strings are never materialized: each token is hashed once,
+    then a k-shingle's hash is xxhash64 over the k token hashes (fixed
+    8-byte inputs) — vs. building/slicing/joining every shingle string,
+    this cuts the dominant string-allocation cost of the whole dedup
+    path.  The repartition matters even on small inputs: a single
+    parquet file arrives as ONE partition and the signature math would
+    run on one core; at 100 TB the same holds per-file — always spread
+    CPU-bound narrow work across the cluster before computing."""
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    k = shingle_k
+    toks = F.col("toks")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # rolling k-window over token hashes (last token repeated for docs
+    # shorter than k, so every doc has >= 1 shingle)
+    def sh_hash(ths: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(ths) - (k - 1), F.lit(1)))
+        return F.transform(
+            idx, lambda i: F.xxhash64(*[F.element_at(ths, F.least(i + j, F.size(ths))) for j in range(k)])
+        )
     return (
         df.select(F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("toks"))
         .repartition(n_parts, F.col(id_col))
-        .select(F.col(id_col), F.array_distinct(word_shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"))
-        .withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+        .select(F.col(id_col), th.alias("th"))
+        .select(F.col(id_col), F.array_distinct(sh_hash(F.col("th"))).alias("hs"))
     )
 
 
@@ -119,6 +133,10 @@ def minhash_candidates(
     banded = sh.select(
         F.col(id_col), F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.h").alias("h"))
+    # materialize the (docs x bands) key frame once: the self-join would
+    # otherwise run the whole 64-hash signature pipeline on BOTH sides
+    # (no ReusedExchange across the join), and it's tiny — 3 int columns
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -138,20 +156,21 @@ def jaccard_pairs(
     shingle_k: int = 3,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-Jaccard for candidate pairs (verify step after LSH).
-    Joins the (small) candidate set back to shingle arrays; similarity =
-    |A∩B| / |A∪B| via array_intersect/array_union — JVM-side."""
+    """Exact hashed-shingle Jaccard for candidate pairs (verify step
+    after LSH).  Joins the (small) candidate set back to the shingle-hash
+    arrays; similarity = |A∩B| / |A∪B| via array_intersect/array_union
+    over longs — JVM-side, no string comparisons."""
     base = shingles if shingles is not None else shingle_frame(df, text_col, id_col, shingle_k)
-    sh = base.select(F.col(id_col), F.col("sh"))
+    sh = base.select(F.col(id_col), F.col("hs"))
     out = (
-        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "hs": "hs_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "hs": "hs_b"}), on="id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.size(F.array_intersect("hs_a", "hs_b"))
+                / F.size(F.array_union("hs_a", "hs_b"))
             ).alias("jaccard"),
         )
     )
