@@ -156,3 +156,75 @@ def test_pipe_rrshift_sugar(spark):
     df = Source.each(spark, [1, 2, 3]).data
     out = df >> pfilter(F.col("value") > 1) >> pmap((F.col("value") * 100).alias("value"))
     assert sorted(r["value"] for r in out.collect()) == [200, 300]
+
+
+def test_fanout_applicative(spark):
+    """Channel Applicative: run two stages on the same element, combine
+    (Tubes/Channel.hs:97-99)."""
+    from tubes_spark.pipe import fanout
+
+    df = Source.each(spark, [1, 2, 3]).data.withColumn("k", F.col("value"))
+    doubled = pmap("k", (F.col("value") * 2).alias("d"))
+    squared = pmap("k", (F.col("value") * F.col("value")).alias("sq"))
+    out = fanout(doubled, squared, key="k")(df)
+    got = {(r["d"], r["sq"]) for r in out.collect()}
+    assert got == {(2, 1), (4, 4), (6, 9)}
+
+
+def test_pfirst_transforms_one_component(spark):
+    """Arrow.first: stage applied to one pair component, other rides
+    through (Tubes/Channel.hs:122-132)."""
+    from tubes_spark.pipe import pfirst
+
+    rows = [(1, 10, "a"), (2, 20, "b")]
+    df = spark.createDataFrame(rows, "k int, x int, tag string")
+    stage = pmap("k", (F.col("x") + 1).alias("x"))
+    out = pfirst(stage, key="k", comp=["x"])(df)
+    got = {(r["k"], r["x"], r["tag"]) for r in out.collect()}
+    assert got == {(1, 11, "a"), (2, 21, "b")}
+
+
+def test_pchoice_independent_branch_state(spark):
+    """ArrowChoice +++: each branch holds independent state — branch-local
+    running sums must not see the other branch's rows
+    (Tubes/Channel.hs:134-159)."""
+    from pyspark.sql import Window
+    from tubes_spark.pipe import pchoice
+
+    df = Source.each(spark, [1, 2, 3, 4, 5, 6]).df  # keeps __seq__
+    w = Window.orderBy("__seq__").rowsBetween(Window.unboundedPreceding, 0)
+    runsum = Pipe(lambda d: d.withColumn("rs", F.sum("value").over(w)))
+    out = pchoice(F.col("value") % 2 == 0, runsum, runsum)(df)
+    got = {(r["value"], r["rs"]) for r in out.collect()}
+    # evens: 2,6,12 ; odds: 1,4,9 — NOT the global prefix sums
+    assert got == {(2, 2), (4, 6), (6, 12), (1, 1), (3, 4), (5, 9)}
+
+
+def test_pswitch_finite_channel_monad(spark):
+    """Channel Monad (relational subset): per-element stage choice by
+    value (Tubes/Channel.hs:102-117)."""
+    from tubes_spark.pipe import pswitch
+
+    rows = [("a", 1), ("b", 2), ("c", 3), ("a", 4)]
+    df = spark.createDataFrame(rows, "tag string, v int")
+    out = pswitch(
+        F.col("tag"),
+        {"a": pmap("tag", (F.col("v") * 10).alias("v")),
+         "b": pmap("tag", (F.col("v") * 100).alias("v"))},
+        default=pmap("tag", F.col("v").alias("v")),
+    )(df)
+    got = sorted((r["tag"], r["v"]) for r in out.collect())
+    assert got == [("a", 10), ("a", 40), ("b", 200), ("c", 3)]
+
+
+def test_source_numeric_instances(spark):
+    """Num/Floating instances (Tubes/Source.hs:128-162)."""
+    a = Source.each(spark, [1.0, 4.0])
+    b = Source.each(spark, [2.0])
+    assert vals(a + b) == [3.0, 6.0]
+    assert vals(a * b) == [2.0, 8.0]
+    assert vals(a ** b) == [1.0, 16.0]
+    assert vals(a.sqrt()) == [1.0, 2.0]
+    assert vals(-a) == [-1.0, -4.0]
+    assert vals(a.recip()) == [1.0, 0.25]
+    assert vals(a.signum()) == [1.0, 1.0]

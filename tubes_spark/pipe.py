@@ -105,3 +105,102 @@ def run_tube(df: DataFrame, sink: "Callable[[DataFrame], object] | None" = None)
     if df.isStreaming:
         return df.writeStream.format("noop").start()
     return df.count()
+
+
+# ---------------------------------------------------------------------------
+# Arrow / ArrowChoice surface (Tubes/Channel.hs:97-159)
+# ---------------------------------------------------------------------------
+
+def fanout(p1: Pipe, p2: Pipe, key: str) -> Pipe:
+    """``Applicative <*>`` / ``&&&`` (Tubes/Channel.hs:97-99): run two
+    stages on the SAME input element, combine their outputs.
+
+    Relational form: both stages must preserve ``key``; outputs are
+    equi-joined on it.  When both stages are pure column projections
+    prefer a single ``select(f(x), g(x))`` — this combinator exists for
+    stages with internal aggregation/state that can't share one select."""
+    def run(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        a, b = p1(df), p2(df)
+        dup = [c for c in b.columns if c in a.columns and c != key]
+        return a.join(b.drop(*dup), on=key)
+    return Pipe(run)
+
+
+def pfirst(stage: Pipe, key: str, comp: "list[str]") -> Pipe:
+    """``Arrow.first`` (Tubes/Channel.hs:122-132): apply a stage to one
+    component of each element, pass the rest through unchanged.
+
+    The element is a row; ``comp`` names the component columns the stage
+    consumes/replaces; everything else rides along via an equi-join on
+    ``key`` (one shuffle, or zero if both sides are co-partitioned)."""
+    def run(df: DataFrame) -> DataFrame:
+        rest = df.drop(*comp)
+        transformed = stage(df.select(key, *comp))
+        return rest.join(transformed, on=key)
+    return Pipe(run)
+
+
+def psecond(stage: Pipe, key: str, comp: "list[str]") -> Pipe:
+    """``Arrow.second`` — mirror of :func:`pfirst` (same relational form;
+    the pair components are columns, so first/second differ only in
+    which names you pass)."""
+    return pfirst(stage, key, comp)
+
+
+def pchoice(pred: Column, on_true: Pipe, on_false: Pipe) -> Pipe:
+    """``ArrowChoice +++`` (Tubes/Channel.hs:134-159): route each element
+    through one of two stages — with INDEPENDENT state per branch — then
+    merge.  Split-filter / transform / union-back; each branch sees only
+    its own rows, so branch-internal aggregations/windows are isolated
+    exactly like the reference's per-branch tube state."""
+    def run(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        t = on_true(df.filter(pred))
+        f = on_false(df.filter(~pred))
+        return t.unionByName(f, allowMissingColumns=True)
+    return Pipe(run)
+
+
+def pleft(stage: Pipe, pred: Column) -> Pipe:
+    """``ArrowChoice.left``: transform only the rows matching ``pred``
+    (the Left branch); the rest pass through unchanged."""
+    return pchoice(pred, stage, cat)
+
+
+def pright(stage: Pipe, pred: Column) -> Pipe:
+    """``ArrowChoice.right``: transform only the non-matching rows."""
+    return pchoice(pred, cat, stage)
+
+
+def pswitch(col: Column, cases: "dict[object, Pipe]", default: Pipe | None = None) -> Pipe:
+    """Channel ``Monad.>>=`` (Tubes/Channel.hs:102-117), relational
+    subset: per-element choice among a FINITE set of stages keyed by a
+    column value.  Each case stage runs over its own row subset with
+    independent state; results union back.
+
+    The reference's fully-dynamic form (a brand-new channel constructed
+    from every element) has no distributed equivalent — that residue is
+    an explicit UDF escape hatch, by design (SURVEY.md §7.4 item 3)."""
+    def run(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        out = None
+        matched = None
+        for v, stage in cases.items():
+            part = stage(df.filter(col == F.lit(v)))
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+            m = (col == F.lit(v)) if matched is None else (matched | (col == F.lit(v)))
+            matched = m
+        rest = df.filter(~matched) if matched is not None else df
+        if default is not None:
+            rest = default(rest)
+            out = rest if out is None else out.unionByName(rest, allowMissingColumns=True)
+        return out if out is not None else df.limit(0)
+    return Pipe(run)
+
+
+def pmapm(fn, schema: str) -> Pipe:
+    """``mapM`` (Tubes/Util.hs:147-150): effectful per-element transform.
+    Arrow-batched ``mapInPandas`` — the sanctioned Python escape hatch
+    (never row-at-a-time UDFs)."""
+    return Pipe(lambda df: df.mapInPandas(fn, schema=schema))

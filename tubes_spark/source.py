@@ -63,8 +63,11 @@ class Source:
     @staticmethod
     def each(spark: SparkSession, values: Iterable, column: str = "value") -> "Source":
         """``each`` (Tubes/Util.hs:76-77): source from any container,
-        order = container order."""
+        order = container order.  An empty container yields an empty
+        bigint-payload source (nothing to infer a type from)."""
         rows = [(i, v) for i, v in enumerate(values)]
+        if not rows:
+            return Source.empty(spark, f"{column} bigint")
         df = spark.createDataFrame(rows, schema=(SEQ, column))
         return Source(df.withColumn(SEQ, F.col(SEQ).cast("long")))
 
@@ -137,19 +140,20 @@ class Source:
         """``<|>`` / ``mappend`` / ``mplus`` (Tubes/Source.hs:99-126):
         ordered concatenation — drain self fully, then other.
 
-        Implemented shuffle-free: union with the second stream's seq
-        offset into a disjoint upper range (no global max needed when the
-        caller later sorts; we offset by a large stride to preserve the
-        lexicographic block order)."""
-        left = self.df.withColumn(SRC, F.lit(0))
-        right = other.df.withColumn(SRC, F.lit(1))
-        u = left.unionByName(right, allowMissingColumns=False)
-        # block order: (src, seq) — pack into one sortable long
-        out = u.select(
-            (F.col(SRC).cast("long") * F.lit(1 << 40) + F.col(SEQ)).alias(SEQ),
-            *[c for c in u.columns if c not in (SEQ, SRC)],
+        Implemented without a wide shuffle: the right stream's seq is
+        offset past the left's max seq — one scalar aggregate of the
+        left side, broadcast back as a column (exact under arbitrary
+        nesting: (a|b)|c keeps every block disjoint, unlike any fixed
+        stride)."""
+        off = self.df.agg(
+            F.coalesce(F.max(F.col(SEQ)) + 1, F.lit(0)).alias("__off__")
         )
-        return Source(out)
+        right = (
+            other.df.join(F.broadcast(off), how="cross")
+            .withColumn(SEQ, F.col(SEQ) + F.col("__off__"))
+            .drop("__off__")
+        )
+        return Source(self.df.unionByName(right, allowMissingColumns=False))
 
     def __or__(self, other: "Source") -> "Source":
         return self.concat(other)
@@ -196,11 +200,33 @@ class Source:
         return Source(out)
 
     # Numeric instances (Tubes/Source.hs:128-162): arithmetic lifted over
-    # sources via liftA2 (cartesian).
+    # sources — binary ops via liftA2 (cartesian), unary via fmap.
     def __add__(self, other): return self.ap(other, lambda a, b: a + b)
     def __sub__(self, other): return self.ap(other, lambda a, b: a - b)
     def __mul__(self, other): return self.ap(other, lambda a, b: a * b)
     def __truediv__(self, other): return self.ap(other, lambda a, b: a / b)
+    def __pow__(self, other): return self.ap(other, lambda a, b: F.pow(a, b))
+
+    def lift1(self, fn: Callable[[Column], Column]) -> "Source":
+        """Unary Floating/Num method (fmap over the single payload column):
+        ``src.lift1(F.sqrt)``, ``src.lift1(lambda c: -c)`` …  Covers the
+        reference's sqrt/exp/log/trig/abs/signum/negate/recip instances
+        (Tubes/Source.hs:128-162) without 20 near-identical methods."""
+        cols = [c for c in self.df.columns if c != SEQ]
+        if len(cols) != 1:
+            raise ValueError("lift1 expects a single-payload source")
+        return Source(self.df.select(F.col(SEQ), fn(F.col(cols[0])).alias(cols[0])))
+
+    def sqrt(self): return self.lift1(F.sqrt)
+    def exp(self): return self.lift1(F.exp)
+    def log(self): return self.lift1(F.log)
+    def sin(self): return self.lift1(F.sin)
+    def cos(self): return self.lift1(F.cos)
+    def tan(self): return self.lift1(F.tan)
+    def abs(self): return self.lift1(F.abs)
+    def signum(self): return self.lift1(F.signum)
+    def __neg__(self): return self.lift1(lambda c: -c)
+    def recip(self): return self.lift1(lambda c: F.lit(1.0) / c)
 
     # ----------------------------------------------------------- order-sensitive
 
