@@ -36,8 +36,15 @@ HEADLINE = [
     "session_30m",                # session window
     "dedup_exact_docs",           # dedup exact
     "dedup_minhash_survivors",    # dedup minhash LSH
-    "knn_bruteforce",             # similarity search
+    "dedup_simhash_survivors",    # dedup simhash
+    "knn_bruteforce",             # similarity search (exact)
+    "knn_lsh_approx",             # similarity search (LSH)
     "text_quality",               # text analysis
+    "text_tfidf_top_terms",       # text: tf-idf ranking
+    "text_winnow_fingerprints",   # text: rolling-hash fingerprints
+    "q7_nation_volume",           # many-join volume rollup
+    "q18_large_orders",           # having-on-grouped-sum + join
+    "orders_above_cust_avg",      # decorrelated scalar subquery
 ]
 
 

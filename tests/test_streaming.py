@@ -153,3 +153,106 @@ def test_windowed_agg_with_watermark(spark, tmpdir):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_stream_join_with_watermarks(spark, tmpdir):
+    """Interval-bounded stream-stream inner join (view joined to the
+    same user's purchases within +/-1h) equals the identical batch join.
+    Watermarks bound the join state at scale."""
+    src_dir = _prep_events_dir(spark, tmpdir)
+    stream = _events_stream(spark, src_dir)
+
+    def split(df, suffix):
+        side = df.filter(F.col("event_type") == ("view" if suffix == "v" else "purchase"))
+        return side.select(
+            *[F.col(c).alias(f"{c}_{suffix}") for c in ("event_id", "user_id", "ts", "value")]
+        )
+
+    # the replay files are NOT time-ordered, so a tight watermark would
+    # drop "late" rows; 40 days covers the whole synthetic span while
+    # still exercising watermark-bounded join state
+    sv = split(stream, "v").withWatermark("ts_v", "40 days")
+    sp = split(stream, "p").withWatermark("ts_p", "40 days")
+    cond = (
+        (F.col("user_id_v") == F.col("user_id_p"))
+        & (F.col("ts_p") >= F.col("ts_v") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts_p") <= F.col("ts_v") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = sv.join(sp, cond)
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ck_ssj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) AS n FROM ssj_out").collect()[0]["n"]
+
+    e = load_table(spark, "events", SF)
+    bv = split(e, "v")
+    bp = split(e, "p")
+    expect = bv.join(bp, cond).count()
+    assert got == expect and expect > 0
+
+
+def test_streaming_dropduplicates_within_watermark(spark, tmpdir):
+    """Streaming exact dedup on event_id: re-append the same files and
+    drain again with the same checkpoint — replayed duplicates are
+    suppressed by dropDuplicates state."""
+    src = f"{tmpdir}/in"
+    e = load_table(spark, "events", SF).limit(800)
+    e.coalesce(1).write.mode("append").parquet(src)
+
+    def drain(qname):
+        rows = []
+        stream = _events_stream(spark, src)
+        dedup = stream.select("event_id", "user_id", "value").dropDuplicates(["event_id"])
+        q = (
+            dedup.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ck_dd")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return rows
+
+    first = drain("dd1")
+    assert len(first) == 800
+    # identical data arrives again as new files -> all duplicates
+    e.coalesce(1).write.mode("append").parquet(src)
+    second = drain("dd2")
+    assert len(second) == 0, f"{len(second)} dupes leaked"
+
+
+def test_streaming_session_window(spark, tmpdir):
+    """Session windows (30 min gap) on the replayed stream equal the
+    batch session aggregation."""
+    src_dir = _prep_events_dir(spark, tmpdir)
+    stream = _events_stream(spark, src_dir)
+    agg = (
+        stream.withWatermark("ts", "40 days")  # replay is not time-ordered
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmpdir}/ck_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["win"]["start"], r["n"])
+        for r in spark.sql("SELECT user_id, win, n FROM sess_out").collect()
+    }
+    expect = {
+        (r["user_id"], r["win"]["start"], r["n"])
+        for r in load_table(spark, "events", SF)
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect

@@ -195,7 +195,12 @@ def dedup_minhash(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
+        # materialize the (tiny) dup-id set now so the shingle cache can
+        # be released immediately — otherwise every dedup call leaks its
+        # cached shingle frame into executor storage memory
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
     return df.join(dup_ids, on=id_col, how="left_anti")
 
 
