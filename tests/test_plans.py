@@ -9,21 +9,9 @@ from contextlib import redirect_stdout
 from pyspark.sql import functions as F
 
 import tubes_spark.queries as Q
+from tubes_spark.plans import n_nodes, plan_of
 
 SF = "/root/testdata/sf0.001"
-
-
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
-
-
-def n_nodes(p: str, name: str) -> int:
-    """Count physical-plan nodes by their detail header `(i) Name` —
-    formatted explain prints every node twice (tree + detail block)."""
-    return len(re.findall(rf"\(\d+\) {name}\b", p))
 
 
 def test_filter_pushdown_reaches_scan(spark):

@@ -1,0 +1,104 @@
+"""Tests for the explicit scale tooling: plan introspection, salted
+aggregation (must equal the direct agg), source format round-trips."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+import tubes_spark.queries as Q
+from tubes_spark import plans, sources
+from tubes_spark.catalog import load_table
+from tubes_spark.operators.skew import salted_broadcast_left, salted_fold_by
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="tubes_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_salted_fold_matches_direct(spark):
+    e = load_table(spark, "events", SF)
+    direct = {
+        (r["event_type"],): (r["n"], round(r["s"], 6), r["mx"])
+        for r in e.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("s"),
+            F.max("value").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        (r["event_type"],): (r["n"], round(r["s"], 6), r["mx"])
+        for r in salted_fold_by(
+            e, ["event_type"], n_salts=8,
+            n=(F.count(F.lit(1)), "sum"),
+            s=(F.sum(F.col("value").cast("decimal(27,6)")), "sum"),
+            mx=(F.max("value"), "max"),
+        ).select("event_type", "n", F.col("s").cast("double").alias("s"), "mx").collect()
+    }
+    assert salted == direct
+
+
+def test_salted_fold_two_narrow_shuffles(spark):
+    e = load_table(spark, "events", SF)
+    out = salted_fold_by(e, ["event_type"], n_salts=8, n=(F.count(F.lit(1)), "sum"))
+    p = plans.plan_of(out)
+    assert plans.n_nodes(p, "Exchange") == 2, p
+
+
+def test_salted_join_matches_plain(spark):
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_partkey", "l_quantity")
+    p = load_table(spark, "part", SF).select("p_partkey", "p_brand")
+    plain = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+    salted = (
+        salted_broadcast_left(
+            li.withColumnRenamed("l_partkey", "p_partkey"), p, on=["p_partkey"], n_salts=4
+        )
+        .groupBy("p_brand").count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_plan_helpers_on_flagship(spark):
+    df = Q.flagship_pricing_summary(spark, SF)
+    plans.assert_partial_agg(df)
+    p = plans.plan_of(Q.filter_pushdown(spark, SF))
+    assert "l_quantity" in plans.pushed_filters(p)
+    cols = plans.scan_columns(plans.plan_of(Q.map_net_price(spark, SF)))
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"}
+
+
+def test_broadcast_assertions_on_dims(spark):
+    plans.assert_broadcasts(Q.q14_promo_revenue(spark, SF), at_least=1)
+    plans.assert_broadcasts(Q.q17_small_qty_revenue(spark, SF), at_least=2)
+    plans.assert_broadcasts(Q.q19_disjunctive(spark, SF), at_least=1)
+    plans.assert_broadcasts(Q.q5_nation_revenue(spark, SF), at_least=3)
+
+
+def test_csv_json_roundtrip(spark, tmpdir):
+    df = load_table(spark, "region", SF)
+    schema = "r_regionkey bigint, r_name string"
+    sources.write_csv(df, f"{tmpdir}/csv")
+    back_csv = sources.read_csv(spark, f"{tmpdir}/csv", schema=schema)
+    assert sorted(map(tuple, back_csv.collect())) == sorted(map(tuple, df.collect()))
+    sources.write_json(df, f"{tmpdir}/json")
+    back_json = sources.read_json(spark, f"{tmpdir}/json", schema=schema)
+    assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_partitioned_parquet_prunes(spark, tmpdir):
+    e = load_table(spark, "events", SF)
+    sources.write_parquet(e, f"{tmpdir}/pq", partition_by=["event_type"])
+    back = sources.read_parquet(spark, f"{tmpdir}/pq")
+    assert back.count() == e.count()
+    pruned = back.filter(F.col("event_type") == "view")
+    p = plans.plan_of(pruned)
+    # directory-level partition pruning: the filter never reaches rows
+    assert "PartitionFilters: [isnotnull(event_type" in p.replace("#", "").replace("\n", " ") or \
+        "event_type" in (plans.pushed_filters(p) or p)
+    assert pruned.count() == e.filter(F.col("event_type") == "view").count()
