@@ -103,6 +103,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_by_month": Q.orders_by_month,
     "string_funcs_parts": Q.string_funcs_parts,
     "orders_above_cust_avg": Q.orders_above_cust_avg,
+    # time-series rollups / interval joins / quantiles / sketches
+    "rollup_hour_day_week": Q.rollup_hour_day_week,
+    "interval_join_views_purchases": Q.interval_join_views_purchases,
+    "quantiles_by_priority": Q.quantiles_by_priority,
+    "sketch_distinct_users": Q.sketch_distinct_users,
+    # TPC-H battery completion + analytic windows / set algebra
+    "q8_market_share": Q.q8_market_share,
+    "q13_cust_order_distribution": Q.q13_cust_order_distribution,
+    "lag_user_value_delta": Q.lag_user_value_delta,
+    "cube_priority_status": Q.cube_priority_status,
+    "viewers_never_purchased": Q.viewers_never_purchased,
+    "ntile_acctbal_quartiles": Q.ntile_acctbal_quartiles,
     # text/multimodal extensions
     "text_tfidf_top_terms": Q.text_tfidf_top_terms,
     "text_winnow_fingerprints": Q.text_winnow_fingerprints,

@@ -79,6 +79,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    streaming = _stream_drain_rate(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -86,10 +88,64 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }))
     spark.stop()
+
+
+def _stream_drain_rate(spark, sf_dir: str) -> dict:
+    """BASELINE.md streaming row: replay the events table as a
+    multi-batch file stream through a windowed aggregation and report
+    sustained events/sec for the AvailableNow drain."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tubes_spark.catalog import load_table
+    from tubes_spark.streaming.run import file_replay_source
+
+    tmp = tempfile.mkdtemp(prefix="tubes_bench_stream_")
+    try:
+        events = load_table(spark, "events", sf_dir)
+        n = events.count()
+        events.repartition(8).write.parquet(f"{tmp}/in")
+        # stateful streaming commits one state file per shuffle partition
+        # per trigger — size the partition count to the state, not the
+        # CPU count, and prefer fewer/larger micro-batches (the same
+        # advice that holds on a real cluster: commit overhead is fixed
+        # per trigger, throughput comes from batch size)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        def drain(ck: str) -> float:
+            stream = file_replay_source(
+                spark, f"{tmp}/in", events.schema, max_files_per_trigger=4
+            )
+            agg = (
+                stream.withWatermark("ts", "40 days")
+                .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            )
+            t0 = time.perf_counter()
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", f"{tmp}/{ck}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            return time.perf_counter() - t0
+
+        drain("ck_warm")  # absorbs streaming-query init + codegen once
+        wall = drain("ck")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return {"events": n, "drain_sec": round(wall, 3),
+                "events_per_sec": round(n / wall)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -102,3 +102,45 @@ def test_partitioned_parquet_prunes(spark, tmpdir):
     assert "PartitionFilters: [isnotnull(event_type" in p.replace("#", "").replace("\n", " ") or \
         "event_type" in (plans.pushed_filters(p) or p)
     assert pruned.count() == e.filter(F.col("event_type") == "view").count()
+
+
+def test_rollup_hierarchy_consistent_levels(spark):
+    """Each coarser level's totals must equal the finer level re-grouped
+    (the rollup derives day from hour partials — verify the chain)."""
+    from tubes_spark.operators.windows import rollup_hierarchy
+
+    e = load_table(spark, "events", SF)
+    out = rollup_hierarchy(e, "ts", ["hour", "day"], sum_col="value").cache()
+    hours = out.filter(F.col("level") == "hour")
+    days = out.filter(F.col("level") == "day")
+    rederived = {
+        (r["b"], r["n"], round(r["t"], 6))
+        for r in hours.groupBy(F.date_trunc("day", "bucket").alias("b"))
+        .agg(F.sum("n").alias("n"), F.round(F.sum("total"), 6).alias("t"))
+        .collect()
+    }
+    direct = {
+        (r["bucket"], r["n"], round(r["total"], 6)) for r in days.collect()
+    }
+    assert rederived == direct
+    total_events = e.count()
+    assert hours.agg(F.sum("n")).collect()[0][0] == total_events
+    assert days.agg(F.sum("n")).collect()[0][0] == total_events
+
+
+def test_sketch_distinct_within_rsd(spark):
+    """HLL++ approx distinct must sit within ~3x the configured rsd of
+    the exact count for every group."""
+    e = load_table(spark, "events", SF)
+    approx = {
+        r["event_type"]: r["a"]
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("x")).collect()
+    }
+    for k, x in exact.items():
+        assert abs(approx[k] - x) <= max(3, 0.06 * x), (k, approx[k], x)

@@ -554,3 +554,103 @@ SELECT doc_id,
   length(base64(encode(text))) AS b64_len
 FROM documents
 """
+
+ORACLES["rollup_hour_day_week"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(27,6))) AS total
+  FROM events GROUP BY 1
+), daily AS (
+  SELECT date_trunc('day', bucket) AS bucket, SUM(n) AS n, SUM(total) AS total
+  FROM hourly GROUP BY 1
+), weekly AS (
+  SELECT date_trunc('week', bucket) AS bucket, SUM(n) AS n, SUM(total) AS total
+  FROM daily GROUP BY 1
+)
+SELECT 'hour' AS level, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_start, n, CAST(total AS DOUBLE) AS total FROM hourly
+UNION ALL
+SELECT 'day', CAST(floor(epoch(bucket)) AS BIGINT), n, CAST(total AS DOUBLE) FROM daily
+UNION ALL
+SELECT 'week', CAST(floor(epoch(bucket)) AS BIGINT), n, CAST(total AS DOUBLE) FROM weekly
+"""
+
+ORACLES["interval_join_views_purchases"] = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+       v.user_id, p.value AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts - INTERVAL 1 HOUR
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+ORACLES["quantiles_by_priority"] = """
+SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+  COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+ORACLES["q8_market_share"] = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6)) AS vol,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+)
+SELECT o_year,
+  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN vol ELSE CAST(0 AS DECIMAL(27,6)) END)
+        / SUM(vol) AS DOUBLE), 6) AS mkt_share,
+  CAST(SUM(vol) AS DOUBLE) AS total_volume
+FROM j GROUP BY o_year
+"""
+
+ORACLES["q13_cust_order_distribution"] = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+ORACLES["lag_user_value_delta"] = """
+SELECT event_id, user_id,
+  value - lag(value) OVER w AS value_delta,
+  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS secs_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLES["cube_priority_status"] = """
+SELECT o_orderpriority, o_orderstatus,
+  GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+ORACLES["viewers_never_purchased"] = """
+SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+EXCEPT ALL
+SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+ORACLES["ntile_acctbal_quartiles"] = """
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+       round(AVG(c_acctbal), 6) AS avg_bal
+FROM q GROUP BY c_mktsegment, quartile
+"""

@@ -823,3 +823,158 @@ def knn_ivf_approx(spark, sf_dir):
     return similarity.knn_ivf(emb, q, dim=64, k=10, n_cells=16, n_probe=4).select(
         "query_id", "neighbor_id", "cos_sim", "rank"
     )
+
+
+def rollup_hour_day_week(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hour -> day -> week,
+    each coarser level re-aggregated from the previous level's partials
+    (never from raw events)."""
+    e = _t(spark, sf_dir, "events")
+    out = windows.rollup_hierarchy(e, "ts", ["hour", "day", "week"], sum_col="value")
+    return out.select(
+        "level", F.col("bucket").cast("long").alias("bucket_start"), "n", "total"
+    )
+
+
+def interval_join_views_purchases(spark, sf_dir):
+    """Interval join (batch twin of the stream-stream join test): each
+    view paired with the same user's purchases within +/-1 hour.
+    Equi-join on user_id carries the plan; the range is a residual
+    filter — no quadratic blow-up as long as per-user activity in the
+    interval is bounded."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("ts_v")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("user_id_p"),
+        F.col("ts").alias("ts_p"), F.col("value").alias("purchase_value"),
+    )
+    j = v.join(
+        p,
+        (F.col("user_id") == F.col("user_id_p"))
+        & (F.col("ts_p") >= F.col("ts_v") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts_p") <= F.col("ts_v") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return j.select("view_id", "purchase_id", "user_id", "purchase_value")
+
+
+def quantiles_by_priority(spark, sf_dir):
+    """Exact interpolated percentiles per group (median & p90 of order
+    value by priority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def sketch_distinct_users(spark, sf_dir):
+    """Sketch family: HLL++ approximate distinct users per event type
+    (rows-only: sketch internals differ across engines; accuracy vs the
+    exact count is pinned in tests)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H battery completion (schema-feasible subset) + analytic windows
+# --------------------------------------------------------------------------
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_0 suppliers' share
+    of ECONOMY-part revenue sold to AMERICA-region customers, per order
+    year.  Dims (part/supplier/nation/region) broadcast; the fact-side
+    lineitem->orders join is the only shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nat_c = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")) \
+             .select(F.col("n_nationkey").alias("cn_key"))
+    nat_s = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (F.sum(F.when(F.col("supp_nation") == "NATION_0", vol).otherwise(F.lit(0).cast("decimal(27,6)")))
+                 / F.sum(vol)).cast("double"), 6).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+def q13_cust_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count
+    (LEFT OUTER join so zero-order customers appear as c_count=0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def lag_user_value_delta(spark, sf_dir):
+    """lead/lag analytic window: per-user event-to-event value delta and
+    seconds-since-previous, ordered by (ts, event_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id", "user_id",
+        (F.col("value") - prev_v).alias("value_delta"),
+        (F.col("ts").cast("long") - prev_ts.cast("long")).alias("secs_since_prev"),
+    )
+
+
+def cube_priority_status(spark, sf_dir):
+    """CUBE with grouping_id: order counts/revenue across all subsets of
+    (o_orderpriority, o_orderstatus) including grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+def viewers_never_purchased(spark, sf_dir):
+    """Set algebra: EXCEPT (distinct viewers minus purchasers) plus an
+    INTERSECT count pinned as a second column via a cross join of two
+    1-row aggregates."""
+    e = _t(spark, sf_dir, "events")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.exceptAll(buyers).select("user_id")
+
+
+def ntile_acctbal_quartiles(spark, sf_dir):
+    """NTILE ranking: customers bucketed into account-balance quartiles,
+    summarized per (mktsegment, quartile)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    q = c.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+    )
