@@ -959,9 +959,8 @@ def cube_priority_status(spark, sf_dir):
 
 
 def viewers_never_purchased(spark, sf_dir):
-    """Set algebra: EXCEPT (distinct viewers minus purchasers) plus an
-    INTERSECT count pinned as a second column via a cross join of two
-    1-row aggregates."""
+    """Set algebra: EXCEPT ALL over two distinct projections — users who
+    viewed but never purchased."""
     e = _t(spark, sf_dir, "events")
     viewers = e.filter(F.col("event_type") == "view").select("user_id").distinct()
     buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
