@@ -144,3 +144,58 @@ def test_sketch_distinct_within_rsd(spark):
     }
     for k, x in exact.items():
         assert abs(approx[k] - x) <= max(3, 0.06 * x), (k, approx[k], x)
+
+
+def test_bucketed_join_no_shuffle(spark, tmpdir):
+    """Co-located join: lineitem and orders bucketed identically on the
+    order key must join with ZERO Exchange operators in the plan."""
+    from tubes_spark import sources
+    from tubes_spark.plans import plan_of
+
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, "orders", SF).select("o_orderkey", "o_totalprice")
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        sources.write_bucketed(li, "li_b", ["l_orderkey"], 8,
+                               path=f"{tmpdir}/li_b", sort_cols=["l_orderkey"])
+        sources.write_bucketed(o, "o_b", ["o_orderkey"], 8,
+                               path=f"{tmpdir}/o_b", sort_cols=["o_orderkey"])
+        # at test scale the planner would broadcast instead (hiding the
+        # bucketing); force the join shape the fact-fact case has at 100 TB
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = sources.read_table(spark, "li_b").join(
+            sources.read_table(spark, "o_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan_of(j)
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p, p
+        assert j.count() == li.count()  # orderkeys are an FK into orders
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_q8_broadcasts_dims_only(spark):
+    """q8 joins 7 tables; every dimension must broadcast — the only
+    shuffle exchanges allowed are the fact-side joins + final agg
+    (n_nodes counts real nodes; `Exchange` excludes BroadcastExchange)."""
+    import tubes_spark.queries as Q
+    from tubes_spark.plans import n_nodes, plan_of
+
+    p = plan_of(Q.q8_market_share(spark, SF))
+    assert n_nodes(p, "BroadcastHashJoin") >= 4, p
+    assert n_nodes(p, "Exchange") <= 3, p
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    """The +/-1h interval join must ride the user_id equi-join (hash or
+    sort-merge); a BroadcastNestedLoopJoin/Cartesian would be quadratic
+    at scale."""
+    import tubes_spark.queries as Q
+    from tubes_spark.plans import plan_of
+
+    p = plan_of(Q.interval_join_views_purchases(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p

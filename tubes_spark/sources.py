@@ -64,3 +64,29 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
+                   n_buckets: int, path: str | None = None,
+                   sort_cols: Sequence[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed table write: rows are hash-partitioned into ``n_buckets``
+    files per partition on ``bucket_cols`` and registered in the catalog.
+    Two tables bucketed the same way join WITHOUT a shuffle — at 100 TB
+    this turns the recurring fact-fact join (lineitem x orders on
+    orderkey) from the dominant network cost into a local zipper merge.
+    ``sort_cols`` additionally pre-sorts within buckets so the join can
+    skip its sort.  Bucketing requires the table catalog (``saveAsTable``);
+    ``path`` makes it an external table at that location."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — bucketing metadata (and therefore shuffle-free
+    joins) only survives through the catalog, not raw parquet paths."""
+    return spark.table(table)
