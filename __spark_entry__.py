@@ -115,6 +115,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_priority_status": Q.cube_priority_status,
     "viewers_never_purchased": Q.viewers_never_purchased,
     "ntile_acctbal_quartiles": Q.ntile_acctbal_quartiles,
+    # streaming engine under the oracle gate (batch/stream parity)
+    "streaming_tumbling_hourly": Q.streaming_tumbling_hourly,
     # text/multimodal extensions
     "text_tfidf_top_terms": Q.text_tfidf_top_terms,
     "text_winnow_fingerprints": Q.text_winnow_fingerprints,

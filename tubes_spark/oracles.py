@@ -654,3 +654,6 @@ SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
        round(AVG(c_acctbal), 6) AS avg_bal
 FROM q GROUP BY c_mktsegment, quartile
 """
+
+# streaming twin — identical oracle to the batch tumbling_hourly
+ORACLES["streaming_tumbling_hourly"] = ORACLES["tumbling_hourly"]

@@ -977,3 +977,38 @@ def ntile_acctbal_quartiles(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
     )
+
+
+def streaming_tumbling_hourly(spark, sf_dir):
+    """The tumbling-window aggregation run through the REAL Structured
+    Streaming engine (not the batch twin): events replayed as a
+    multi-batch file stream, windowed count/sum, AvailableNow drain into
+    a memory sink.  Hash-checked against the same DuckDB oracle as the
+    batch `tumbling_hourly` — streaming and batch must agree exactly
+    (the decimal sum makes the result micro-batch-order-independent)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_q_")
+    try:
+        e.repartition(4).write.parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = file_replay_source(spark, f"{tmp}/in", schema, max_files_per_trigger=2)
+        agg = stream.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+            F.count(F.lit(1)).alias("window_count"),
+            dsum(F.col("value")).alias("window_sum"),
+        )
+        out = drain_to_df(agg, f"stream_tumbling_{uuid.uuid4().hex[:8]}")
+        res = out.select(
+            F.col("win.start").cast("long").alias("window_start"),
+            "window_count", "window_sum",
+        )
+        res = res.cache()
+        res.count()  # pin rows before the input files are removed
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -60,3 +60,21 @@ def run_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def drain_to_df(df: DataFrame, name: str, output_mode: str = "complete",
+                timeout_s: int = 600) -> DataFrame:
+    """Run a bounded streaming plan to completion (AvailableNow) into a
+    memory sink and return the final result table — the bridge that lets
+    streaming plans face the same oracle gate as batch ones.  Memory
+    sink rows live on the driver: only use for aggregated (small)
+    results."""
+    q = (
+        df.writeStream.queryName(name)
+        .format("memory")
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)
