@@ -117,6 +117,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ntile_acctbal_quartiles": Q.ntile_acctbal_quartiles,
     # streaming engine under the oracle gate (batch/stream parity)
     "streaming_tumbling_hourly": Q.streaming_tumbling_hourly,
+    "streaming_resumable_fold": Q.streaming_resumable_fold,
+    "dropwhile_prefix": Q.dropwhile_prefix,
     # text/multimodal extensions
     "text_tfidf_top_terms": Q.text_tfidf_top_terms,
     "text_winnow_fingerprints": Q.text_winnow_fingerprints,

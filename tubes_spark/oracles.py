@@ -657,3 +657,18 @@ FROM q GROUP BY c_mktsegment, quartile
 
 # streaming twin — identical oracle to the batch tumbling_hourly
 ORACLES["streaming_tumbling_hourly"] = ORACLES["tumbling_hourly"]
+
+ORACLES["dropwhile_prefix"] = """
+WITH c AS (
+  SELECT min(o_orderkey) AS cut FROM orders WHERE NOT (o_totalprice < 150000)
+)
+SELECT o_orderkey, o_totalprice FROM orders, c
+WHERE c.cut IS NOT NULL AND o_orderkey >= c.cut
+"""
+
+ORACLES["streaming_resumable_fold"] = """
+SELECT user_id,
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_millis,
+  COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""

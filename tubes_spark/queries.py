@@ -1012,3 +1012,50 @@ def streaming_tumbling_hourly(spark, sf_dir):
         return res
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def dropwhile_prefix(spark, sf_dir):
+    """`dropWhile` dual of takeWhile: skip the ordered prefix while the
+    predicate holds; keep everything from the first violation on.  Same
+    one-row cut-bound broadcast — two scans, no wide shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    src = Source.from_df_keyed(o.select("o_orderkey", "o_totalprice"), F.col("o_orderkey"))
+    return src.drop_while(F.col("o_totalprice") < 150000).data
+
+
+def streaming_resumable_fold(spark, sf_dir):
+    """The reference's resumable fold (lfold, Tubes/Util.hs:158-181) on
+    the REAL streaming state store: per-user accumulator updated by
+    applyInPandasWithState across micro-batches, final state per key
+    recovered as the max-n update row.  Values are floored to integer
+    millis before folding so float addition is associative — the result
+    is byte-identical no matter how the stream is batched."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source
+    from tubes_spark.streaming.state import running_fold
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_fold_")
+    try:
+        e.select(
+            "user_id", F.floor(F.col("value") * 1000).cast("double").alias("v")
+        ).repartition(4).write.parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = file_replay_source(spark, f"{tmp}/in", schema, max_files_per_trigger=2)
+        folded = running_fold(stream, ["user_id"], "v")
+        out = drain_to_df(folded, f"stream_fold_{uuid.uuid4().hex[:8]}", output_mode="update")
+        w = Window.partitionBy("key").orderBy(F.col("n").desc())
+        final = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        res = final.select(
+            F.col("key").cast("long").alias("user_id"),
+            F.col("acc").cast("long").alias("total_millis"),
+            F.col("n").alias("n_events"),
+        )
+        res = res.cache()
+        res.count()  # pin rows before the input files are removed
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
