@@ -119,6 +119,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_tumbling_hourly": Q.streaming_tumbling_hourly,
     "streaming_resumable_fold": Q.streaming_resumable_fold,
     "dropwhile_prefix": Q.dropwhile_prefix,
+    "skew_salted_type_counts": Q.skew_salted_type_counts,
+    "sql_api_revenue_by_segment": Q.sql_api_revenue_by_segment,
     # text/multimodal extensions
     "text_tfidf_top_terms": Q.text_tfidf_top_terms,
     "text_winnow_fingerprints": Q.text_winnow_fingerprints,

@@ -45,6 +45,13 @@ HEADLINE = [
     "q7_nation_volume",           # many-join volume rollup
     "q18_large_orders",           # having-on-grouped-sum + join
     "orders_above_cust_avg",      # decorrelated scalar subquery
+    "q8_market_share",            # 7-table join, dims broadcast
+    "rollup_hour_day_week",       # multi-resolution rollup (exchange reuse)
+    "interval_join_views_purchases",  # range join on equi-key carrier
+    "quantiles_by_priority",      # exact percentiles per group
+    "sketch_distinct_users",      # HLL++ sketch
+    "lag_user_value_delta",       # lead/lag analytic window
+    "knn_ivf_approx",             # similarity search (IVF)
 ]
 
 

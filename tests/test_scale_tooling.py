@@ -199,3 +199,16 @@ def test_interval_join_is_hash_not_nested_loop(spark):
     p = plan_of(Q.interval_join_views_purchases(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_rollup_reuses_hour_exchange(spark):
+    """The hour->day->week rollup must not rescan raw events per level:
+    AQE's exchange reuse makes day/week read the hour shuffle output
+    (visible only in the executed plan)."""
+    import tubes_spark.queries as Q
+    from tubes_spark.plans import n_nodes, plan_of
+
+    df = Q.rollup_hour_day_week(spark, SF)
+    df.collect()
+    p = plan_of(df)
+    assert n_nodes(p, "ReusedExchange") >= 1, p

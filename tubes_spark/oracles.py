@@ -672,3 +672,17 @@ SELECT user_id,
   COUNT(*) AS n_events
 FROM events GROUP BY user_id
 """
+
+ORACLES["skew_salted_type_counts"] = f"""
+SELECT event_type, COUNT(*) AS n_events,
+  {_dsum('value')} AS total,
+  max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+ORACLES["sql_api_revenue_by_segment"] = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  {_dsum('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""

@@ -1059,3 +1059,37 @@ def streaming_resumable_fold(spark, sf_dir):
         return res
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def skew_salted_type_counts(spark, sf_dir):
+    """Skew tooling under the oracle gate: two-phase salted fold on the
+    (skewed) event_type key — phase 1 sprays each hot key across 8 salts,
+    phase 2 merges partials; both shuffles carry only (key, salt) rows."""
+    from tubes_spark.operators.skew import salted_fold_by
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_fold_by(
+        e, ["event_type"], n_salts=8,
+        n_events=(F.count(F.lit(1)), "sum"),
+        total=(F.sum(F.col("value").cast("decimal(27,6)")), "sum"),
+        max_value=(F.max("value"), "max"),
+    )
+    return out.select(
+        "event_type", "n_events",
+        F.col("total").cast("double").alias("total"), "max_value",
+    )
+
+
+def sql_api_revenue_by_segment(spark, sf_dir):
+    """The engine's SQL surface: the same declarative plan expressed via
+    spark.sql over registered temp views (Catalyst treats it identically
+    to the DataFrame form — one optimizer, two front-ends)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """)

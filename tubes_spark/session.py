@@ -37,5 +37,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("TUBES_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # whole-stage codegen emits one large Java method per stage; a
+        # long-lived session compiling many distinct plans (the bench, a
+        # multi-tenant cluster) overflows the JVM's default 240m reserved
+        # code cache, silently dropping hot stages back to the
+        # interpreter (~2x on codegen-heavy plans like 64-hash MinHash)
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
     return builder.getOrCreate()
