@@ -118,6 +118,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming engine under the oracle gate (batch/stream parity)
     "streaming_tumbling_hourly": Q.streaming_tumbling_hourly,
     "streaming_resumable_fold": Q.streaming_resumable_fold,
+    "streaming_interval_join": Q.streaming_interval_join,
+    "streaming_distinct_users": Q.streaming_distinct_users,
     "dropwhile_prefix": Q.dropwhile_prefix,
     "skew_salted_type_counts": Q.skew_salted_type_counts,
     "sql_api_revenue_by_segment": Q.sql_api_revenue_by_segment,

@@ -686,3 +686,10 @@ SELECT c_mktsegment, COUNT(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
+
+# stream-stream join shares the batch interval join's oracle verbatim
+ORACLES["streaming_interval_join"] = ORACLES["interval_join_views_purchases"]
+
+ORACLES["streaming_distinct_users"] = """
+SELECT DISTINCT user_id FROM events
+"""

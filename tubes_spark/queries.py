@@ -1093,3 +1093,73 @@ def sql_api_revenue_by_segment(spark, sf_dir):
         FROM v_orders JOIN v_customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """)
+
+
+def streaming_interval_join(spark, sf_dir):
+    """Stream-STREAM join through the real engine: views and purchases
+    replayed as two independent file streams, joined on user_id within
+    +/-1 hour, both sides watermarked so join state is evictable.  Inner
+    joins emit exactly the matched rows, so the drained result must
+    hash-match the BATCH interval join's oracle — one oracle, two
+    execution engines."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_ssj_")
+    try:
+        e.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("ts_v")
+        ).repartition(4).write.parquet(f"{tmp}/v")
+        e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), F.col("user_id").alias("user_id_p"),
+            F.col("ts").alias("ts_p"), F.col("value").alias("purchase_value"),
+        ).repartition(4).write.parquet(f"{tmp}/p")
+        v = file_replay_source(
+            spark, f"{tmp}/v", spark.read.parquet(f"{tmp}/v").schema, max_files_per_trigger=2
+        ).withWatermark("ts_v", "30 days")
+        p = file_replay_source(
+            spark, f"{tmp}/p", spark.read.parquet(f"{tmp}/p").schema, max_files_per_trigger=2
+        ).withWatermark("ts_p", "30 days")
+        j = v.join(
+            p,
+            (F.col("user_id") == F.col("user_id_p"))
+            & (F.col("ts_p") >= F.col("ts_v") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("ts_p") <= F.col("ts_v") + F.expr("INTERVAL 1 HOUR")),
+        ).select("view_id", "purchase_id", "user_id", "purchase_value")
+        out = drain_to_df(j, f"stream_ssj_{uuid.uuid4().hex[:8]}", output_mode="append")
+        out = out.cache()
+        out.count()  # pin rows before the input files are removed
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_distinct_users(spark, sf_dir):
+    """Streaming dropDuplicates: exactly-once emission of each user_id
+    across micro-batches (keyed state store holds the seen-set)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_dd_")
+    try:
+        e.select("user_id").repartition(4).write.parquet(f"{tmp}/in")
+        stream = file_replay_source(
+            spark, f"{tmp}/in", spark.read.parquet(f"{tmp}/in").schema, max_files_per_trigger=2
+        )
+        out = drain_to_df(
+            stream.dropDuplicates(["user_id"]),
+            f"stream_dd_{uuid.uuid4().hex[:8]}", output_mode="append",
+        )
+        out = out.cache()
+        out.count()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
