@@ -120,6 +120,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_resumable_fold": Q.streaming_resumable_fold,
     "streaming_interval_join": Q.streaming_interval_join,
     "streaming_distinct_users": Q.streaming_distinct_users,
+    "streaming_merge_union": Q.streaming_merge_union,
     "dropwhile_prefix": Q.dropwhile_prefix,
     "skew_salted_type_counts": Q.skew_salted_type_counts,
     "sql_api_revenue_by_segment": Q.sql_api_revenue_by_segment,

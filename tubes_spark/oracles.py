@@ -693,3 +693,9 @@ ORACLES["streaming_interval_join"] = ORACLES["interval_join_views_purchases"]
 ORACLES["streaming_distinct_users"] = """
 SELECT DISTINCT user_id FROM events
 """
+
+ORACLES["streaming_merge_union"] = """
+SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 2 = 1
+"""

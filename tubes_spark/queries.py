@@ -1163,3 +1163,34 @@ def streaming_distinct_users(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_merge_union(spark, sf_dir):
+    """`merge` (Tubes/Source.hs:180-193) in streaming form: two live
+    streams unioned into one.  Arrival order is nondeterministic across
+    micro-batches, so the contract is multiset equality — the drained
+    union must contain exactly every row of both inputs (the oracle is
+    the batch UNION ALL)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_mrg_")
+    try:
+        cols = ["event_id", "user_id", "event_type", "value"]
+        e.filter(F.col("event_id") % 2 == 0).select(*cols).repartition(4).write.parquet(f"{tmp}/a")
+        e.filter(F.col("event_id") % 2 == 1).select(*cols).repartition(4).write.parquet(f"{tmp}/b")
+        schema = spark.read.parquet(f"{tmp}/a").schema
+        a = file_replay_source(spark, f"{tmp}/a", schema, max_files_per_trigger=2)
+        b = file_replay_source(spark, f"{tmp}/b", schema, max_files_per_trigger=2)
+        out = drain_to_df(
+            a.unionByName(b), f"stream_mrg_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        out = out.cache()
+        out.count()  # pin rows before the input files are removed
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
