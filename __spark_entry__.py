@@ -100,6 +100,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive": Q.q19_disjunctive,
     "q22_idle_customers": Q.q22_idle_customers,
     "q7_nation_volume": Q.q7_nation_volume,
+    "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+    "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
+    "q11_part_value_concentration": Q.q11_part_value_concentration,
+    "q16_supplier_variety": Q.q16_supplier_variety,
+    "q20_heavy_part_shippers": Q.q20_heavy_part_shippers,
+    "q21_sole_return_supplier": Q.q21_sole_return_supplier,
     "orders_by_month": Q.orders_by_month,
     "string_funcs_parts": Q.string_funcs_parts,
     "orders_above_cust_avg": Q.orders_above_cust_avg,
@@ -129,6 +135,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow_fingerprints": Q.text_winnow_fingerprints,
     "multimodal_bytes_stats": Q.multimodal_bytes_stats,
     "multimodal_features": Q.multimodal_features,
+    # training-data curation: reproducible splits, PII scrub, quality,
+    # embedding-column analytics
+    "split_train_test_hash": Q.split_train_test_hash,
+    "sample_stratified_docs": Q.sample_stratified_docs,
+    "pii_redact_docs": Q.pii_redact_docs,
+    "quality_repetition_ratio": Q.quality_repetition_ratio,
+    "embedding_norms": Q.embedding_norms,
+    "embedding_centroids": Q.embedding_centroids,
 }
 
 

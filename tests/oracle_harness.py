@@ -45,9 +45,18 @@ def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
     for c in a.columns:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # The driver hashes values as-is, so an int64 column on one
+            # side vs float64 on the other (DuckDB HUGEINT sums, Spark
+            # Decimal outputs) is a mismatch even when numerically equal.
+            if av.dtype.kind != bv.dtype.kind:
+                return False, f"col {c}: dtype kind: spark={av.dtype} duckdb={bv.dtype}"
             av = av.astype(float)
             bv = bv.astype(float)
-            bad = ~((av.isna() & bv.isna()) | (av == bv))
+            import numpy as np
+
+            # exact equality including the sign of zero (-0.0 != 0.0 for a hash)
+            bad = ~((av.isna() & bv.isna())
+                    | ((av == bv) & (np.signbit(av.fillna(0.0)) == np.signbit(bv.fillna(0.0)))))
             if bad.any():
                 i = bad.idxmax()
                 return False, f"col {c}: first diff at row {i}: {av[i]!r} vs {bv[i]!r} (n={int(bad.sum())})"

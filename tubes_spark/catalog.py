@@ -65,8 +65,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # vectorized reader rejects.  Read nanos as long and truncate to
         # micros — exactly what DuckDB does when it maps TIMESTAMP_NS to
         # its micro-resolution TIMESTAMP, so both engines see equal values.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # The conf is captured into the plan when `read.parquet` resolves
+        # the schema, so it is saved/restored around just this read rather
+        # than left set on the (possibly user-owned) session.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prev = spark.conf.get(key)
+        except Exception:
+            prev = None
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
         return df

@@ -106,7 +106,7 @@ SELECT l_orderkey, l_linenumber,
   round(exp(l_discount), 6) AS exp_disc,
   round(ln(1.0 + l_discount), 6) AS ln1p_disc,
   round(sin(l_quantity), 6) AS sin_qty,
-  abs(-l_tax) AS abs_tax
+  abs(-l_tax) + 0.0 AS abs_tax
 FROM lineitem
 """
 
@@ -401,8 +401,8 @@ GROUP BY o_orderpriority
 
 ORACLES["q12_line_priority"] = """
 SELECT l_linestatus,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
 """
@@ -567,11 +567,11 @@ WITH hourly AS (
   SELECT date_trunc('week', bucket) AS bucket, SUM(n) AS n, SUM(total) AS total
   FROM daily GROUP BY 1
 )
-SELECT 'hour' AS level, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_start, n, CAST(total AS DOUBLE) AS total FROM hourly
+SELECT 'hour' AS level, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_start, CAST(n AS BIGINT) AS n, CAST(total AS DOUBLE) AS total FROM hourly
 UNION ALL
-SELECT 'day', CAST(floor(epoch(bucket)) AS BIGINT), n, CAST(total AS DOUBLE) FROM daily
+SELECT 'day', CAST(floor(epoch(bucket)) AS BIGINT), CAST(n AS BIGINT), CAST(total AS DOUBLE) FROM daily
 UNION ALL
-SELECT 'week', CAST(floor(epoch(bucket)) AS BIGINT), n, CAST(total AS DOUBLE) FROM weekly
+SELECT 'week', CAST(floor(epoch(bucket)) AS BIGINT), CAST(n AS BIGINT), CAST(total AS DOUBLE) FROM weekly
 """
 
 ORACLES["interval_join_views_purchases"] = """
@@ -698,4 +698,143 @@ ORACLES["streaming_merge_union"] = """
 SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 2 = 0
 UNION ALL
 SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 2 = 1
+"""
+
+ORACLES["q2_min_cost_supplier"] = """
+WITH sn AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), best AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+  QUALIFY row_number() OVER (PARTITION BY l_partkey
+                             ORDER BY unit_price, s_suppkey) = 1
+)
+SELECT p_partkey, p_brand, s_name, n_name, unit_price, s_acctbal
+FROM best JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 30
+"""
+
+ORACLES["q9_profit_by_nation_year"] = f"""
+SELECT n_name AS nation,
+  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  {_dsum('l_extendedprice*(1-l_discount) - p_retailprice*l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+ORACLES["q11_part_value_concentration"] = f"""
+SELECT l_partkey, {_dsum('l_extendedprice')} AS value
+FROM lineitem
+GROUP BY l_partkey
+HAVING {_dsum('l_extendedprice')} >
+  (SELECT {_dsum('l_extendedprice')} * 0.0007 FROM lineitem)
+"""
+
+ORACLES["q16_supplier_variety"] = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+ORACLES["q20_heavy_part_shippers"] = f"""
+WITH recent AS (
+  SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+), per_ps AS (
+  SELECT l_partkey, l_suppkey, {_dsum('l_quantity')} AS supp_qty
+  FROM recent GROUP BY l_partkey, l_suppkey
+), per_p AS (
+  SELECT l_partkey, {_dsum('l_quantity')} * 0.2 AS thr
+  FROM recent GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT DISTINCT l_suppkey FROM per_ps JOIN per_p USING (l_partkey)
+  WHERE supp_qty > thr
+)
+"""
+
+ORACLES["q21_sole_return_supplier"] = """
+SELECT s_name, n_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND l1.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name, n_name
+"""
+
+ORACLES["split_train_test_hash"] = """
+SELECT doc_id,
+  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccc' THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+ORACLES["sample_stratified_docs"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < (CASE WHEN lang = 'en' THEN '4' ELSE '8' END)
+"""
+
+ORACLES["pii_redact_docs"] = """
+WITH c AS (
+  SELECT doc_id,
+    source || '+' || CAST(doc_id AS VARCHAR) || '@example.com ph 555-0142' AS contact
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(contact, '[a-z0-9+._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9][0-9-]+[0-9]', '<PHONE>', 'g') AS redacted,
+  CAST(length(contact) - length(regexp_replace(contact, '@', '', 'g')) AS BIGINT) AS n_emails
+FROM c
+"""
+
+ORACLES["quality_repetition_ratio"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({NORM_TEXT}, ' ')) AS w FROM documents
+), per AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+)
+SELECT doc_id,
+  CAST(max(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_term_ratio,
+  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+  CAST(SUM(c) AS BIGINT) AS n_words
+FROM per GROUP BY doc_id
+"""
+
+ORACLES["embedding_norms"] = """
+SELECT vec_id,
+  CAST(len(embedding) AS INTEGER) AS dim,
+  round(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+"""
+
+ORACLES["embedding_centroids"] = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+  CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS centroid,
+  COUNT(*) AS n
+FROM ex GROUP BY label, pos
 """

@@ -111,7 +111,27 @@ def run_tube(df: DataFrame, sink: "Callable[[DataFrame], object] | None" = None)
 # Arrow / ArrowChoice surface (Tubes/Channel.hs:97-159)
 # ---------------------------------------------------------------------------
 
-def fanout(p1: Pipe, p2: Pipe, key: str) -> Pipe:
+def _shared(df: DataFrame, cache: bool) -> DataFrame:
+    """Input sharing for multi-branch combinators.
+
+    Default (``cache=False``): return the plan as-is — each branch
+    re-derives from source with its own pushed-down filters.  Two parquet
+    scans with disjoint pushed predicates beat materializing the full
+    input at 100 TB, and it keeps the combinator streaming-compatible
+    (``persist`` throws on streaming DataFrames).
+
+    ``cache=True``: lazy ``localCheckpoint`` — materialized once at the
+    first action, shared by all branches, and (unlike ``DataFrame
+    .persist``, whose CacheManager entry lives until an explicit
+    unpersist) released by the ContextCleaner when the RDD is GC'd, so
+    repeated invocations don't accumulate cached partitions.  Use when
+    the upstream pipeline is expensive relative to its output size."""
+    if cache and not df.isStreaming:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
+def fanout(p1: Pipe, p2: Pipe, key: str, cache: bool = False) -> Pipe:
     """``Applicative <*>`` / ``&&&`` (Tubes/Channel.hs:97-99): run two
     stages on the SAME input element, combine their outputs.
 
@@ -120,7 +140,7 @@ def fanout(p1: Pipe, p2: Pipe, key: str) -> Pipe:
     prefer a single ``select(f(x), g(x))`` — this combinator exists for
     stages with internal aggregation/state that can't share one select."""
     def run(df: DataFrame) -> DataFrame:
-        df = df.persist()
+        df = _shared(df, cache)
         a, b = p1(df), p2(df)
         dup = [c for c in b.columns if c in a.columns and c != key]
         return a.join(b.drop(*dup), on=key)
@@ -148,16 +168,19 @@ def psecond(stage: Pipe, key: str, comp: "list[str]") -> Pipe:
     return pfirst(stage, key, comp)
 
 
-def pchoice(pred: Column, on_true: Pipe, on_false: Pipe) -> Pipe:
+def pchoice(pred: Column, on_true: Pipe, on_false: Pipe, cache: bool = False) -> Pipe:
     """``ArrowChoice +++`` (Tubes/Channel.hs:134-159): route each element
     through one of two stages — with INDEPENDENT state per branch — then
     merge.  Split-filter / transform / union-back; each branch sees only
     its own rows, so branch-internal aggregations/windows are isolated
-    exactly like the reference's per-branch tube state."""
+    exactly like the reference's per-branch tube state.
+
+    Rows where ``pred`` is NULL take the false branch (``~pred`` is made
+    null-safe), so no element is silently dropped."""
     def run(df: DataFrame) -> DataFrame:
-        df = df.persist()
+        df = _shared(df, cache)
         t = on_true(df.filter(pred))
-        f = on_false(df.filter(~pred))
+        f = on_false(df.filter(F.coalesce(~pred, F.lit(True))))
         return t.unionByName(f, allowMissingColumns=True)
     return Pipe(run)
 
@@ -173,7 +196,8 @@ def pright(stage: Pipe, pred: Column) -> Pipe:
     return pchoice(pred, cat, stage)
 
 
-def pswitch(col: Column, cases: "dict[object, Pipe]", default: Pipe | None = None) -> Pipe:
+def pswitch(col: Column, cases: "dict[object, Pipe]", default: Pipe | None = None,
+            cache: bool = False) -> Pipe:
     """Channel ``Monad.>>=`` (Tubes/Channel.hs:102-117), relational
     subset: per-element choice among a FINITE set of stages keyed by a
     column value.  Each case stage runs over its own row subset with
@@ -181,16 +205,20 @@ def pswitch(col: Column, cases: "dict[object, Pipe]", default: Pipe | None = Non
 
     The reference's fully-dynamic form (a brand-new channel constructed
     from every element) has no distributed equivalent — that residue is
-    an explicit UDF escape hatch, by design (SURVEY.md §7.4 item 3)."""
+    an explicit UDF escape hatch, by design (SURVEY.md §7.4 item 3).
+
+    Matching is null-safe (``eqNullSafe``): a ``None`` case key matches
+    NULL column values, and unmatched NULLs reach ``default`` instead of
+    vanishing into a three-valued ``~matched`` filter."""
     def run(df: DataFrame) -> DataFrame:
-        df = df.persist()
+        df = _shared(df, cache)
         out = None
         matched = None
         for v, stage in cases.items():
-            part = stage(df.filter(col == F.lit(v)))
+            hit = col.eqNullSafe(F.lit(v))
+            part = stage(df.filter(hit))
             out = part if out is None else out.unionByName(part, allowMissingColumns=True)
-            m = (col == F.lit(v)) if matched is None else (matched | (col == F.lit(v)))
-            matched = m
+            matched = hit if matched is None else (matched | hit)
         rest = df.filter(~matched) if matched is not None else df
         if default is not None:
             rest = default(rest)

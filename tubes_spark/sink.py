@@ -114,9 +114,17 @@ class Sink:
 
 def tee(sink: Sink) -> Callable[[DataFrame], DataFrame]:
     """``tee`` (Tubes/Channel.hs:199-206): feed each batch to a sink,
-    then forward it unchanged — a side-effect observer stage."""
+    then forward it unchanged — a side-effect observer stage.
+
+    The batch is shared via ``localCheckpoint`` rather than ``persist``:
+    the sink's action materializes it once, the forwarded DataFrame reads
+    the same blocks, and the ContextCleaner releases them when the RDD is
+    garbage-collected — ``persist`` would pin the cached partitions in
+    CacheManager until an unpersist nobody is positioned to call (the
+    stage returns before downstream consumes the result)."""
     def stage(df: DataFrame) -> DataFrame:
-        df = df.persist()
+        if not df.isStreaming:
+            df = df.localCheckpoint(eager=False)
         sink(df)
         return df
     return stage

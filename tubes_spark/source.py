@@ -25,6 +25,25 @@ from pyspark.sql import functions as F
 SEQ = "__seq__"
 SRC = "__src__"
 
+#: conservative headroom bound for packed (outer, inner) seq encodings
+_SEQ_MAX = 1 << 62
+
+
+def _packed_seq(outer: Column, inner: Column, stride: Column) -> Column:
+    """Encode an (outer, inner) order pair as one sortable long:
+    ``outer * stride + inner`` with ``0 <= inner < stride``.
+
+    ``stride`` is computed from the data (max inner cardinality), not a
+    fixed 2^20, so large inner fan-outs can't collide; and instead of
+    silently wrapping on overflow (hash-derived outer seqs can sit near
+    ±2^63), the expression raises via ``assert_true`` — re-rank the
+    outer stream (``Source.from_df``) if that trips."""
+    bound = F.lit(_SEQ_MAX) / stride
+    ok = (outer.cast("double") >= -bound) & (outer.cast("double") <= bound)
+    return F.when(F.assert_true(ok, F.lit("__seq__ packing overflow: re-rank the outer "
+                                          "source (Source.from_df) before flat_map/ap")).isNull(),
+                  outer * stride + inner)
+
 
 class Source:
     """An ordered stream of rows: a DataFrame + a ``__seq__`` position.
@@ -121,15 +140,23 @@ class Source:
     def flat_map(self, arr: Column, alias: str) -> "Source":
         """Monadic bind (Tubes/Source.hs:94-97): each element expands to
         the elements of ``arr`` (array expr); inner order after outer —
-        encoded as (outer_seq, inner_pos) lexicographic pair packed into
-        one long via posexplode."""
+        encoded as an (outer_seq, inner_pos) pair packed into one long.
+
+        The packing stride is the observed max inner size (one scalar
+        aggregate, broadcast back into the plan — no sort, no collect),
+        so million-element arrays can't collide the way a fixed 2^20
+        stride would; outer overflow raises instead of corrupting order
+        (see :func:`_packed_seq`)."""
+        stride = self.df.agg(
+            F.greatest(F.coalesce(F.max(F.size(arr)), F.lit(1)), F.lit(1))
+            .cast("long").alias("__stride__")
+        )
         exploded = self.df.select(
             F.col(SEQ).alias("__outer__"), F.posexplode(arr).alias("__inner__", alias)
         )
-        # dense re-sequencing is only needed when absolute positions matter;
-        # keep (outer, inner) ordering as a composite sortable seq.
-        out = exploded.select(
-            (F.col("__outer__") * F.lit(1 << 20) + F.col("__inner__")).alias(SEQ),
+        out = exploded.join(F.broadcast(stride), how="cross").select(
+            _packed_seq(F.col("__outer__"), F.col("__inner__").cast("long"),
+                        F.col("__stride__")).alias(SEQ),
             F.col(alias),
         )
         return Source(out)
@@ -164,12 +191,20 @@ class Source:
         exhausted (doc: A1 B1 A2 B2 A3 B3 B4, Tubes/Source.hs:50-72).
 
         Interleave order = sort by (element_rank, source_id): rank i of
-        stream A precedes rank i of stream B precedes rank i+1.  As a
-        multiset the result equals ``union``; the seq encodes the
-        interleaved order.  Streaming form: plain ``union`` (arrival
-        order) — documented divergence (SURVEY.md §7.4)."""
-        left = self.df.withColumn(SRC, F.lit(0))
-        right = other.df.withColumn(SRC, F.lit(1))
+        stream A precedes rank i of stream B precedes rank i+1.  Each
+        side is re-ranked first (``row_number`` over its seq) so the
+        round-robin holds for filtered / keyed / hash-seq sources too —
+        raw seqs are positions only for dense ``each``-style sources,
+        and ``seq * 2`` can overflow on hash-derived seqs.  Re-ranking
+        is a total-order window: same cost class as take/drop, which is
+        inherent to the reference's synchronous interleave.  As a
+        multiset the result equals ``union`` (use that when order is
+        irrelevant).  Streaming form: plain ``union`` (arrival order) —
+        documented divergence (SURVEY.md §7.4)."""
+        w = Window.orderBy(SEQ)
+        rank = (F.row_number().over(w).cast("long") - 1).alias(SEQ)
+        left = self.df.withColumn(SEQ, rank).withColumn(SRC, F.lit(0))
+        right = other.df.withColumn(SEQ, rank).withColumn(SRC, F.lit(1))
         u = left.unionByName(right)
         out = u.select(
             (F.col(SEQ) * 2 + F.col(SRC)).alias(SEQ),
@@ -191,10 +226,20 @@ class Source:
         if len(lc) != 1 or len(rc) != 1:
             raise ValueError("ap expects single-payload sources")
         l = self.df.select(F.col(SEQ).alias("__ls__"), F.col(lc[0]).alias("__lv__"))
+        # Inner (right) side: re-rank to a dense 0..n-1 so the packed seq
+        # uses stride = count(right) exactly — no fixed-width 2^20 stride
+        # to collide or overflow.  The right side of a cartesian must be
+        # small anyway, so its total-order window is cheap; the big outer
+        # side is NOT sorted (overflow raises instead, see _packed_seq).
+        wr = Window.orderBy("__rs__")
         r = other.df.select(F.col(SEQ).alias("__rs__"), F.col(rc[0]).alias("__rv__"))
-        x = l.crossJoin(r)
+        r = r.withColumn("__rr__", F.row_number().over(wr).cast("long") - 1).drop("__rs__")
+        stride = other.df.agg(
+            F.greatest(F.count(F.lit(1)), F.lit(1)).cast("long").alias("__stride__")
+        )
+        x = l.crossJoin(r).join(F.broadcast(stride), how="cross")
         out = x.select(
-            (F.col("__ls__") * F.lit(1 << 20) + F.col("__rs__")).alias(SEQ),
+            _packed_seq(F.col("__ls__"), F.col("__rr__"), F.col("__stride__")).alias(SEQ),
             combine(F.col("__lv__"), F.col("__rv__")).alias(alias),
         )
         return Source(out)
