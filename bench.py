@@ -52,6 +52,12 @@ HEADLINE = [
     "sketch_distinct_users",      # HLL++ sketch
     "lag_user_value_delta",       # lead/lag analytic window
     "knn_ivf_approx",             # similarity search (IVF)
+    # round 2: TPC-H completion + dataset-curation ops
+    "q2_min_cost_supplier",       # correlated-min window + dim chain
+    "q21_sole_return_supplier",   # double-correlation as one grouped agg
+    "split_train_test_hash",      # reproducible hash split
+    "quality_repetition_ratio",   # repetition quality screen
+    "embedding_centroids",        # per-label centroid update step
 ]
 
 

@@ -76,3 +76,44 @@ def test_asof_single_shuffle(spark):
     p = plan_of(Q.asof_purchase(spark, SF))
     # one Exchange for the window partitionBy; union sides read pre-shuffle
     assert n_nodes(p, "Exchange") == 1, p
+
+
+def test_q20_single_lineitem_scan(spark):
+    """The correlated part-level threshold derives from the per-(part,
+    supplier) partials via a window — lineitem must be scanned once,
+    not once per aggregation level."""
+    p = plan_of(Q.q20_heavy_part_shippers(spark, SF))
+    scans = re.findall(r"\(\d+\) Scan parquet", p)
+    # lineitem + supplier + nation = exactly 3 scans
+    assert len(scans) == 3, p
+
+
+def test_q21_no_expand_for_distinct_pair(spark):
+    """Two countDistincts in one agg would plan an Expand (2x shuffle
+    volume); the two-level aggregate form must not contain one."""
+    p = plan_of(Q.q21_sole_return_supplier(spark, SF))
+    assert n_nodes(p, "Expand") == 0, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_q2_window_not_self_join(spark):
+    """The correlated-MIN subquery is a row_number window per part: one
+    Exchange for the window, dims broadcast, no SortMergeJoin."""
+    p = plan_of(Q.q2_min_cost_supplier(spark, SF))
+    assert n_nodes(p, "SortMergeJoin") == 0, p
+    assert "BroadcastHashJoin" in p
+    assert n_nodes(p, "Window") >= 1, p
+
+
+def test_split_train_test_is_projection_only(spark):
+    """The hash split must stay a per-row projection: no Exchange at all."""
+    p = plan_of(Q.split_train_test_hash(spark, SF))
+    assert n_nodes(p, "Exchange") == 0, p
+
+
+def test_embedding_centroids_partial_agg(spark):
+    """posexplode + grouped mean must partial-aggregate before its one
+    shuffle on (label, pos)."""
+    p = plan_of(Q.embedding_centroids(spark, SF))
+    assert n_nodes(p, "HashAggregate") >= 2, p
+    assert n_nodes(p, "Exchange") == 1, p

@@ -1309,22 +1309,25 @@ def q20_heavy_part_shippers(spark, sf_dir):
     """TPC-H Q20 shape: semi-join chain gated by a correlated aggregate
     threshold — suppliers who shipped more than 20% of a part's total
     recent volume (availqty > half-of-shipped reshaped; no partsupp).
-    Spark-first: the correlated scalar becomes one grouped aggregate
-    joined back on l_partkey; the supplier projection is a left-semi
-    join, so supplier rows are never duplicated."""
+    Spark-first: the correlated scalar becomes a window sum over the
+    per-(part, supplier) partials — lineitem is scanned ONCE (the
+    part-level total is the exact decimal sum of the per-supplier
+    decimal partials, so no second scan and no precision drift), and
+    the supplier projection is a left-semi join, so supplier rows are
+    never duplicated."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     recent = li.filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
     per_ps = recent.groupBy("l_partkey", "l_suppkey").agg(
-        dsum(F.col("l_quantity")).alias("supp_qty")
+        F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("__qdec__")
     )
-    per_p = recent.groupBy("l_partkey").agg(
-        (dsum(F.col("l_quantity")) * F.lit(0.2)).alias("__thr__")
-    )
+    wp = Window.partitionBy("l_partkey")
     heavy = (
-        per_ps.join(per_p, "l_partkey")
-        .filter(F.col("supp_qty") > F.col("__thr__"))
+        per_ps.withColumn(
+            "__thr__", F.sum("__qdec__").over(wp).cast("double") * F.lit(0.2)
+        )
+        .filter(F.col("__qdec__").cast("double") > F.col("__thr__"))
         .select("l_suppkey")
         .distinct()
     )
@@ -1340,28 +1343,32 @@ def q21_sole_return_supplier(spark, sf_dir):
     that was the ONLY one with returned lines — the classic EXISTS /
     NOT-EXISTS double correlation.  No commit/receipt dates in this
     schema, so "kept waiting" is reshaped to l_returnflag = 'R'.
-    Spark-first: both correlations collapse into ONE per-order aggregate
-    (distinct suppliers vs distinct returning suppliers) — a single
-    shuffle on l_orderkey replaces two correlated self-joins."""
+    Spark-first: both correlations collapse into a two-level aggregate —
+    (order, supplier) partials first, then per-order stats.  Two
+    countDistincts in one agg would force an Expand (2x shuffle volume);
+    the two-level form shuffles lineitem once, and the per-order stats
+    AND the culprit rows both derive from the same (order, supplier)
+    frame, so the exchange is planned once and reused."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    per = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret"),
+    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum((F.col("l_returnflag") == "R").cast("int")).alias("n_r_lines")
+    )
+    per = ps.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_r_lines") > 0).cast("int")).alias("n_ret"),
     )
     target = per.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
-    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    returned = ps.filter(F.col("n_r_lines") > 0)
     return (
         returned.join(target, F.col("l_orderkey") == F.col("agg_orderkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r_lines").alias("numwait"))
     )
 
 
