@@ -58,6 +58,10 @@ HEADLINE = [
     "split_train_test_hash",      # reproducible hash split
     "quality_repetition_ratio",   # repetition quality screen
     "embedding_centroids",        # per-label centroid update step
+    # round 3: radius-banded simhash, union-find dedup, dynamic channel
+    "dedup_simhash_near_survivors",   # simhash LSH at hamming radius 2
+    "dedup_minhash_cc_survivors",     # connected-components survivor policy
+    "dynamic_channel_route",          # per-row dynamic channel (escape hatch)
 ]
 
 
@@ -86,7 +90,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run absorbs codegen/JIT noise
+        # best-of-3: the first run compiles whole-stage codegen (measured
+        # 3-19s one-off on the 64-hash minhash plan vs 2.3s steady-state,
+        # scripts/bench_dedup.py) and the JVM JIT can still be warming on
+        # run 2 under co-tenant load — r2's phantom "6.9x dedup
+        # regression" was exactly this with best-of-2.
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

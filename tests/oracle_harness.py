@@ -60,6 +60,16 @@ def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
             if bad.any():
                 i = bad.idxmax()
                 return False, f"col {c}: first diff at row {i}: {av[i]!r} vs {bv[i]!r} (n={int(bad.sum())})"
+        elif av.dtype.kind in "iu" and bv.dtype.kind in "iu":
+            # The driver hashes values dtype-sensitively, so int32 vs
+            # int64 is a mismatch even when numerically equal — require
+            # full dtype equality so width drift surfaces locally.
+            if av.dtype != bv.dtype:
+                return False, f"col {c}: int dtype width: spark={av.dtype} duckdb={bv.dtype}"
+            if not av.equals(bv):
+                bad = av != bv
+                i = bad.idxmax()
+                return False, f"col {c}: first diff at row {i}: {av[i]!r} vs {bv[i]!r} (n={int(bad.sum())})"
         else:
             if not av.astype(str).equals(bv.astype(str)):
                 bad = av.astype(str) != bv.astype(str)

@@ -129,6 +129,171 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def test_simhash_candidates_match_bruteforce_hamming(spark):
+    """Pigeonhole banding must find EXACTLY the pairs within the hamming
+    radius (candidates are verified in-plan, so equality not just
+    recall) — pinned against driver-side brute force over the real
+    corpus signatures."""
+    d = load_table(spark, "documents", SF)
+    sh = dedup.shingle_frame(d, shingle_k=2)
+    sig = sh.select(F.col("doc_id"), dedup.simhash_from_hashes(F.col("hs"), 32).alias("__sh__"))
+    sigs = {r["doc_id"]: r["__sh__"] for r in sig.collect()}
+    radius = 2
+    ids = sorted(sigs)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= radius
+    }
+    got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_candidates(sig, radius, bits=32).collect()}
+    assert got == truth, f"missed={truth - got} extra={got - truth}"
+    assert len(truth) > 0, "corpus has no radius-2 simhash pairs; test is vacuous"
+
+
+def test_simhash_radius_on_synthetic_signatures(spark):
+    """Constructed signatures at hamming distance 0/1/2/3: radius=2 must
+    pair exactly the <=2 distances."""
+    base = 0b1011_0110_1011_0110_1011_0110_1011_0110
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),            # d=1 from id 1
+        (3, base ^ 0b110),          # d=2 from id 1, d=3 from id 2
+        (4, base ^ 0b111000111),    # d=6 from id 1: out of radius
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, __sh__ long")
+    got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_candidates(sig, 2, bits=32).collect()}
+    assert got == {(1, 2), (1, 3)}
+
+
+def test_dedup_simhash_radius_removes_near_twin(spark):
+    """End-to-end radius-2 dedup drops a doc whose signature sits within
+    hamming-2 of a smaller-id doc, and is idempotent."""
+    d = load_table(spark, "documents", SF)
+    out = dedup.dedup_simhash(d, bits=32, shingle_k=2, radius=2)
+    again = dedup.dedup_simhash(out, bits=32, shingle_k=2, radius=2)
+    n_r0 = dedup.dedup_simhash(d, bits=32, shingle_k=2, radius=0).count()
+    assert out.count() <= n_r0              # radius-2 can only remove more
+    assert again.count() == out.count()     # idempotent
+
+
+def test_connected_components_chain_and_star(spark):
+    """Chain 1-2-3, separate pair 5-6, star 10-12 / 11-12: smallest-id
+    label propagation converges to the component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 12), (11, 12)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_minhash_components_policy(spark):
+    """components policy keeps exactly one doc per near-dup cluster:
+    two near-copies of the same base doc form one cluster with the base,
+    and only the base survives.  Greedy agrees here; the CC guarantee is
+    'exactly one per cluster' regardless of pair shape."""
+    d = load_table(spark, "documents", SF)
+    src = d.orderBy(F.length("text").desc()).limit(1)
+    near1 = src.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    near2 = src.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" other end")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    combined = d.unionByName(near1.select(d.columns)).unionByName(near2.select(d.columns))
+    out = dedup.dedup_minhash(combined, threshold=0.8, policy="components")
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    base_id = src.collect()[0]["doc_id"]
+    assert out.filter(F.col("doc_id") == base_id).count() == 1
+
+
+def test_embedding_dedup_catches_boundary_straddling_pair(spark):
+    """VERDICT r2 #2: a near-dup pair split by ONE hyperplane of table 0
+    is invisible to single-table LSH but must be caught by the
+    OR-amplified default (n_tables=4).  The pair is constructed by
+    reflecting a corpus vector across the table-0 plane it projects
+    least onto (cos >= 0.997, table-0 buckets differ)."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", SF)
+    pdf = emb.orderBy("vec_id").limit(200).toPandas()
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    planes = similarity._hyperplanes(64, 6, 7, n_tables=4)  # same seed as bucket_ids
+
+    def buckets(v):
+        signs = np.einsum("d,lpd->lp", v, planes) >= 0
+        return signs @ np.power(2, np.arange(6))  # per-table bucket (4,)
+
+    pick = None
+    for i in range(len(vecs)):
+        v = vecs[i]
+        proj = planes[0] @ v  # projections on table-0 planes (6,)
+        p = np.argmin(np.abs(proj))
+        u = planes[0][p] / np.linalg.norm(planes[0][p])
+        v2 = v - 2 * (v @ u) * u  # reflection: flips sign on plane p only
+        cos = (v @ v2) / (np.linalg.norm(v) * np.linalg.norm(v2))
+        b1, b2 = buckets(v), buckets(v2)
+        if cos >= 0.997 and b1[0] != b2[0] and (b1[1:] == b2[1:]).any():
+            pick = (int(pdf["vec_id"].iloc[i]), v2, cos)
+            break
+    assert pick is not None, "no reflectable vector found (seed/data changed?)"
+    vid, v2, cos = pick
+    dup = spark.createDataFrame(
+        [(9_000_000, [float(x) for x in v2], "dup")], "vec_id long, embedding array<float>, label string"
+    )
+    combined = emb.unionByName(dup.select(emb.columns))
+    caught = similarity.embedding_dedup(combined, threshold=0.99, dim=64, n_tables=4)
+    assert caught.filter(F.col("vec_id") == 9_000_000).count() == 0, (
+        f"OR-amplified dedup missed the straddling pair (cos={cos:.5f})"
+    )
+    missed = similarity.embedding_dedup(combined, threshold=0.99, dim=64, n_tables=1)
+    assert missed.filter(F.col("vec_id") == 9_000_000).count() == 1, (
+        "single-table unexpectedly caught the pair — test no longer demonstrates the gap"
+    )
+
+
+def test_bucket_topk_scorer_chunked_equals_naive():
+    """The chunked per-bucket top-k kernel (degenerate-bucket cap) must
+    equal the naive full-matmul top-k, including (sim desc, id asc)
+    tie-breaks, when the bucket is far larger than the chunk size."""
+    import numpy as np
+
+    from tubes_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    n, nq, dim, k = 1000, 5, 16, 10
+    cm = rng.standard_normal((n, dim))
+    # 50% duplicates: the degenerate corpus the cap exists for
+    cm[n // 2:] = cm[: n // 2]
+    qm = rng.standard_normal((nq, dim))
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_by_bucket = {0: (np.arange(nq), qm)}
+    import pandas as pd
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(cm)})
+
+    old = S._SCORE_CHUNK
+    S._SCORE_CHUNK = 64  # force many chunks (driver-side call, same process)
+    try:
+        got = S._bucket_topk_scorer(q_by_bucket, k, "vec_id", "embedding")((0,), pdf)
+    finally:
+        S._SCORE_CHUNK = old
+
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    sims = np.round(cn @ qm.T, 6)
+    for q in range(nq):
+        order = sorted(range(n), key=lambda i: (-sims[i, q], i))[: k + 1]
+        expect = {(i, sims[i, q]) for i in order}
+        have = {
+            (r.neighbor_id, r.cos_sim)
+            for r in got[got["query_id"] == q].itertuples()
+        }
+        assert have == expect, f"query {q}"
+
+
 def test_winnow_matches_python_reference(spark):
     """Pin the JVM-side winnowing (k-gram rolling-hash fingerprints)
     against a literal pure-python implementation of the algorithm,

@@ -28,6 +28,21 @@ def test_merge_interleave_order(spark):
     assert vals(a.merge(b)) == ["A1", "B1", "A2", "B2", "A3", "B3", "B4"]
 
 
+def test_merge_dense_skips_rerank_window(spark):
+    """Dense (each-style) sources merge WITHOUT the re-rank window — no
+    single-partition funnel in the plan; a filtered (non-dense) side
+    still gets re-ranked, and both produce the reference interleave."""
+    a = Source.each(spark, ["A1", "A2", "A3"])
+    b = Source.each(spark, ["B1", "B2", "B3", "B4"])
+    assert a.dense and b.dense
+    assert "Window" not in a.merge(b).df._jdf.queryExecution().toString()
+    # filtered side loses density -> re-rank window appears, order still right
+    fa = a.filter(F.col("value") != "A2")
+    assert not fa.dense
+    assert "Window" in fa.merge(b).df._jdf.queryExecution().toString()
+    assert vals(fa.merge(b)) == ["A1", "B1", "A3", "B2", "B3", "B4"]
+
+
 def test_concat_drains_first_fully(spark):
     """<|> ordered concatenation — Tubes/Source.hs:99-126."""
     a = Source.each(spark, [1, 2, 3])
@@ -228,3 +243,45 @@ def test_source_numeric_instances(spark):
     assert vals(-a) == [-1.0, -4.0]
     assert vals(a.recip()) == [1.0, 0.25]
     assert vals(a.signum()) == [1.0, 1.0]
+
+
+def test_source_floating_named_surface(spark):
+    """Every named Floating member (Tubes/Source.hs:143-162) as a Source
+    method, checked against python math."""
+    import math
+
+    xs = [0.0, 0.5]
+    a = Source.each(spark, xs)
+
+    def close(got, fn, inputs=xs):
+        for g, x in zip(got, inputs):
+            assert abs(g - fn(x)) < 1e-12, (g, x)
+
+    close(vals(a.asin()), math.asin)
+    close(vals(a.acos()), math.acos)
+    close(vals(a.atan()), math.atan)
+    close(vals(a.sinh()), math.sinh)
+    close(vals(a.cosh()), math.cosh)
+    close(vals(a.tanh()), math.tanh)
+    close(vals(a.asinh()), math.asinh)
+    close(vals(a.atanh()), math.atanh)
+    close(vals(Source.each(spark, [1.0, 2.5]).acosh()), math.acosh, [1.0, 2.5])
+    close(vals(Source.each(spark, [0.5, 8.0]).log_base(2.0)),
+          lambda x: math.log(x, 2.0), [0.5, 8.0])
+    assert vals(Source.pi(spark)) == [math.pi]
+
+
+def test_pdynamic_channel_monad(spark):
+    """Fully-dynamic Channel Monad escape hatch (Tubes/Channel.hs:
+    102-117): a brand-new channel per element — element n yields n
+    copies of n*10 (0 yields = per-element halt)."""
+    from tubes_spark.pipe import pdynamic
+
+    df = spark.createDataFrame([(0,), (1,), (2,), (3,)], "n int")
+
+    def make_channel(row):
+        for _ in range(row["n"]):
+            yield {"out": row["n"] * 10}
+
+    got = sorted(r["out"] for r in pdynamic(make_channel, "out long")(df).collect())
+    assert got == [10, 20, 20, 30, 30, 30]

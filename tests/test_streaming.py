@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from tubes_spark.catalog import load_table
 from tubes_spark.sink import Sink
-from tubes_spark.streaming.run import file_replay_source, run_stream
+from tubes_spark.streaming.run import file_replay_source, run_stream, take_while_stream
 from tubes_spark.streaming.state import running_fold
 
 SF = "/root/testdata/sf0.001"
@@ -224,6 +224,46 @@ def test_streaming_dropduplicates_within_watermark(spark, tmpdir):
     e.coalesce(1).write.mode("append").parquet(src)
     second = drain("dd2")
     assert len(second) == 0, f"{len(second)} dupes leaked"
+
+
+def test_streaming_takewhile_terminates_query(spark, tmpdir):
+    """takeWhile on an UNBOUNDED stream (no AvailableNow): the violation
+    arrives mid-replay; the query must emit exactly the pre-violation
+    prefix — nothing from later batches — and stop itself instead of
+    running forever (Tubes/Util.hs:104-113 ends the whole stream)."""
+    import os
+
+    src = f"{tmpdir}/in"
+    e = load_table(spark, "events", SF).orderBy("event_id").limit(1000)
+    # 4 sequential files, 250 ids each, mtimes forced increasing so the
+    # file source replays them in this order (one file per trigger).
+    # Part filenames are random UUIDs, so track each write's new file
+    # by directory diff — NOT by sorted name.
+    seen: set = set()
+    for i in range(4):
+        e.filter((F.col("event_id") >= i * 250) & (F.col("event_id") < (i + 1) * 250)) \
+            .coalesce(1).write.mode("append").parquet(src)
+        new = {f for f in os.listdir(src) if f.endswith(".parquet")} - seen
+        assert len(new) == 1
+        os.utime(f"{src}/{new.pop()}", (1_700_000_000 + i, 1_700_000_000 + i))
+        seen = {f for f in os.listdir(src) if f.endswith(".parquet")}
+
+    rows = []
+    stream = file_replay_source(spark, src, e.schema, max_files_per_trigger=1)
+    cut = take_while_stream(
+        stream.select("event_id", "value"),
+        F.col("event_id") < 600,          # first violation inside file 3
+        "event_id",
+        lambda bdf: rows.extend(bdf.collect()),
+        checkpoint=f"{tmpdir}/ck_tw",
+        available_now=False,              # unbounded: only the cut stops it
+        timeout_s=120,
+    )
+    assert cut == 600
+    got = sorted(r["event_id"] for r in rows)
+    assert got == list(range(600)), (
+        f"emitted {len(got)} rows; min={got[0] if got else None} max={got[-1] if got else None}"
+    )
 
 
 def test_streaming_session_window(spark, tmpdir):

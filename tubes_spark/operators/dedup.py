@@ -177,30 +177,91 @@ def jaccard_pairs(
     return out
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components of an undirected pair set (id_a, id_b) ->
+    (id, comp) with comp = smallest id in the component.
+
+    Graphframes-free iterative smallest-label propagation: each round
+    every node takes min(own label, neighbors' labels) — one narrow
+    self-join per round, converging in O(component diameter) rounds
+    (near-dup clusters are shallow in practice).  The edge set is the
+    *verified candidate pairs* — tiny relative to the corpus — so the
+    driver-side convergence loop costs a handful of small jobs, not
+    scans of the data.  Convergence check: sum of labels is strictly
+    decreasing until fixpoint (labels only ever decrease)."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("comp").alias("__nb__"))
+        )
+        labels = (
+            labels.join(nb, labels["id"] == nb["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("comp"), F.coalesce(F.col("__nb__"), F.col("comp"))).alias("comp"),
+            )
+            # truncate lineage each round — an iterative plan otherwise
+            # grows exponentially and re-executes every prior round
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("comp")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
 def dedup_minhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    policy: str = "greedy",
 ) -> DataFrame:
-    """Near-dedup: drop any doc that has a higher-similarity twin with a
-    smaller id (greedy keep-first, the standard large-corpus policy).
-    The shingle frame is computed once and shared (cached) between the
-    LSH candidate stage and the exact verify stage."""
+    """Near-dedup over verified MinHash-LSH pairs.  The shingle frame is
+    computed once and shared (cached) between the LSH candidate stage
+    and the exact verify stage.
+
+    Survivor policies:
+
+    * ``greedy`` (default): drop any doc that has a >=threshold twin
+      with a smaller id.  On a transitive chain A~B~C (A!~C) this
+      drops BOTH B and C — over-deletion is the accepted trade of the
+      standard large-corpus policy.
+    * ``components``: union-find the verified pairs
+      (:func:`connected_components`) and keep exactly the smallest id
+      per near-dup cluster — A~B~C keeps A, drops {B, C} as one
+      cluster, and a chain D~E (separate) independently keeps D."""
+    if policy not in ("greedy", "components"):
+        raise ValueError(f"unknown survivor policy {policy!r}")
     sh = shingle_frame(df, text_col, id_col, shingle_k).persist()
     cand = minhash_candidates(df, text_col, id_col, shingle_k=shingle_k, shingles=sh)
-    dup_ids = (
+    verified = (
         jaccard_pairs(df, cand, text_col, id_col, shingle_k=shingle_k, shingles=sh)
         .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        # materialize the (tiny) dup-id set now so the shingle cache can
-        # be released immediately — otherwise every dedup call leaks its
-        # cached shingle frame into executor storage memory
+        .select("id_a", "id_b")
+        # materialize the (tiny) verified-pair set now so the shingle
+        # cache can be released immediately — otherwise every dedup call
+        # leaks its cached shingle frame into executor storage memory
         .localCheckpoint(eager=True)
     )
     sh.unpersist()
+    if policy == "components":
+        comp = connected_components(verified)
+        dup_ids = comp.filter(F.col("comp") != F.col("id")).select(F.col("id").alias(id_col))
+    else:
+        dup_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dup_ids, on=id_col, how="left_anti")
 
 
@@ -244,17 +305,73 @@ def simhash(text_col: Column, bits: int = 32, shingle_k: int = 2) -> Column:
     return simhash_from_hashes(hs, bits)
 
 
+def simhash_candidates(
+    sig: DataFrame,
+    radius: int,
+    id_col: str = "doc_id",
+    sig_col: str = "__sh__",
+    bits: int = 32,
+) -> DataFrame:
+    """Candidate pairs within hamming distance ``radius`` of each other,
+    via pigeonhole banding: split the signature into ``radius + 1``
+    chunks — two signatures differing in <= radius bits must agree on at
+    least one chunk — and self-equi-join on (band, chunk).  Same
+    bucketed shape as minhash LSH banding: shuffles only (id, band,
+    chunk) rows on a small int key, never all-pairs.  Candidates are
+    then verified exactly: ``bit_count(xor) <= radius`` (no false
+    positives leave this function)."""
+    bands = radius + 1
+    width = -(-bits // bands)
+    mask = (1 << width) - 1
+    chunks = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(sig_col), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+        )
+        for b in range(bands)
+    ])
+    banded = (
+        sig.select(F.col(id_col), F.col(sig_col), F.explode(chunks).alias("c"))
+        .select(F.col(id_col), F.col(sig_col), F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+        # tiny 4-column frame; checkpoint so the self-join doesn't run
+        # the full signature pipeline on both sides (same reasoning as
+        # minhash_candidates)
+        .localCheckpoint(eager=True)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))) <= radius
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  bits: int = 32, shingle_k: int = 2) -> DataFrame:
-    """Exact-signature SimHash dedup (hamming radius 0): group by the
-    signature, keep lowest id.  For radius>0 at scale, band the signature
-    into 4 chunks and LSH-join like minhash (pigeonhole)."""
+                  bits: int = 32, shingle_k: int = 2, radius: int = 0) -> DataFrame:
+    """SimHash near-dedup at hamming radius ``radius``.
+
+    radius 0: group by the exact signature, keep lowest id (one narrow
+    shuffle).  radius > 0: pigeonhole-banded LSH self-join
+    (:func:`simhash_candidates`) then drop the higher id of every
+    verified pair — catches the hamming-1/2 near-dups simhash exists
+    for, still with no all-pairs join in the plan."""
     sh = shingle_frame(df, text_col, id_col, shingle_k)
     sig = sh.select(F.col(id_col), simhash_from_hashes(F.col("hs"), bits).alias("__sh__"))
-    w = Window.partitionBy("__sh__").orderBy(F.col(id_col).asc())
-    keep = (
-        sig.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(id_col)
+    if radius <= 0:
+        w = Window.partitionBy("__sh__").orderBy(F.col(id_col).asc())
+        keep = (
+            sig.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select(id_col)
+        )
+        return df.join(keep, on=id_col, how="left_semi")
+    dup_ids = (
+        simhash_candidates(sig, radius, id_col=id_col, bits=bits)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
     )
-    return df.join(keep, on=id_col, how="left_semi")
+    return df.join(dup_ids, on=id_col, how="left_anti")

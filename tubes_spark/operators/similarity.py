@@ -183,23 +183,7 @@ def knn_lsh(
         corpus, dim, n_planes, id_col=id_col, vec_col=vec_col, n_tables=n_tables
     )
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        entry = q_by_bucket.get(int(key[0]))
-        if entry is None or len(pdf) == 0:
-            return pd.DataFrame({"neighbor_id": [], "query_id": [], "cos_sim": []}).astype(
-                {"neighbor_id": "int64", "query_id": "int64", "cos_sim": "float64"}
-            )
-        qids, qm = entry
-        cm = _to_matrix(pdf[vec_col])
-        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-        sims = cm @ qm.T
-        nc, nq = sims.shape
-        return pd.DataFrame({
-            "neighbor_id": np.repeat(pdf[id_col].to_numpy(), nq),
-            "query_id": np.tile(qids, nc),
-            "cos_sim": np.round(sims.ravel(), 6),
-        })
-
+    score = _bucket_topk_scorer(q_by_bucket, k, id_col, vec_col)
     scored = (
         cb.groupBy("bucket")
         .applyInPandas(score, schema="neighbor_id long, query_id long, cos_sim double")
@@ -211,6 +195,61 @@ def knn_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: rows of the corpus-side matrix scored per matmul inside a bucket task —
+#: bounds the (chunk x nq) sims allocation no matter how degenerate the
+#: bucket (50% duplicate vectors -> one huge bucket is the classic trap)
+_SCORE_CHUNK = 4096
+
+
+def _bucket_topk_scorer(q_by_bucket, k, id_col, vec_col):
+    """Shared per-bucket scoring kernel for the LSH / IVF ANN paths.
+
+    Degenerate-bucket discipline (the 100 TB story): the whole bucket
+    arrives as ONE pandas group, so (a) the matmul runs in _SCORE_CHUNK
+    row chunks — peak memory is (chunk x nq) regardless of bucket size —
+    and (b) only the per-bucket top-(k+1) rows per query are emitted
+    (k+1: the query's self-match may occupy one slot before the outer
+    filter removes it).  Emission per bucket is O(nq * k), not
+    O(n * nq), so a skewed bucket can't explode the scored-pair stream
+    feeding the final window.  Work is O(n * nq) — linear in bucket
+    size, which is inherent to scoring every member."""
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"neighbor_id": [], "query_id": [], "cos_sim": []}).astype(
+            {"neighbor_id": "int64", "query_id": "int64", "cos_sim": "float64"}
+        )
+        entry = q_by_bucket.get(int(key[0]))
+        if entry is None or len(pdf) == 0:
+            return empty
+        qids, qm = entry
+        ids_all = pdf[id_col].to_numpy()
+        keep = k + 1
+        # running per-query top-(k+1): (sim desc, neighbor_id asc) order
+        best_sim = np.full((len(qids), keep), -np.inf)
+        best_id = np.full((len(qids), keep), np.iinfo(np.int64).max, dtype=np.int64)
+        for lo in range(0, len(pdf), _SCORE_CHUNK):
+            chunk = pdf.iloc[lo:lo + _SCORE_CHUNK]
+            cm = _to_matrix(chunk[vec_col])
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = np.round(cm @ qm.T, 6)  # (chunk, nq)
+            cand_sim = np.concatenate([best_sim, sims.T], axis=1)
+            cand_id = np.concatenate(
+                [best_id, np.broadcast_to(ids_all[lo:lo + _SCORE_CHUNK], sims.T.shape)], axis=1
+            )
+            order = np.lexsort((cand_id, -cand_sim), axis=1)[:, :keep]
+            best_sim = np.take_along_axis(cand_sim, order, axis=1)
+            best_id = np.take_along_axis(cand_id, order, axis=1)
+        hit = np.isfinite(best_sim)
+        qi, _ = np.nonzero(hit)
+        return pd.DataFrame({
+            "neighbor_id": best_id[hit],
+            "query_id": qids[qi],
+            "cos_sim": best_sim[hit],
+        })
+
+    return score
+
+
 def embedding_dedup(
     df: DataFrame,
     threshold: float = 0.98,
@@ -218,25 +257,54 @@ def embedding_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup removal: bucket by sign-LSH, pairwise
     matmul within each bucket, drop the higher id of any pair >= the
-    threshold.  Shuffle = one pass on the int bucket key; within-bucket
-    work is quadratic only in the bucket size (2^n_planes buckets)."""
+    threshold.  Shuffle = one pass on the int bucket key.
+
+    Recall: ``n_tables`` independent OR-amplified tables (same machinery
+    as :func:`knn_lsh`) — a single table silently misses near-dup pairs
+    that straddle one hyperplane (at threshold 0.98 / 6 planes, one
+    table recalls ~(1-0.064)^6 ≈ 67% of qualifying pairs; 4 tables
+    ≈ 99%).  A pair found in several tables votes once (``distinct``).
+
+    Degenerate buckets: within a bucket the pairwise scan runs as a
+    chunked double loop — peak memory (chunk x chunk) however many
+    near-identical vectors land in one bucket; rows already marked dup
+    are skipped on the query side (they stay as lower-id partners, so
+    pairwise drop semantics are unchanged)."""
     if not dim:
         raise ValueError("pass the embedding dimensionality")
-    cb = bucket_ids(df, dim, n_planes, id_col=id_col, vec_col=vec_col)
+    cb = bucket_ids(df, dim, n_planes, id_col=id_col, vec_col=vec_col, n_tables=n_tables)
 
     def find_dups(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({"dup_id": []}).astype({"dup_id": "int64"})
+        pdf = pdf.sort_values(id_col)
         ids = pdf[id_col].to_numpy()
         cm = _to_matrix(pdf[vec_col])
         cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-        sims = cm @ cm.T
-        ii, jj = np.where(np.triu(sims >= threshold, k=1))
-        dup = np.unique(np.maximum(ids[ii], ids[jj]))
-        return pd.DataFrame({"dup_id": dup.astype(np.int64)})
+        n = len(ids)
+        is_dup = np.zeros(n, dtype=bool)
+        for lo in range(_SCORE_CHUNK, n, _SCORE_CHUNK):
+            hi = min(lo + _SCORE_CHUNK, n)
+            live = np.nonzero(~is_dup[lo:hi])[0] + lo
+            if not len(live):
+                continue
+            for plo in range(0, lo, _SCORE_CHUNK):
+                sims = cm[live] @ cm[plo:min(plo + _SCORE_CHUNK, lo)].T
+                is_dup[live[np.any(sims >= threshold, axis=1)]] = True
+                live = live[~is_dup[live]]
+                if not len(live):
+                    break
+        # within-chunk pairs (including chunk 0): plain triu per chunk
+        for plo in range(0, n, _SCORE_CHUNK):
+            phi = min(plo + _SCORE_CHUNK, n)
+            sims = cm[plo:phi] @ cm[plo:phi].T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            is_dup[np.maximum(ii, jj) + plo] = True
+        return pd.DataFrame({"dup_id": ids[is_dup].astype(np.int64)})
 
     dups = cb.groupBy("bucket").applyInPandas(find_dups, schema="dup_id long")
     return df.join(
@@ -308,23 +376,7 @@ def knn_ivf(
         assign, schema=f"{id_col} long, {vec_col} array<float>, cell long"
     )
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        entry = q_by_cell.get(int(key[0]))
-        if entry is None or len(pdf) == 0:
-            return pd.DataFrame({"neighbor_id": [], "query_id": [], "cos_sim": []}).astype(
-                {"neighbor_id": "int64", "query_id": "int64", "cos_sim": "float64"}
-            )
-        qids, qm = entry
-        cm = _to_matrix(pdf[vec_col])
-        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-        sims = cm @ qm.T
-        nc, nq = sims.shape
-        return pd.DataFrame({
-            "neighbor_id": np.repeat(pdf[id_col].to_numpy(), nq),
-            "query_id": np.tile(qids, nc),
-            "cos_sim": np.round(sims.ravel(), 6),
-        })
-
+    score = _bucket_topk_scorer(q_by_cell, k, id_col, vec_col)
     scored = (
         cells.groupBy("cell")
         .applyInPandas(score, schema="neighbor_id long, query_id long, cos_sim double")

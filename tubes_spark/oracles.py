@@ -110,6 +110,31 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 """
 
+ORACLES["floating_named_math"] = """
+SELECT l_orderkey, l_linenumber,
+  round(asin(l_discount), 6) AS asin_disc,
+  round(acos(l_discount), 6) AS acos_disc,
+  round(atan(l_quantity), 6) AS atan_qty,
+  -- DuckDB 1.0 has no hyperbolics: exp-based identities, same doubles
+  -- to well past the 6-dp round for these domains
+  round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sinh_disc,
+  round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS cosh_disc,
+  round((exp(2 * l_quantity) - 1) / (exp(2 * l_quantity) + 1), 6) AS tanh_qty,
+  round(0.5 * ln((1 + l_discount) / (1 - l_discount)), 6) AS atanh_disc,
+  round(ln(1.0 + l_quantity) / ln(2), 6) AS log2_qty1p
+FROM lineitem
+"""
+
+ORACLES["dynamic_channel_route"] = """
+SELECT event_id,
+  CASE event_type
+    WHEN 'purchase' THEN value * 2.0
+    WHEN 'view' THEN value + 1.0
+    ELSE -value
+  END AS routed
+FROM events
+"""
+
 ORACLES["fold_global"] = f"""
 SELECT COUNT(*) AS n_rows,
   {_dsum('l_quantity')} AS total_qty,
@@ -550,7 +575,7 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 ORACLES["multimodal_bytes_stats"] = """
 SELECT doc_id,
   octet_length(encode(text)) AS n_bytes,
-  ascii(substr(text, 1, 1)) AS first_byte,
+  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
   length(base64(encode(text))) AS b64_len
 FROM documents
 """

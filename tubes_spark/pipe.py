@@ -120,6 +120,14 @@ def _shared(df: DataFrame, cache: bool) -> DataFrame:
     input at 100 TB, and it keeps the combinator streaming-compatible
     (``persist`` throws on streaming DataFrames).
 
+    DETERMINISM REQUIREMENT of the default: because each branch
+    re-evaluates the plan independently, an upstream stage containing
+    nondeterministic expressions (``rand``, sampling, first-in-group
+    without a total order) can produce DIFFERENT rows per branch —
+    fanout's self-join and pchoice's filter/union would then see
+    inconsistent inputs.  Pass ``cache=True`` for such upstreams; the
+    checkpoint pins one materialization for all branches.
+
     ``cache=True``: lazy ``localCheckpoint`` — materialized once at the
     first action, shared by all branches, and (unlike ``DataFrame
     .persist``, whose CacheManager entry lives until an explicit
@@ -232,3 +240,36 @@ def pmapm(fn, schema: str) -> Pipe:
     Arrow-batched ``mapInPandas`` — the sanctioned Python escape hatch
     (never row-at-a-time UDFs)."""
     return Pipe(lambda df: df.mapInPandas(fn, schema=schema))
+
+
+def pdynamic(make_channel, schema: str) -> Pipe:
+    """Fully-dynamic ``Channel.Monad`` (Tubes/Channel.hs:102-117): a
+    brand-new channel is constructed FROM each element's value and run
+    over that element — the reference's ``m >>= f`` where ``f`` returns
+    a different tube per input.
+
+    This is the documented UDF escape hatch for the residue that
+    :func:`pswitch` (finite, relational) cannot express: ``make_channel``
+    receives one element as a dict and returns an iterable of output
+    dicts — its per-element channel's yields (0 yields = that channel
+    halts without output; N yields = N rows).  Runs as Arrow-batched
+    ``mapInPandas`` with a per-row Python loop inside the batch — the
+    slow path by contract (SURVEY.md §7.4 item 3): per-row arbitrary
+    Python cannot be whole-stage codegen'd on ANY engine, distributed or
+    not.  Everything that can stay relational should use pswitch /
+    pchoice; this exists so nothing the reference accepts is
+    inexpressible here."""
+    import pandas as pd
+
+    cols = [c.strip().rsplit(" ", 1)[0] for c in schema.split(",")]
+
+    def apply(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                out.extend(make_channel(row))
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+                {c: [] for c in cols}
+            )
+
+    return Pipe(lambda df: df.mapInPandas(apply, schema=schema))

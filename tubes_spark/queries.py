@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tubes_spark import pipe as pipe_mod
 from tubes_spark.catalog import load_table
 from tubes_spark.operators import dedup, joins, similarity, text, windows
 from tubes_spark.operators.fold import fold_by, running_by
@@ -158,6 +159,48 @@ def numeric_source_math(spark, sf_dir):
         # for x == 0.0; Spark's doesn't — the values hash differently).
         (F.abs(-F.col("l_tax")) + F.lit(0.0)).alias("abs_tax"),
     )
+
+
+def floating_named_math(spark, sf_dir):
+    """The remaining named Floating surface (Tubes/Source.hs:143-162):
+    asin/acos/atan/sinh/cosh/tanh/atanh/logBase, each a named Source
+    method (source.py) — domains chosen so every value is defined
+    (l_discount in [0, 0.1]; quantities >= 1).  Transcendentals rounded
+    to 6 dp (float discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.asin("l_discount"), 6).alias("asin_disc"),
+        F.round(F.acos("l_discount"), 6).alias("acos_disc"),
+        F.round(F.atan("l_quantity"), 6).alias("atan_qty"),
+        F.round(F.sinh("l_discount"), 6).alias("sinh_disc"),
+        F.round(F.cosh("l_discount"), 6).alias("cosh_disc"),
+        F.round(F.tanh("l_quantity"), 6).alias("tanh_qty"),
+        F.round(F.atanh("l_discount"), 6).alias("atanh_disc"),
+        F.round(F.log(2.0, F.lit(1.0) + F.col("l_quantity")), 6).alias("log2_qty1p"),
+    )
+
+
+def dynamic_channel_route(spark, sf_dir):
+    """Fully-dynamic Channel Monad escape hatch (Tubes/Channel.hs:
+    102-117 via pipe.pdynamic): a brand-new per-element channel decides,
+    from the element's own value, what to emit — purchases yield their
+    value doubled, views yield value+1, everything else yields the
+    negation.  Relationally this is a CASE expression (the oracle); the
+    point is the mechanism: arbitrary per-row Python, Arrow-batched."""
+    e = _t(spark, sf_dir, "events")
+
+    def make_channel(row):
+        if row["event_type"] == "purchase":
+            yield {"event_id": row["event_id"], "routed": row["value"] * 2.0}
+        elif row["event_type"] == "view":
+            yield {"event_id": row["event_id"], "routed": row["value"] + 1.0}
+        else:
+            yield {"event_id": row["event_id"], "routed": -row["value"]}
+
+    p = pipe_mod.pdynamic(make_channel, "event_id long, routed double")
+    return p(e.select("event_id", "event_type", "value"))
 
 
 def fold_global(spark, sf_dir):
@@ -441,8 +484,8 @@ def divide_parts(spark, sf_dir):
 
 def text_token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"),
-                    text.word_count(F.col("text")).alias("n_words"))
+    return d.select("doc_id", text.token_count(F.col("text")).cast("long").alias("n_tokens"),
+                    text.word_count(F.col("text")).cast("long").alias("n_words"))
 
 
 def text_quality(spark, sf_dir):
@@ -498,6 +541,23 @@ def dedup_minhash_survivors(spark, sf_dir):
 def dedup_simhash_survivors(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.dedup_simhash(d, bits=32).select("doc_id")
+
+
+def dedup_simhash_near_survivors(spark, sf_dir):
+    """SimHash near-dedup at hamming radius 2 via pigeonhole banding
+    (rows-only: xxhash64 signatures have no SQL oracle).  Semantics are
+    pinned against brute-force hamming pairs in
+    tests/test_dedup_similarity.py."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_simhash(d, bits=32, radius=2).select("doc_id")
+
+
+def dedup_minhash_cc_survivors(spark, sf_dir):
+    """MinHash near-dedup with the connected-components survivor policy:
+    exactly one doc (smallest id) kept per transitive near-dup cluster
+    (rows-only; union-find semantics pinned in tests)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_minhash(d, threshold=0.8, policy="components").select("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -698,7 +758,7 @@ def q7_nation_volume(spark, sf_dir):
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(dsum(rev).alias("volume"))
     )
 
@@ -708,7 +768,7 @@ def orders_by_month(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(
-            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+            F.year("o_orderdate").cast("long").alias("y"), F.month("o_orderdate").cast("long").alias("m")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("month_total"))
     )
@@ -721,10 +781,10 @@ def string_funcs_parts(spark, sf_dir):
     return p.select(
         "p_partkey",
         F.upper("p_name").alias("uname"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 5).alias("prefix5"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
-        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("lev_widget"),
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).cast("long").alias("lev_widget"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
     )
 
@@ -748,9 +808,13 @@ def orders_above_cust_avg(spark, sf_dir):
 
 def text_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 TF-IDF terms.  Rank on the 6-dp-rounded score
-    (ties broken by term asc) so the ordering is engine-portable."""
+    (ties broken by term asc) so the ordering is engine-portable.
+
+    The corpus size enters the plan as a broadcast one-row aggregate
+    (same pattern as q11's threshold), NOT a driver-side ``d.count()``
+    — no extra Spark job, no driver sync point mid-pipeline."""
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()  # tiny scalar; at scale use a broadcast agg
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("__n_docs__"))
     words = d.select(
         "doc_id", F.explode(F.split(text.normalize(F.col("text")), " ")).alias("term")
     )
@@ -759,17 +823,18 @@ def text_tfidf_top_terms(spark, sf_dir):
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     score = F.round(
         (F.col("tf") / F.col("len"))
-        * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+        * F.log((F.col("__n_docs__") + 1.0) / (F.col("df") + 1.0)),
         6,
     )
     scored = (
         tf.join(doclen, "doc_id")
         .join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs), how="cross")
         .select("doc_id", "term", score.alias("tfidf"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
@@ -792,10 +857,10 @@ def multimodal_bytes_stats(spark, sf_dir):
     payload = F.encode(F.col("text"), "UTF-8")
     return d.select(
         "doc_id",
-        F.length(payload).alias("n_bytes"),
-        F.ascii(F.substring(F.col("text"), 1, 1)).alias("first_byte"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.ascii(F.substring(F.col("text"), 1, 1)).cast("long").alias("first_byte"),
         # Spark MIME-chunks base64 with CRLF every 76 chars; strip for parity
-        F.length(F.regexp_replace(F.base64(payload), r"[\r\n]", "")).alias("b64_len"),
+        F.length(F.regexp_replace(F.base64(payload), r"[\r\n]", "")).cast("long").alias("b64_len"),
     )
 
 
@@ -912,7 +977,7 @@ def q8_market_share(spark, sf_dir):
     )
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,6)")
     return (
-        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
                 (F.sum(F.when(F.col("supp_nation") == "NATION_0", vol).otherwise(F.lit(0).cast("decimal(27,6)")))
@@ -974,7 +1039,7 @@ def ntile_acctbal_quartiles(spark, sf_dir):
     summarized per (mktsegment, quartile)."""
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    q = c.withColumn("quartile", F.ntile(4).over(w))
+    q = c.withColumn("quartile", F.ntile(4).over(w).cast("long"))
     return q.groupBy("c_mktsegment", "quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
@@ -1423,9 +1488,9 @@ def pii_redact_docs(spark, sf_dir):
         F.regexp_replace(contact, "[a-z0-9+._]+@[a-z0-9.]+", "<EMAIL>"),
         "[0-9][0-9-]+[0-9]", "<PHONE>",
     )
-    n_emails = F.length(contact) - F.length(
+    n_emails = (F.length(contact) - F.length(
         F.regexp_replace(contact, "@", "")
-    )
+    )).cast("long")
     return d.select("doc_id", red.alias("redacted"), n_emails.alias("n_emails"))
 
 

@@ -37,9 +37,13 @@ def _packed_seq(outer: Column, inner: Column, stride: Column) -> Column:
     fixed 2^20, so large inner fan-outs can't collide; and instead of
     silently wrapping on overflow (hash-derived outer seqs can sit near
     ±2^63), the expression raises via ``assert_true`` — re-rank the
-    outer stream (``Source.from_df``) if that trips."""
+    outer stream (``Source.from_df``) if that trips.  The inner bound is
+    asserted too: if a nondeterministic upstream makes the stride scan
+    and the explode scan disagree, the packing raises instead of
+    silently corrupting order."""
     bound = F.lit(_SEQ_MAX) / stride
-    ok = (outer.cast("double") >= -bound) & (outer.cast("double") <= bound)
+    ok = ((outer.cast("double") >= -bound) & (outer.cast("double") <= bound)
+          & (inner >= 0) & (inner < stride))
     return F.when(F.assert_true(ok, F.lit("__seq__ packing overflow: re-rank the outer "
                                           "source (Source.from_df) before flat_map/ap")).isNull(),
                   outer * stride + inner)
@@ -52,12 +56,16 @@ class Source:
     :meth:`each` (order given by input sequence).
     """
 
-    __slots__ = ("df",)
+    __slots__ = ("df", "dense")
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, dense: bool = False):
         if SEQ not in df.columns:
             raise ValueError("Source requires a __seq__ column; use Source.from_df / Source.each")
         self.df = df
+        #: ``__seq__`` is known to be exactly 0..n-1 (each / from_df /
+        #: order-preserving ops on dense inputs).  Lets merge skip its
+        #: re-rank window — dense seqs are already positions.
+        self.dense = dense
 
     # ------------------------------------------------------------------ ctors
 
@@ -70,7 +78,7 @@ class Source:
         For big data prefer :meth:`from_df_cheap` (zorder not required).
         """
         w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
-        return Source(df.withColumn(SEQ, F.row_number().over(w).cast("long") - 1))
+        return Source(df.withColumn(SEQ, F.row_number().over(w).cast("long") - 1), dense=True)
 
     @staticmethod
     def from_df_keyed(df: DataFrame, seq_col: str | Column) -> "Source":
@@ -88,7 +96,7 @@ class Source:
         if not rows:
             return Source.empty(spark, f"{column} bigint")
         df = spark.createDataFrame(rows, schema=(SEQ, column))
-        return Source(df.withColumn(SEQ, F.col(SEQ).cast("long")))
+        return Source(df.withColumn(SEQ, F.col(SEQ).cast("long")), dense=True)
 
     @staticmethod
     def every(spark: SparkSession, values: Iterable, column: str = "value") -> "Source":
@@ -97,7 +105,7 @@ class Source:
         vals = list(values)
         rows = [(i, v) for i, v in enumerate(vals)] + [(len(vals), None)]
         df = spark.createDataFrame(rows, schema=(SEQ, column))
-        return Source(df.withColumn(SEQ, F.col(SEQ).cast("long")))
+        return Source(df.withColumn(SEQ, F.col(SEQ).cast("long")), dense=True)
 
     @staticmethod
     def pure(spark: SparkSession, value, column: str = "value") -> "Source":
@@ -108,7 +116,7 @@ class Source:
     def empty(spark: SparkSession, schema: str = "value string") -> "Source":
         """``Alternative.empty`` (Tubes/Source.hs:100)."""
         df = spark.createDataFrame([], schema=f"{SEQ} long, {schema}")
-        return Source(df)
+        return Source(df, dense=True)
 
     # ------------------------------------------------------------------ views
 
@@ -126,10 +134,10 @@ class Source:
     def map(self, *cols: Column, keep_seq: bool = True) -> "Source":
         """``fmap`` (Tubes/Source.hs:83-84) / ``map`` (Tubes/Util.hs:83-84)."""
         sel = [F.col(SEQ), *cols] if keep_seq else list(cols)
-        return Source(self.df.select(*sel))
+        return Source(self.df.select(*sel), dense=self.dense)
 
     def with_columns(self, **named: Column) -> "Source":
-        return Source(self.df.withColumns(dict(named)))
+        return Source(self.df.withColumns(dict(named)), dense=self.dense)
 
     def filter(self, pred: Column) -> "Source":
         """``filter`` (Tubes/Util.hs:100-101).  Position labels of the
@@ -146,13 +154,17 @@ class Source:
         aggregate, broadcast back into the plan — no sort, no collect),
         so million-element arrays can't collide the way a fixed 2^20
         stride would; outer overflow raises instead of corrupting order
-        (see :func:`_packed_seq`)."""
-        stride = self.df.agg(
-            F.greatest(F.coalesce(F.max(F.size(arr)), F.lit(1)), F.lit(1))
-            .cast("long").alias("__stride__")
-        )
+        (see :func:`_packed_seq`).  The stride is derived from the SAME
+        exploded frame that feeds the output (max inner position + 1),
+        so both scans share one evaluation of ``arr`` — and the packing
+        asserts ``inner < stride`` so a nondeterministic upstream fails
+        loudly instead of silently reordering."""
         exploded = self.df.select(
             F.col(SEQ).alias("__outer__"), F.posexplode(arr).alias("__inner__", alias)
+        )
+        stride = exploded.agg(
+            F.greatest(F.coalesce(F.max("__inner__") + 1, F.lit(1)), F.lit(1))
+            .cast("long").alias("__stride__")
         )
         out = exploded.join(F.broadcast(stride), how="cross").select(
             _packed_seq(F.col("__outer__"), F.col("__inner__").cast("long"),
@@ -180,7 +192,8 @@ class Source:
             .withColumn(SEQ, F.col(SEQ) + F.col("__off__"))
             .drop("__off__")
         )
-        return Source(self.df.unionByName(right, allowMissingColumns=False))
+        return Source(self.df.unionByName(right, allowMissingColumns=False),
+                      dense=self.dense and other.dense)
 
     def __or__(self, other: "Source") -> "Source":
         return self.concat(other)
@@ -191,20 +204,25 @@ class Source:
         exhausted (doc: A1 B1 A2 B2 A3 B3 B4, Tubes/Source.hs:50-72).
 
         Interleave order = sort by (element_rank, source_id): rank i of
-        stream A precedes rank i of stream B precedes rank i+1.  Each
-        side is re-ranked first (``row_number`` over its seq) so the
-        round-robin holds for filtered / keyed / hash-seq sources too —
-        raw seqs are positions only for dense ``each``-style sources,
-        and ``seq * 2`` can overflow on hash-derived seqs.  Re-ranking
-        is a total-order window: same cost class as take/drop, which is
-        inherent to the reference's synchronous interleave.  As a
-        multiset the result equals ``union`` (use that when order is
-        irrelevant).  Streaming form: plain ``union`` (arrival order) —
-        documented divergence (SURVEY.md §7.4)."""
+        stream A precedes rank i of stream B precedes rank i+1.  A side
+        whose seq is not known-dense is re-ranked first (``row_number``
+        over its seq) so the round-robin holds for filtered / keyed /
+        hash-seq sources too — raw seqs are positions only for dense
+        ``each``-style sources, and ``seq * 2`` can overflow on
+        hash-derived seqs.  Dense sides (``Source.dense``) skip the
+        re-rank entirely: their seqs ARE ranks, so the encoding is
+        shuffle-free — no single-partition window funnel.  Re-ranking a
+        non-dense side is a total-order window: same cost class as
+        take/drop, inherent to the reference's synchronous interleave.
+        As a multiset the result equals ``union`` (use that when order
+        is irrelevant).  Streaming form: plain ``union`` (arrival
+        order) — documented divergence (SURVEY.md §7.4)."""
         w = Window.orderBy(SEQ)
         rank = (F.row_number().over(w).cast("long") - 1).alias(SEQ)
-        left = self.df.withColumn(SEQ, rank).withColumn(SRC, F.lit(0))
-        right = other.df.withColumn(SEQ, rank).withColumn(SRC, F.lit(1))
+        ldf = self.df if self.dense else self.df.withColumn(SEQ, rank)
+        rdf = other.df if other.dense else other.df.withColumn(SEQ, rank)
+        left = ldf.withColumn(SRC, F.lit(0))
+        right = rdf.withColumn(SRC, F.lit(1))
         u = left.unionByName(right)
         out = u.select(
             (F.col(SEQ) * 2 + F.col(SRC)).alias(SEQ),
@@ -260,7 +278,8 @@ class Source:
         cols = [c for c in self.df.columns if c != SEQ]
         if len(cols) != 1:
             raise ValueError("lift1 expects a single-payload source")
-        return Source(self.df.select(F.col(SEQ), fn(F.col(cols[0])).alias(cols[0])))
+        return Source(self.df.select(F.col(SEQ), fn(F.col(cols[0])).alias(cols[0])),
+                      dense=self.dense)
 
     def sqrt(self): return self.lift1(F.sqrt)
     def exp(self): return self.lift1(F.exp)
@@ -272,14 +291,34 @@ class Source:
     def signum(self): return self.lift1(F.signum)
     def __neg__(self): return self.lift1(lambda c: -c)
     def recip(self): return self.lift1(lambda c: F.lit(1.0) / c)
+    # full named Floating surface (Tubes/Source.hs:143-162) — every
+    # instance method the reference enumerates, so users never need to
+    # reach for lift1(F.*) themselves:
+    def asin(self): return self.lift1(F.asin)
+    def acos(self): return self.lift1(F.acos)
+    def atan(self): return self.lift1(F.atan)
+    def sinh(self): return self.lift1(F.sinh)
+    def cosh(self): return self.lift1(F.cosh)
+    def tanh(self): return self.lift1(F.tanh)
+    def asinh(self): return self.lift1(F.asinh)
+    def acosh(self): return self.lift1(F.acosh)
+    def atanh(self): return self.lift1(F.atanh)
+    def log_base(self, base: float) -> "Source":
+        """``logBase b`` — note the reference's argument order (base first)."""
+        return self.lift1(lambda c: F.log(float(base), c))
+
+    @staticmethod
+    def pi(spark: SparkSession, column: str = "value") -> "Source":
+        """``pi`` (Floating's nullary member): one-element source of π."""
+        import math
+        return Source.pure(spark, math.pi, column)
 
     # ----------------------------------------------------------- order-sensitive
 
     def take(self, n: int) -> "Source":
         """``take`` (Tubes/Util.hs:116-120): first n elements, then stop.
         Physical plan: TakeOrderedAndProject (no full sort at scale)."""
-        w = Window.orderBy(SEQ)
-        return Source(self.df.orderBy(SEQ).limit(n))
+        return Source(self.df.orderBy(SEQ).limit(n), dense=self.dense)
 
     def drop(self, n: int) -> "Source":
         """``drop`` (Tubes/Util.hs:94-96): discard the first n.
@@ -304,7 +343,8 @@ class Source:
         return Source(
             self.df.join(F.broadcast(cut), how="cross")
             .filter(F.col("__cut__").isNull() | (F.col(SEQ) < F.col("__cut__")))
-            .drop("__cut__")
+            .drop("__cut__"),
+            dense=self.dense,  # a prefix of a dense 0..n-1 seq stays dense
         )
 
     def drop_while(self, pred: Column) -> "Source":

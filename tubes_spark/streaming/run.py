@@ -1,17 +1,21 @@
-"""Streaming runners: sources, multi-sink foreachBatch, replay.
+"""Streaming runners: sources, multi-sink foreachBatch, replay,
+takeWhile stream termination.
 
 * ``prompt`` (Tubes.hs:182-189, line-by-line stdin source)  ->
   :func:`socket_source` / :func:`rate_source` / file stream.
 * ``display`` (Tubes.hs:193-196) -> console sink.
 * ``runTube`` streaming half (Tubes/Core.hs:255-262) ->
   :func:`run_stream` with ``Trigger.AvailableNow`` for bounded drains.
+* ``takeWhile`` (Tubes/Util.hs:104-113, ends the WHOLE stream at the
+  first violation) -> :func:`take_while_stream`.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tubes_spark.sink import Sink
 
@@ -60,6 +64,71 @@ def run_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def take_while_stream(
+    df: DataFrame,
+    pred: Column,
+    order_col: str,
+    on_batch: Callable[[DataFrame], None],
+    checkpoint: str,
+    available_now: bool = False,
+    timeout_s: float = 600.0,
+    poll_s: float = 0.2,
+):
+    """Streaming ``takeWhile`` (Tubes/Util.hs:104-113): emit rows while
+    ``pred`` holds; at the FIRST violating row, emit that micro-batch's
+    pre-violation prefix, then terminate the whole query — the
+    reference's takeWhile ends the entire stream, not just one element.
+
+    Mechanics (the SURVEY §7.4-4 hard part): Structured Streaming has no
+    in-plan "stop the query" operator, so the cut is detected inside
+    ``foreachBatch`` — arrival order across batches is trigger order,
+    order *within* a batch is ``order_col`` — and a driver-side flag
+    requests the stop.  ``query.stop()`` must NOT be called from the
+    micro-batch thread (it joins that thread -> deadlock), so this
+    helper owns the polling loop and calls stop from the caller's
+    thread.  Once the flag is set, any further batch that races in
+    before the stop lands emits nothing, so no post-violation row is
+    ever delivered.
+
+    Violations are null-safe: a NULL predicate is a violation (the
+    reference's ``a -> Bool`` has no third value to hide behind).
+    Blocks until the query terminates; returns the cut order value
+    (None if the stream drained without a violation — only possible
+    with ``available_now=True``)."""
+    state: dict = {"cut": None, "stop": False}
+    holds = F.coalesce(pred, F.lit(False))
+
+    def handle(bdf: DataFrame, _bid: int) -> None:
+        if state["stop"]:
+            return
+        cut = bdf.filter(~holds).agg(F.min(order_col)).first()[0]
+        if cut is None:
+            on_batch(bdf)
+        else:
+            on_batch(bdf.filter(F.col(order_col) < F.lit(cut)))
+            state["cut"] = cut
+            state["stop"] = True
+
+    w = (
+        df.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while q.isActive and time.monotonic() < deadline:
+        if state["stop"]:
+            q.stop()
+            break
+        q.awaitTermination(poll_s)
+    q.awaitTermination(timeout_s)
+    return state["cut"]
 
 
 def drain_to_df(df: DataFrame, name: str, output_mode: str = "complete",
