@@ -294,6 +294,38 @@ def test_bucket_topk_scorer_chunked_equals_naive():
         assert have == expect, f"query {q}"
 
 
+def test_knn_ivf_distributed_training_recall(spark):
+    """IVF with full-corpus distributed k-means training must reach at
+    least the recall of the sample-trained variant's floor."""
+    emb = load_table(spark, "embeddings", SF)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(emb, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_ivf(
+            emb, q, dim=64, k=10, n_cells=16, n_probe=4, train="distributed"
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_kmeans_distributed_centroids_are_unit_norm(spark):
+    """Distributed trainer invariants: (n_cells, dim) shape, unit-norm
+    centroids (spherical k-means), deterministic under a fixed seed."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", SF)
+    c1 = similarity.kmeans_train_distributed(emb, 64, n_cells=8, iters=3)
+    c2 = similarity.kmeans_train_distributed(emb, 64, n_cells=8, iters=3)
+    assert c1.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    assert np.allclose(c1, c2)
+
+
 def test_winnow_matches_python_reference(spark):
     """Pin the JVM-side winnowing (k-gram rolling-hash fingerprints)
     against a literal pure-python implementation of the algorithm,

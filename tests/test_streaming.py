@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 
 from tubes_spark.catalog import load_table
 from tubes_spark.sink import Sink
-from tubes_spark.streaming.run import file_replay_source, run_stream, take_while_stream
+from tubes_spark.source import Source
+from tubes_spark.streaming.run import (
+    file_replay_source,
+    merge_streams_event_time,
+    run_stream,
+    take_while_stream,
+)
 from tubes_spark.streaming.state import running_fold
 
 SF = "/root/testdata/sf0.001"
@@ -264,6 +270,29 @@ def test_streaming_takewhile_terminates_query(spark, tmpdir):
     assert got == list(range(600)), (
         f"emitted {len(got)} rows; min={got[0] if got else None} max={got[-1] if got else None}"
     )
+
+
+def test_streaming_merge_event_time_order(spark, tmpdir):
+    """Replayable-stream merge: event-time-ranked round-robin equals the
+    batch Source.merge on the same ranking — the reference interleave,
+    not arrival order (closes the SURVEY §7.4-1 delta for replays)."""
+    src_dir = _prep_events_dir(spark, tmpdir)
+    stream = _events_stream(spark, src_dir)
+    sv = stream.filter(F.col("event_type") == "view").select("event_id", "ts", "user_id")
+    sp = stream.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    got = merge_streams_event_time(sv, sp, ["ts", "event_id"], "met").collect()
+
+    e = load_table(spark, "events", SF)
+    bv = e.filter(F.col("event_type") == "view").select("event_id", "ts", "user_id")
+    bp = e.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    expect = (
+        Source.from_df(bv, ["ts", "event_id"])
+        .merge(Source.from_df(bp, ["ts", "event_id"]))
+        .ordered()
+        .collect()
+    )
+    assert [r["event_id"] for r in got] == [r["event_id"] for r in expect]
+    assert len(got) > 0
 
 
 def test_streaming_session_window(spark, tmpdir):

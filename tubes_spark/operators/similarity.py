@@ -314,6 +314,63 @@ def embedding_dedup(
 
 # ---------------------------------------------------------------- IVF ANN
 
+def kmeans_train_distributed(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 8,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+) -> np.ndarray:
+    """Distributed spherical k-means over the full corpus.
+
+    The sample-based trainer (:func:`_kmeans_centroids`) sees at most
+    ``sample_cap`` vectors — fine for well-mixed data, biased if the
+    head of the corpus isn't representative.  This variant initializes
+    from the same bounded sample but then iterates over EVERYTHING:
+
+    * assignment: one Arrow-batched matmul pass (centroids ride along in
+      the closure — (n_cells x dim) doubles, broadcast-sized),
+    * update: ``posexplode`` to (cell, pos, x) then ONE grouped mean per
+      iteration — partial aggregation map-side, and only the
+      (n_cells x dim) centroid table ever reaches the driver.
+
+    Per-iteration cost is a corpus scan + one narrow shuffle on the
+    (cell, pos) int pair; nothing driver-side scales with corpus size."""
+    sample = corpus.select(vec_col).limit(sample_cap).toPandas()
+    cent = _kmeans_centroids(_to_matrix(sample[vec_col]), n_cells, seed, iters=1)
+
+    for _ in range(iters):
+        c = cent  # bind current value into the closure
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cm = _to_matrix(pdf[vec_col])
+                cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+                out = pdf[[vec_col]].copy()
+                out["cell"] = np.argmax(cm @ c.T, axis=1).astype(np.int64)
+                yield out
+
+        assigned = corpus.select(vec_col).mapInPandas(
+            assign, schema=f"{vec_col} array<float>, cell long"
+        )
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cent.copy()
+        for cell, grp in pd.DataFrame([r.asDict() for r in means]).groupby("cell"):
+            v = grp.sort_values("pos")["m"].to_numpy()
+            new[int(cell)] = v / (np.linalg.norm(v) or 1.0)
+        cent = new
+    return cent
+
+
 def _kmeans_centroids(mat: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
     """Tiny deterministic spherical k-means on a driver-side sample.
     The sample is small by design (centroid training reads a capped
@@ -342,17 +399,27 @@ def knn_ivf(
     vec_col: str = "embedding",
     sample_cap: int = 4096,
     seed: int = 11,
+    train: str = "sample",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     n_cells k-means cells; each query probes its n_probe nearest cells
     and scores only those members.
 
-    Scale shape: centroids train on a bounded driver-side sample (one
-    small collect), assignment is one Arrow-batched matmul pass, and the
-    only shuffle is on the int cell id.  Each corpus vector lands in
-    exactly one cell, so candidate pairs are unique — no dedup pass."""
-    sample = corpus.select(vec_col).limit(sample_cap).toPandas()
-    cent = _kmeans_centroids(_to_matrix(sample[vec_col]), n_cells, seed)
+    Scale shape: centroids train on a bounded driver-side sample
+    (``train="sample"``, one small collect — default) or on the full
+    corpus with distributed assignment/update passes
+    (``train="distributed"``, :func:`kmeans_train_distributed` — use
+    when the corpus head is not representative); assignment is one
+    Arrow-batched matmul pass, and the only shuffle is on the int cell
+    id.  Each corpus vector lands in exactly one cell, so candidate
+    pairs are unique — no dedup pass."""
+    if train == "distributed":
+        cent = kmeans_train_distributed(
+            corpus, dim, n_cells, seed=seed, vec_col=vec_col, sample_cap=sample_cap
+        )
+    else:
+        sample = corpus.select(vec_col).limit(sample_cap).toPandas()
+        cent = _kmeans_centroids(_to_matrix(sample[vec_col]), n_cells, seed)
 
     qids_all, qm_all = _collect_queries(queries, id_col, vec_col)
     probes = np.argsort(-(qm_all @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)

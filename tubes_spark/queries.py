@@ -580,6 +580,17 @@ def knn_lsh_approx(spark, sf_dir):
     )
 
 
+def knn_ivf_distributed(spark, sf_dir):
+    """IVF ANN with full-corpus distributed k-means training (rows-only:
+    centroids are numpy-seeded).  Recall pinned vs brute force in
+    tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_ivf(
+        emb, q, dim=64, k=10, n_cells=16, n_probe=4, train="distributed"
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 def embedding_dedup_survivors(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_dedup(emb, threshold=0.98, dim=64).select("vec_id")

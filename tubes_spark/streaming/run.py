@@ -131,6 +131,32 @@ def take_while_stream(
     return state["cut"]
 
 
+def merge_streams_event_time(
+    a: DataFrame,
+    b: DataFrame,
+    order_by: "list[str]",
+    name: str,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Reference-faithful ``merge`` interleave for REPLAYABLE streams
+    (Tubes/Source.hs:180-193): drain both sides with AvailableNow, rank
+    each by event time (``order_by``), then round-robin on (rank, side)
+    — element i of stream A precedes element i of stream B precedes
+    element i+1, exactly the reference's synchronous order, but w.r.t.
+    event time rather than nondeterministic arrival order.
+
+    This closes the semantic delta for bounded replays; LIVE unbounded
+    streams keep the documented arrival-order ``union`` divergence
+    (SURVEY §7.4-1) — a total event-time rank over an unbounded stream
+    would require unbounded state.  The drain goes through a memory
+    sink (driver-resident): bounded replays only, by contract."""
+    from tubes_spark.source import Source
+
+    da = drain_to_df(a, f"{name}_a", output_mode="append", timeout_s=timeout_s)
+    db = drain_to_df(b, f"{name}_b", output_mode="append", timeout_s=timeout_s)
+    return Source.from_df(da, order_by).merge(Source.from_df(db, order_by)).ordered()
+
+
 def drain_to_df(df: DataFrame, name: str, output_mode: str = "complete",
                 timeout_s: int = 600) -> DataFrame:
     """Run a bounded streaming plan to completion (AvailableNow) into a
