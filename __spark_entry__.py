@@ -97,6 +97,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "floating_named_math": Q.floating_named_math,
     "dynamic_channel_route": Q.dynamic_channel_route,
     "knn_ivf_distributed": Q.knn_ivf_distributed,
+    "streaming_takewhile_prefix": Q.streaming_takewhile_prefix,
     # --- driver-verified in r1/r2 (pass rows in CORRECTNESS_r0{1,2}) ---
     # core stateless surface (SURVEY §2.3) + source algebra (§2.4)
     "map_net_price": Q.map_net_price,

@@ -294,6 +294,21 @@ def test_bucket_topk_scorer_chunked_equals_naive():
         assert have == expect, f"query {q}"
 
 
+def test_dedup_minhash_pre_exact_same_survivors(spark):
+    """The pre_exact skew guard (collapse verbatim copies before LSH)
+    must not change the survivor set — checked on a corpus where half
+    the docs are exact duplicates (the degenerate case it exists for)."""
+    d = load_table(spark, "documents", SF).limit(200)
+    copies = d.limit(100).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = d.unionByName(copies.select(d.columns))
+    base = {r["doc_id"] for r in dedup.dedup_minhash(corpus, threshold=0.8).select("doc_id").collect()}
+    fast = {r["doc_id"] for r in dedup.dedup_minhash(corpus, threshold=0.8, pre_exact=True).select("doc_id").collect()}
+    assert base == fast
+    assert not any(i >= 1_000_000 for i in base)  # all copies gone either way
+
+
 def test_knn_ivf_distributed_training_recall(spark):
     """IVF with full-corpus distributed k-means training must reach at
     least the recall of the sample-trained variant's floor."""

@@ -117,3 +117,39 @@ def test_embedding_centroids_partial_agg(spark):
     p = plan_of(Q.embedding_centroids(spark, SF))
     assert n_nodes(p, "HashAggregate") >= 2, p
     assert n_nodes(p, "Exchange") == 1, p
+
+
+def test_simhash_radius_no_cartesian(spark):
+    """Radius-2 simhash dedup must stay a banded equi-join — never an
+    all-pairs product."""
+    from tubes_spark.catalog import load_table
+    from tubes_spark.operators import dedup
+
+    d = load_table(spark, "documents", SF)
+    p = plan_of(dedup.dedup_simhash(d, radius=2))
+    assert n_nodes(p, "CartesianProduct") == 0, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_tfidf_builds_without_driver_action(spark):
+    """The corpus-size scalar must enter the plan as a broadcast one-row
+    agg — constructing the query runs NO Spark job (the r2 d.count()
+    regression, VERDICT #5)."""
+    st = spark.sparkContext.statusTracker()
+
+    def jobs_during(fn):
+        before = set(st.getJobIdsForGroup(None))
+        fn(spark, SF)
+        return len(set(st.getJobIdsForGroup(None)) - before)
+
+    jobs_during(Q.text_tfidf_top_terms)   # warm both paths' file listings
+    jobs_during(Q.text_token_counts)
+    # token_counts is plan-only by construction; its job count during
+    # building (parquet schema reads) is the floor — tfidf must match
+    # it, i.e. add NO extra job (the r2 d.count() ran one per call)
+    floor = jobs_during(Q.text_token_counts)
+    assert jobs_during(Q.text_tfidf_top_terms) <= floor, (
+        "tfidf construction ran more jobs than a plan-only query"
+    )
+    df = Q.text_tfidf_top_terms(spark, SF)
+    assert "BroadcastNestedLoopJoin" in plan_of(df)  # the one-row agg rides broadcast

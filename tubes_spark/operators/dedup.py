@@ -228,10 +228,22 @@ def dedup_minhash(
     threshold: float = 0.8,
     shingle_k: int = 3,
     policy: str = "greedy",
+    pre_exact: bool = False,
 ) -> DataFrame:
     """Near-dedup over verified MinHash-LSH pairs.  The shingle frame is
     computed once and shared (cached) between the LSH candidate stage
     and the exact verify stage.
+
+    ``pre_exact``: run :func:`dedup_exact` first (one extra narrow
+    shuffle).  The survivor set is IDENTICAL — exact duplicates share a
+    shingle set, so the near-dup stage drops every higher-id twin the
+    exact stage would (jaccard 1 >= any threshold), and any doc similar
+    to a twin is equally similar to its kept representative.  What
+    changes is the degenerate-skew profile: a corpus with millions of
+    verbatim copies otherwise lands them all in the SAME band buckets,
+    making the LSH self-join quadratic in the copy count.  Turn this on
+    for crawl-shaped corpora at scale; off (default) when exact dups
+    are known rare.
 
     Survivor policies:
 
@@ -245,6 +257,8 @@ def dedup_minhash(
       cluster, and a chain D~E (separate) independently keeps D."""
     if policy not in ("greedy", "components"):
         raise ValueError(f"unknown survivor policy {policy!r}")
+    if pre_exact:
+        df = dedup_exact(df, text_col, id_col)
     sh = shingle_frame(df, text_col, id_col, shingle_k).persist()
     cand = minhash_candidates(df, text_col, id_col, shingle_k=shingle_k, shingles=sh)
     verified = (

@@ -683,6 +683,10 @@ FROM q GROUP BY c_mktsegment, quartile
 # streaming twin — identical oracle to the batch tumbling_hourly
 ORACLES["streaming_tumbling_hourly"] = ORACLES["tumbling_hourly"]
 
+ORACLES["streaming_takewhile_prefix"] = """
+SELECT event_id, value FROM events WHERE event_id < 600
+"""
+
 ORACLES["dropwhile_prefix"] = """
 WITH c AS (
   SELECT min(o_orderkey) AS cut FROM orders WHERE NOT (o_totalprice < 150000)

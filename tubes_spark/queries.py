@@ -1057,6 +1057,47 @@ def ntile_acctbal_quartiles(spark, sf_dir):
     )
 
 
+def streaming_takewhile_prefix(spark, sf_dir):
+    """Streaming `takeWhile` under the full oracle gate (Tubes/Util.hs:
+    104-113 ends the WHOLE stream at the first violation): events replay
+    as an event-id-ordered multi-file stream; `take_while_stream` emits
+    rows while event_id < 600, emits the violating batch's prefix, and
+    suppresses everything after.  The emitted set must equal the batch
+    prefix — oracle `WHERE event_id < 600`."""
+    import os
+    import shutil
+    import tempfile
+
+    from tubes_spark.streaming.run import file_replay_source, take_while_stream
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_tw_")
+    try:
+        # range-partitioned files: part-0000N covers ascending id ranges,
+        # mtimes forced increasing so replay order == event order
+        (e.repartitionByRange(4, "event_id").sortWithinPartitions("event_id")
+         .write.parquet(f"{tmp}/in"))
+        parts = sorted(f for f in os.listdir(f"{tmp}/in") if f.endswith(".parquet"))
+        for i, fname in enumerate(parts):
+            os.utime(f"{tmp}/in/{fname}", (1_700_000_000 + i, 1_700_000_000 + i))
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = file_replay_source(spark, f"{tmp}/in", schema, max_files_per_trigger=1)
+        rows: list = []
+        take_while_stream(
+            stream,
+            F.col("event_id") < 600,
+            "event_id",
+            lambda bdf: rows.extend(bdf.collect()),
+            checkpoint=f"{tmp}/ck",
+            available_now=True,
+        )
+        if not rows:
+            return spark.createDataFrame([], "event_id long, value double")
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_tumbling_hourly(spark, sf_dir):
     """The tumbling-window aggregation run through the REAL Structured
     Streaming engine (not the batch twin): events replayed as a

@@ -75,7 +75,7 @@ class Source:
 
         Uses a rank-style dense global sequence via ``row_number`` over a
         single window — acceptable for the order-sensitive subset only.
-        For big data prefer :meth:`from_df_cheap` (zorder not required).
+        For big data prefer :meth:`from_df_keyed` (no global window).
         """
         w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
         return Source(df.withColumn(SEQ, F.row_number().over(w).cast("long") - 1), dense=True)
