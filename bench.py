@@ -86,6 +86,15 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # streaming drain FIRST: measured after the 37-query battery the
+    # same drain loses ~35% throughput to accumulated JVM state (code
+    # cache pressure, GC debt from ~110 compiled plans) — isolated vs
+    # post-battery: 60k vs 38k ev/s on an idle host.  The queries have
+    # their own per-query warm runs, so battery order doesn't matter to
+    # them; the streaming number should reflect the streaming engine,
+    # not the bench harness's JVM history.
+    streaming = _stream_drain_rate(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -100,8 +109,6 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-
-    streaming = _stream_drain_rate(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

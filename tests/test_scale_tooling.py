@@ -91,6 +91,19 @@ def test_csv_json_roundtrip(spark, tmpdir):
     assert sorted(map(tuple, back_json.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmpdir):
+    """ORC round-trip preserves values, and a filter on the read-back
+    frame is pushed to the ORC scan (same pushdown story as parquet)."""
+    df = load_table(spark, "orders", SF).select("o_orderkey", "o_totalprice")
+    sources.write_orc(df, f"{tmpdir}/orc")
+    back = sources.read_orc(spark, f"{tmpdir}/orc")
+    assert back.count() == df.count()
+    filtered = back.filter(F.col("o_totalprice") > 100000)
+    p = plans.plan_of(filtered)
+    assert "PushedFilters" in p and "o_totalprice" in p
+    assert filtered.count() == df.filter(F.col("o_totalprice") > 100000).count()
+
+
 def test_partitioned_parquet_prunes(spark, tmpdir):
     e = load_table(spark, "events", SF)
     sources.write_parquet(e, f"{tmpdir}/pq", partition_by=["event_type"])

@@ -198,7 +198,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # decimal sum: labels are arbitrary 64-bit ids — a bigint sum over
+    # billions of nodes can overflow and alias two different states
+    chk = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(chk).first()[0]
     for _ in range(max_iter):
         nb = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -214,7 +217,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             # grows exponentially and re-executes every prior round
             .localCheckpoint(eager=True)
         )
-        cur = labels.agg(F.sum("comp")).first()[0]
+        cur = labels.agg(chk).first()[0]
         if cur == prev_sum:
             break
         prev_sum = cur

@@ -41,7 +41,9 @@ def get_spark(
         # long-lived session compiling many distinct plans (the bench, a
         # multi-tenant cluster) overflows the JVM's default 240m reserved
         # code cache, silently dropping hot stages back to the
-        # interpreter (~2x on codegen-heavy plans like 64-hash MinHash)
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        # interpreter (~2x on codegen-heavy plans like 64-hash MinHash).
+        # 1g: the r3 bench compiles ~110 distinct plans best-of-3 and
+        # still showed late-battery throughput decay at 512m
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
     )
     return builder.getOrCreate()

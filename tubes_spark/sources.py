@@ -47,6 +47,12 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC: the other columnar built-in — same pushdown/pruning story as
+    parquet (plus bloom filters where written)."""
+    return spark.read.orc(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: Sequence[str] = (),
                   compression: str = "zstd") -> None:
@@ -64,6 +70,15 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: Sequence[str] = (),
+              compression: str = "zstd") -> None:
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],

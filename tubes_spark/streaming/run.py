@@ -127,7 +127,7 @@ def take_while_stream(
             q.stop()
             break
         q.awaitTermination(poll_s)
-    q.awaitTermination(timeout_s)
+    q.awaitTermination(max(deadline - time.monotonic(), 1.0))
     return state["cut"]
 
 
