@@ -76,6 +76,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_interval_join": Q.streaming_interval_join,
     "streaming_distinct_users": Q.streaming_distinct_users,
     "streaming_merge_union": Q.streaming_merge_union,
+    "streaming_session_30m": Q.streaming_session_30m,
     "dropwhile_prefix": Q.dropwhile_prefix,
     "skew_salted_type_counts": Q.skew_salted_type_counts,
     "sql_api_revenue_by_segment": Q.sql_api_revenue_by_segment,
@@ -89,6 +90,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified_docs": Q.sample_stratified_docs,
     "pii_redact_docs": Q.pii_redact_docs,
     "quality_repetition_ratio": Q.quality_repetition_ratio,
+    "decontaminate_ngram": Q.decontaminate_ngram,
+    "pack_sequences_bins": Q.pack_sequences_bins,
+    "docs_length_band": Q.docs_length_band,
+    "semantic_dedup_survivors": Q.semantic_dedup_survivors,
     "embedding_norms": Q.embedding_norms,
     "embedding_centroids": Q.embedding_centroids,
     # new in round 3

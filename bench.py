@@ -62,6 +62,10 @@ HEADLINE = [
     "dedup_simhash_near_survivors",   # simhash LSH at hamming radius 2
     "dedup_minhash_cc_survivors",     # connected-components survivor policy
     "dynamic_channel_route",          # per-row dynamic channel (escape hatch)
+    "decontaminate_ngram",            # benchmark n-gram decontamination
+    "pack_sequences_bins",            # training sequence packing
+    "docs_length_band",               # percentile length filter
+    "semantic_dedup_survivors",       # SemDeDup k-means-cell dedup
 ]
 
 

@@ -369,3 +369,32 @@ def test_winnow_matches_python_reference(spark):
         n_windows = max(len(hashes) - (w - 1), 1)
         expect = sorted({min(hashes[i:i + w]) for i in range(n_windows)})
         assert got[doc_id] == expect, f"doc {doc_id}"
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    """SemDeDup (k-means cells + within-cell cosine pruning): planted
+    near-copies of existing vectors land in the same cell as their
+    original (cosine ~1 -> same argmax centroid) and must be dropped,
+    keeping the lowest-id member; untouched vectors all survive."""
+    emb = load_table(spark, "embeddings", SF)
+    originals = emb.filter(F.col("vec_id") < 5)
+    # near-copy: same vector, every component nudged by +1e-3
+    near = originals.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(1e-3)).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    combined = emb.unionByName(near.select(emb.columns))
+    out = similarity.semantic_dedup(combined, threshold=0.999, dim=64, n_cells=8)
+    assert out.filter(F.col("vec_id") >= 1_000_000).count() == 0
+    # the lowest-id originals survive, and nothing else was dropped
+    assert out.filter(F.col("vec_id") < 5).count() == 5
+    assert out.count() == emb.count()
+
+
+def test_semantic_dedup_keeps_distinct_vectors(spark):
+    """At a near-exact threshold the natural table (no duplicate
+    vectors) passes through unchanged."""
+    emb = load_table(spark, "embeddings", SF)
+    out = similarity.semantic_dedup(emb, threshold=0.9999, dim=64, n_cells=8)
+    assert out.count() == emb.count()

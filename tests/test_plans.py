@@ -153,3 +153,29 @@ def test_tfidf_builds_without_driver_action(spark):
     )
     df = Q.text_tfidf_top_terms(spark, SF)
     assert "BroadcastNestedLoopJoin" in plan_of(df)  # the one-row agg rides broadcast
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set (eval-suite sized) must be the
+    broadcast side; the corpus shingle stream stays map-side up to the
+    join, and the distinct count happens without an Expand."""
+    p = plan_of(Q.decontaminate_ngram(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "Expand" not in p, p
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Packing must parallelize per shard: a hash-partitioned window,
+    never an Exchange SinglePartition funnel."""
+    p = plan_of(Q.pack_sequences_bins(spark, SF))
+    assert "Window" in p, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_docs_length_band_partial_percentile_broadcast(spark):
+    """The percentile band is a one-row agg (partial map-side) broadcast
+    back onto the scan — the corpus itself never shuffles."""
+    p = plan_of(Q.docs_length_band(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "partial_percentile" in p, p
+    assert "Exchange hashpartitioning" not in p, p

@@ -277,6 +277,22 @@ def embedding_dedup(
     if not dim:
         raise ValueError("pass the embedding dimensionality")
     cb = bucket_ids(df, dim, n_planes, id_col=id_col, vec_col=vec_col, n_tables=n_tables)
+    dups = cb.groupBy("bucket").applyInPandas(
+        _dup_finder(threshold, id_col, vec_col), schema="dup_id long"
+    )
+    return df.join(
+        dups.withColumnRenamed("dup_id", id_col).distinct(), on=id_col, how="left_anti"
+    )
+
+
+def _dup_finder(threshold: float, id_col: str, vec_col: str):
+    """Per-group near-dup scan shared by the LSH (:func:`embedding_dedup`)
+    and k-means-cell (:func:`semantic_dedup`) paths: within one pandas
+    group, mark every vector whose cosine to a LOWER-id member >= the
+    threshold (greedy keep-lowest-id).  Chunked double loop — peak memory
+    (chunk x chunk) however degenerate the group; rows already marked dup
+    are skipped on the query side (they stay as lower-id partners, so
+    pairwise drop semantics are unchanged)."""
 
     def find_dups(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -306,7 +322,55 @@ def embedding_dedup(
             is_dup[np.maximum(ii, jj) + plo] = True
         return pd.DataFrame({"dup_id": ids[is_dup].astype(np.int64)})
 
-    dups = cb.groupBy("bucket").applyInPandas(find_dups, schema="dup_id long")
+    return find_dups
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 0,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then within each
+    cluster drop every vector whose cosine to a lower-id member exceeds
+    the threshold.  Versus :func:`embedding_dedup` (sign-LSH buckets)
+    the partition is data-adapted — semantically-near docs land in the
+    same cell by construction — at the cost of a training step and the
+    inherent SemDeDup blind spot: pairs straddling a cell boundary are
+    never compared (the published method accepts this; raise n_cells
+    recall by clustering tighter and lowering the threshold instead).
+
+    Scale shape: centroid training reads a bounded driver-side sample;
+    assignment is one Arrow-batched matmul pass; the only shuffle is on
+    the int cell id; the per-cell scan is the shared chunked
+    :func:`_dup_finder` kernel, so a degenerate cell cannot blow memory.
+    Nothing driver-side scales with corpus size."""
+    if not dim:
+        raise ValueError("pass the embedding dimensionality")
+    sample = df.select(vec_col).limit(sample_cap).toPandas()
+    cent = _kmeans_centroids(_to_matrix(sample[vec_col]), n_cells, seed)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _to_matrix(pdf[vec_col])
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = np.argmax(cm @ cent.T, axis=1).astype(np.int64)
+            yield out
+
+    cells = df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cell long"
+    )
+    dups = cells.groupBy("cell").applyInPandas(
+        _dup_finder(threshold, id_col, vec_col), schema="dup_id long"
+    )
     return df.join(
         dups.withColumnRenamed("dup_id", id_col).distinct(), on=id_col, how="left_anti"
     )

@@ -867,3 +867,53 @@ SELECT label, CAST(pos AS INTEGER) AS pos,
   COUNT(*) AS n
 FROM ex GROUP BY label, pos
 """
+
+
+ORACLES["decontaminate_ngram"] = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+         ELSE [array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)] END) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM sh WHERE source IN ('src0', 'src1')
+), train AS (
+  SELECT DISTINCT doc_id, g FROM sh WHERE source NOT IN ('src0', 'src1')
+)
+SELECT doc_id, COUNT(*) AS n_shared
+FROM train JOIN bench USING (g)
+GROUP BY doc_id
+"""
+
+ORACLES["pack_sequences_bins"] = r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT shard, CAST(floor(cum_before / 512) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY shard, bin
+"""
+
+ORACLES["docs_length_band"] = """
+WITH b AS (
+  SELECT round(quantile_cont(n_chars, 0.05), 6) AS lo,
+         round(quantile_cont(n_chars, 0.95), 6) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars, lang
+FROM documents, b
+WHERE n_chars >= lo AND n_chars <= hi
+"""
+
+
+ORACLES["streaming_session_30m"] = ORACLES["session_30m"]

@@ -1595,3 +1595,159 @@ def embedding_centroids(spark, sf_dir):
         (dsum(F.col("x").cast("double")) / F.count(F.lit(1))).alias("centroid"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline extensions, round 3: benchmark decontamination,
+# sequence packing, percentile length filtering, and SemDeDup-style
+# semantic dedup.  Same discipline as the round-2 block: deterministic,
+# no RNG, nothing driver-side that scales with the corpus.
+# --------------------------------------------------------------------------
+
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with the held-out eval set (sources src0/src1 stand in
+    for the benchmark).  The standard pre-training hygiene step (GPT-3
+    appendix C / PaLM-style 'n-gram overlap' decontamination).
+
+    Scale shape: the benchmark side of the join is an eval suite —
+    MBs against a 100 TB corpus — so its distinct shingle set is
+    BROADCAST: the corpus-side shingle stream never shuffles, making
+    this a map-side semi-join per corpus split.  Shingles join on the
+    string here for oracle portability; at scale hash them to 64-bit
+    first (xxhash64) so the broadcast table is 8 bytes/row.  Tokens are
+    materialized into a column before shingling (codegen substitutes
+    children textually — an inline split would re-split per shingle)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split(text.normalize(F.col("text")), " ").alias("w")
+    )
+    sh = toks.select(
+        "doc_id", "source",
+        F.explode(text.word_shingles_from_tokens(F.col("w"), 5)).alias("g"),
+    )
+    is_bench = F.col("source").isin("src0", "src1")
+    bench = sh.filter(is_bench).select("g").distinct()
+    train = sh.filter(~is_bench)
+    # join BEFORE dedup: the broadcast join is map-side and hits are
+    # rare, so the only corpus-wide shuffle is the final distinct-count
+    # on doc_id — never the raw shingle stream
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+
+
+def pack_sequences_bins(spark, sf_dir):
+    """Greedy sequence packing for training-batch assembly: shard the
+    corpus (doc_id % 8), order each shard by doc_id, and cut bins where
+    the running token count crosses multiples of the 512-token budget
+    (bin = floor(tokens_before / budget) — the concat-then-chunk packing
+    used for LLM pretraining, where a document may straddle a boundary).
+
+    Scale shape: the window is PARTITIONED by shard, so each shard's
+    running sum is an independent task — packing parallelism = shard
+    count (pick shards ~ cluster cores at 100 TB), no global sort, no
+    single-partition funnel.  Deterministic: same data -> same bins,
+    regardless of partitioning or executor count."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        c.withColumn("bin", F.floor(F.col("cum_before") / 512))
+        .groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def docs_length_band(spark, sf_dir):
+    """Percentile length filter: keep documents whose n_chars falls in
+    the [p05, p95] band — the distribution-relative outlier screen that
+    drops truncated fragments and concatenation accidents without a
+    hand-tuned absolute cutoff.
+
+    Scale shape: one tiny all-reduce (the two exact percentiles -> one
+    row) cross-joined broadcast onto a per-row filter — the corpus
+    itself never shuffles (same one-row-agg pattern as q11's threshold).
+    Cutoffs are rounded to 6 decimals before comparing so an ulp of
+    interpolation difference between engines cannot move an integer
+    across the boundary."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.agg(
+        F.round(F.percentile(F.col("n_chars"), F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile(F.col("n_chars"), F.lit(0.95)), 6).alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(b))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars", "lang")
+    )
+
+
+def semantic_dedup_survivors(spark, sf_dir):
+    """SemDeDup over the embeddings table: k-means cells + within-cell
+    cosine pruning (similarity.semantic_dedup).  Rows-only for the
+    driver (centroid init is seed-dependent); semantics are pinned in
+    tests against a brute-force within-cell scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(e, threshold=0.95, dim=64, n_cells=16)
+    return out.select("vec_id", "label")
+
+
+def streaming_session_30m(spark, sf_dir):
+    """Session windows through the REAL Structured Streaming engine:
+    events replayed as a multi-batch file stream, native session_window
+    aggregation (gap-merging handled by the streaming state store as
+    sessions grow across micro-batches), AvailableNow drain.  The one
+    windowing form whose streaming semantics genuinely differ from a
+    batch groupBy — sessions must MERGE when a later micro-batch
+    bridges two previously-separate sessions — so it is hash-checked
+    against the identical DuckDB oracle as batch session_30m.  The
+    3650-day watermark keeps every event (no late-drop) so streaming
+    and batch agree exactly; production sets a real delay and trades
+    exactness for bounded state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.operators import windows as W
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_q_")
+    try:
+        e.repartition(4).write.parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = file_replay_source(spark, f"{tmp}/in", schema, max_files_per_trigger=2)
+        agg = windows.session(
+            W.with_watermark(stream, "ts", "3650 days"),
+            "ts", "30 minutes", ["user_id"],
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        out = drain_to_df(agg, f"stream_session_{uuid.uuid4().hex[:8]}")
+        res = out.select(
+            "user_id",
+            F.col("win.start").cast("long").alias("session_start"),
+            F.col("win.end").cast("long").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        res = res.cache()
+        res.count()  # pin rows before the input files are removed
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
