@@ -103,6 +103,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dynamic_channel_route": Q.dynamic_channel_route,
     "knn_ivf_distributed": Q.knn_ivf_distributed,
     "streaming_takewhile_prefix": Q.streaming_takewhile_prefix,
+    "ann_radius_neighbors": Q.ann_radius_neighbors,
+    "sample_per_lang_hash": Q.sample_per_lang_hash,
+    "shard_assign_stats": Q.shard_assign_stats,
+    "decontaminate_minhash": Q.decontaminate_minhash,
+    "partitioned_io_pruned": Q.partitioned_io_pruned,
+    "streaming_sliding_10m": Q.streaming_sliding_10m,
+    "quality_unigram_logprob": Q.quality_unigram_logprob,
     # --- driver-verified in r1/r2 (pass rows in CORRECTNESS_r0{1,2}) ---
     # core stateless surface (SURVEY §2.3) + source algebra (§2.4)
     "map_net_price": Q.map_net_price,

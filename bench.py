@@ -66,6 +66,11 @@ HEADLINE = [
     "pack_sequences_bins",            # training sequence packing
     "docs_length_band",               # percentile length filter
     "semantic_dedup_survivors",       # SemDeDup k-means-cell dedup
+    "ann_radius_neighbors",           # cosine range search
+    "sample_per_lang_hash",           # deterministic per-group sample
+    "shard_assign_stats",             # deterministic training-shard split
+    "decontaminate_minhash",          # near-dup cross-corpus decon
+    "partitioned_io_pruned",          # hive-partitioned write + pruned read
 ]
 
 

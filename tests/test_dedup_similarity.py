@@ -398,3 +398,43 @@ def test_semantic_dedup_keeps_distinct_vectors(spark):
     emb = load_table(spark, "embeddings", SF)
     out = similarity.semantic_dedup(emb, threshold=0.9999, dim=64, n_cells=8)
     assert out.count() == emb.count()
+
+
+def test_radius_neighbors_matches_bruteforce_filter(spark):
+    """Range search must return exactly the pairs a full top-k scan
+    finds at or above the threshold (same scoring kernel, no window)."""
+    emb = load_table(spark, "embeddings", SF)
+    q = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    full = similarity.knn_bruteforce(emb, q, k=n)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in full.filter(F.col("cos_sim") >= 0.25).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in similarity.radius_neighbors(emb, q, threshold=0.25).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_cross_corpus_flags_catches_reworded_bench_doc(spark):
+    """A train doc that lightly rewords a benchmark doc (high but <1
+    Jaccard) must be flagged; unrelated docs must not; benchmark docs
+    themselves never appear in the output."""
+    words = [f"w{i}" for i in range(40)]
+    bench_text = " ".join(words)
+    # rewording: change the last two words -> 3-shingle Jaccard ~ 36/42
+    leaked = " ".join(words[:-2] + ["xx", "yy"])
+    rows = [
+        (0, bench_text, "bench"),
+        (1, leaked, "train"),
+        (2, " ".join(f"z{i}" for i in range(40)), "train"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench_ids = d.filter(F.col("source") == "bench").select("doc_id")
+    out = dedup.cross_corpus_flags(d, bench_ids, threshold=0.5).collect()
+    flagged = {r["doc_id"]: r for r in out}
+    assert 1 in flagged and flagged[1]["n_matches"] == 1
+    assert 0.5 <= flagged[1]["max_jaccard"] < 1.0
+    assert 2 not in flagged and 0 not in flagged

@@ -179,3 +179,24 @@ def test_docs_length_band_partial_percentile_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p, p
     assert "partial_percentile" in p, p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """A lang-partitioned layout + lang filter must prune at the
+    DIRECTORY level: the filter appears under PartitionFilters (not
+    PushedFilters), so non-matching partitions are never even listed."""
+    import shutil
+    import tempfile
+
+    from tubes_spark import sources
+    from tubes_spark.catalog import load_table
+
+    d = load_table(spark, "documents", SF)
+    tmp = tempfile.mkdtemp(prefix="tubes_part_plan_")
+    try:
+        sources.write_parquet(d, f"{tmp}/docs", partition_by=["lang"])
+        back = sources.read_parquet(spark, f"{tmp}/docs")
+        p = plan_of(back.filter(F.col("lang").isin("en", "de")).select("doc_id"))
+        assert "PartitionFilters" in p and "lang" in p.split("PartitionFilters", 1)[1][:200], p
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

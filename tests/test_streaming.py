@@ -325,3 +325,74 @@ def test_streaming_session_window(spark, tmpdir):
         .collect()
     }
     assert got == expect
+
+
+def test_watermark_drops_late_event(spark, tmpdir):
+    """A TIGHT watermark must actually drop late data: an event arriving
+    two micro-batches after the watermark passed its window's end may
+    not be counted (every other streaming test uses a huge watermark to
+    match batch; this pins the bounded-state trade itself)."""
+    import os
+    import time
+
+    src = f"{tmpdir}/in"
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        df.coalesce(1).write.parquet(f"{tmpdir}/stage_{name}")
+        part = next(
+            p for p in os.listdir(f"{tmpdir}/stage_{name}") if p.endswith(".parquet")
+        )
+        dst = f"{src}/{name}.parquet"
+        os.rename(f"{tmpdir}/stage_{name}/{part}", dst)
+        os.utime(dst, (mtime, mtime))
+
+    from datetime import datetime
+
+    ts = lambda h, m: datetime(2024, 1, 1, h, m)
+    t0 = time.time()
+    # batch 1: one event in the 10:00 window, one at 12:00 that will
+    # push the watermark to 11:50 — past the 10:00 window's end
+    write_file("b1", [(ts(10, 5), 1), (ts(12, 0), 2)], t0 - 90)
+    # batch 2: advances the watermark again (to 12:50); the 10:00 window
+    # is now closed and emitted.  (A late row in THIS batch would be an
+    # eviction-ordering edge — Spark merges a batch's input before
+    # evicting, so same-batch late rows can still be counted; the
+    # guarantee starts one batch later.)
+    write_file("b2", [(ts(13, 0), 5)], t0 - 60)
+    # batch 3: a LATE event for the long-finalized 10:00 window, plus
+    # one at 14:00 so the 12:00 window also closes
+    write_file("b3", [(ts(10, 30), 3), (ts(14, 0), 4)], t0 - 30)
+
+    schema = "ts timestamp, user_id long"
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ck_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["win"]["start"].strftime("%H:%M"): r["n"]
+        for r in spark.sql("SELECT win, n FROM late_drop_out").collect()
+    }
+    # the 10:00 window closed with ONLY the on-time event; the late
+    # 10:30 event was dropped (batch semantics would say n=2)
+    assert got.get("10:00") == 1, got
+    # the 12:00 window closed once 14:00 advanced the watermark
+    assert got.get("12:00") == 1, got

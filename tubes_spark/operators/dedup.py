@@ -100,6 +100,89 @@ def shingle_frame(
     )
 
 
+def band_frame(
+    base: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 1337,
+) -> DataFrame:
+    """(id, band, h) LSH band keys from a shingle frame.
+
+    Signature via explode + 64 codegen'd hash projections + hash-agg
+    min: higher-order-function lambdas (transform/aggregate) run
+    interpreted, so the array formulation is ~10x slower; this shape is
+    whole-stage codegen end-to-end and map-side combines before the one
+    shuffle.  The result is localCheckpointed: any LSH join reads it
+    from both sides, and without materialization the whole signature
+    pipeline would run twice (no ReusedExchange across a self-join) —
+    and it is tiny, 3 int columns."""
+    rows = num_hashes // bands
+    tok = base.select(F.col(id_col), F.explode("hs").alias("h"))
+    mins = tok.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"m{i}") for i in range(num_hashes)]
+    )
+    sh = mins.select(
+        F.col(id_col), F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+    banded = sh.select(
+        F.col(id_col), F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.h").alias("h"))
+    return banded.localCheckpoint(eager=True)
+
+
+def cross_corpus_flags(
+    df: DataFrame,
+    reference_ids: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate DECONTAMINATION: flag corpus documents whose
+    shingle-set Jaccard against any document in a (small) reference
+    corpus — an eval/benchmark suite — reaches the threshold.  The
+    fuzzy complement of exact n-gram-overlap decontamination: catches
+    lightly-reworded benchmark leaks that share no verbatim 5-gram.
+
+    `reference_ids` is a one-column frame of `id_col` values naming the
+    reference subset of `df` (reference docs are excluded from the
+    output).  Returns (id, max_jaccard, n_matches) per contaminated
+    corpus doc.
+
+    Scale shape: band keys are computed ONCE over the combined corpus
+    (one shuffle); the reference side of the band join and the
+    membership splits all ride BROADCAST (an eval suite is MBs against
+    a 100 TB corpus), so corpus bands never shuffle again.  The exact
+    Jaccard verify touches only candidate pairs."""
+    ref = F.broadcast(reference_ids.select(id_col).distinct())
+    sh = shingle_frame(df, text_col, id_col, shingle_k).persist()
+    banded = band_frame(sh, id_col, num_hashes, bands)
+    b_ref = banded.join(ref, on=id_col).withColumnRenamed(id_col, "id_b")
+    b_corpus = banded.join(ref, on=id_col, how="left_anti")
+    pairs = (
+        b_corpus.join(F.broadcast(b_ref), on=["band", "h"])
+        .select(F.col(id_col).alias("id_a"), "id_b")
+        .distinct()
+    )
+    jac = jaccard_pairs(df, pairs, text_col, id_col, shingle_k, shingles=sh)
+    flagged = (
+        jac.filter(F.col("jaccard") >= threshold)
+        .groupBy(F.col("id_a").alias(id_col))
+        .agg(
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+        # materialize the (tiny) flag set now so the shingle cache can
+        # be released before returning (same discipline as dedup_minhash)
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return flagged
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -116,27 +199,8 @@ def minhash_candidates(
     The join key is a 64-bit hash, so the shuffle is narrow and uniform;
     no all-pairs comparison ever happens.
     Returns (id_a, id_b) with id_a < id_b, distinct."""
-    rows = num_hashes // bands
     base = shingles if shingles is not None else shingle_frame(df, text_col, id_col, shingle_k)
-    # signature via explode + 64 codegen'd hash projections + hash-agg min:
-    # higher-order-function lambdas (transform/aggregate) run interpreted,
-    # so the array formulation is ~10x slower; this shape is whole-stage
-    # codegen end-to-end and map-side combines before the one shuffle.
-    seed = 1337
-    tok = base.select(F.col(id_col), F.explode("hs").alias("h"))
-    mins = tok.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.col("h"), F.lit(seed + i))).alias(f"m{i}") for i in range(num_hashes)]
-    )
-    sh = mins.select(
-        F.col(id_col), F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
-    )
-    banded = sh.select(
-        F.col(id_col), F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
-    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.h").alias("h"))
-    # materialize the (docs x bands) key frame once: the self-join would
-    # otherwise run the whole 64-hash signature pipeline on BOTH sides
-    # (no ReusedExchange across the join), and it's tiny — 3 int columns
-    banded = banded.localCheckpoint(eager=True)
+    banded = band_frame(base, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

@@ -105,6 +105,47 @@ def knn_bruteforce(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def radius_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine range search: every (query, neighbor) pair with
+    cos_sim >= threshold.  The fixed-radius dual of
+    :func:`knn_bruteforce` (all neighbors in a ball vs the nearest k).
+
+    Plan: identical map-side matmul scoring, then a plain filter —
+    unlike top-k there is NO per-query window, so the whole operator is
+    a single shuffle-free scan: scores never leave the task that
+    computed them.  Thresholding happens on the 6-decimal-rounded score
+    so engine-parity comparisons are exact."""
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    n_parts = max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _to_matrix(pdf[vec_col])
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = np.round(cm @ qm.T, 6)  # (nc, nq)
+            ci, qi = np.nonzero(sims >= threshold)
+            yield pd.DataFrame({
+                "neighbor_id": pdf[id_col].to_numpy()[ci],
+                "query_id": qids[qi],
+                "cos_sim": sims[ci, qi],
+            })
+
+    return (
+        corpus.select(id_col, vec_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(score, schema="neighbor_id long, query_id long, cos_sim double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int, n_tables: int = 1) -> np.ndarray:
     """Deterministic random hyperplanes (fixed seed -> reproducible
     buckets across runs and executors).  Shape (n_tables, n_planes, dim):

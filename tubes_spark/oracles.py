@@ -917,3 +917,66 @@ WHERE n_chars >= lo AND n_chars <= hi
 
 
 ORACLES["streaming_session_30m"] = ORACLES["session_30m"]
+
+
+ORACLES["ann_radius_neighbors"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+    round({_DOT} / ({_QNORM} * {_CNORM}), 6) AS cos_sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM s WHERE cos_sim >= 0.3
+"""
+
+ORACLES["sample_per_lang_hash"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+    CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS INTEGER) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 100
+"""
+
+ORACLES["shard_assign_stats"] = r"""
+WITH t AS (
+  SELECT
+    CAST(((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 64
+      AS INTEGER) AS shard,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY shard
+"""
+
+ORACLES["partitioned_io_pruned"] = """
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang IN ('en', 'de')
+GROUP BY lang, source
+"""
+
+
+ORACLES["streaming_sliding_10m"] = ORACLES["sliding_10m"]
+
+ORACLES["quality_unigram_logprob"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), tot AS (SELECT SUM(cnt) AS total FROM vocab),
+lp AS (
+  SELECT tok, round(ln(cnt::DOUBLE / total), 6) AS logp FROM vocab CROSS JOIN tot
+)
+SELECT doc_id,
+  round(CAST(SUM(CAST(logp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score,
+  COUNT(*) AS n_tokens
+FROM toks JOIN lp USING (tok)
+GROUP BY doc_id
+"""

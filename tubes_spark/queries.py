@@ -1751,3 +1751,182 @@ def streaming_session_30m(spark, sf_dir):
         return res
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ann_radius_neighbors(spark, sf_dir):
+    """Cosine range search: all corpus vectors within cos_sim >= 0.3 of
+    the 50 query vectors (similarity.radius_neighbors) — the
+    fixed-radius retrieval mode (dedup sweeps, recall-first retrieval)
+    next to top-k.  Exact and oracle-gated; shuffle-free plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    return similarity.radius_neighbors(emb, q, threshold=0.3).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
+
+
+def sample_per_lang_hash(spark, sf_dir):
+    """Deterministic per-group sampling: the first 100 docs per language
+    by md5(doc_id) — a seedable, engine-portable 'random' sample that is
+    reproducible across runs, partitionings, and cluster sizes (the
+    property .sample() lacks).  The standard way to cut eval slices from
+    a training corpus.
+
+    Scale shape: one shuffle on lang + a per-group top-k window; at
+    100 TB swap row_number for a per-group approximate threshold if
+    group counts are huge, but k=100 per group keeps state trivial."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 100)
+    )
+
+
+def shard_assign_stats(spark, sf_dir):
+    """Deterministic global shuffle + sharding: route every document to
+    one of 64 output shards by two md5 hex nibbles of its id — the final
+    'shuffle the corpus and write N training shards' step, reproducible
+    on any engine (md5 is portable where xxhash64/.repartition are not).
+    Emits per-shard doc and token counts (the balance check run before a
+    training job).
+
+    Scale shape: pure per-row projection + one narrow int-key shuffle
+    for the agg; the real writer would repartition(shard) and write —
+    same single shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    nib = "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), {}, 1)) - 1"
+    shard = ((F.expr(nib.format(1)) * 16 + F.expr(nib.format(2))) % 64).cast("int")
+    return (
+        d.select(shard.alias("shard"), text.token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def decontaminate_minhash(spark, sf_dir):
+    """Near-duplicate decontamination: flag training docs whose shingle
+    Jaccard against any benchmark doc (sources src0/src1) reaches 0.8 —
+    the fuzzy complement of decontaminate_ngram for lightly-reworded
+    eval leaks (dedup.cross_corpus_flags: one corpus-wide band shuffle,
+    benchmark side fully broadcast).  Rows-only for the driver (minhash
+    banding is xxhash64-seeded); recall pinned in tests against exact
+    cross-corpus Jaccard."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source").isin("src0", "src1")).select("doc_id")
+    return dedup.cross_corpus_flags(d, bench, threshold=0.8)
+
+
+def partitioned_io_pruned(spark, sf_dir):
+    """Partition-pruned IO round-trip: write the corpus hive-partitioned
+    by lang, read it back filtered to two languages, aggregate.  The
+    layout decision that matters most at 100 TB: a lang-filtered scan
+    touches ONLY the matching directories (plan-asserted PartitionFilters
+    in tests) — data for other langs is never opened, so the scan cost
+    scales with the selected fraction, not the corpus."""
+    import shutil
+    import tempfile
+
+    from tubes_spark import sources
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="tubes_part_io_")
+    try:
+        sources.write_parquet(d, f"{tmp}/docs", partition_by=["lang"])
+        back = sources.read_parquet(spark, f"{tmp}/docs")
+        out = (
+            back.filter(F.col("lang").isin("en", "de"))
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        )
+        out = out.cache()
+        out.count()  # pin rows before the backing files are removed
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_sliding_10m(spark, sf_dir):
+    """Overlapping sliding windows (10 min / 5 min hop) through the REAL
+    Structured Streaming engine — each event lands in two window states
+    concurrently, so this exercises multi-assignment state bookkeeping
+    that tumbling windows never touch.  Hash-checked against the same
+    DuckDB oracle as the batch `sliding_10m`."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_q_")
+    try:
+        e.repartition(4).write.parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = file_replay_source(spark, f"{tmp}/in", schema, max_files_per_trigger=2)
+        agg = stream.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win")
+        ).agg(
+            F.count(F.lit(1)).alias("window_count"),
+            dsum(F.col("value")).alias("window_sum"),
+        )
+        out = drain_to_df(agg, f"stream_sliding_{uuid.uuid4().hex[:8]}")
+        res = out.select(
+            F.col("win.start").cast("long").alias("window_start"),
+            "window_count", "window_sum",
+        )
+        res = res.cache()
+        res.count()  # pin rows before the input files are removed
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def quality_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score (the CCNet-style LM filter,
+    one model class down from a real KenLM): score each doc by the mean log
+    probability of its tokens under the corpus's own unigram
+    distribution — boilerplate-ish docs made of frequent tokens score
+    high, token-soup outliers score low.
+
+    Scale shape: one token-count aggregation builds the vocabulary; its
+    total rides the one-row broadcast-agg pattern (no driver action);
+    the per-token log-probs are BROADCAST back onto the token stream, so
+    scoring is map-side — the only corpus-wide shuffle is the final
+    per-doc aggregation.  At 100 TB cap the broadcast vocabulary to the
+    top-K tokens with an OOV floor probability; here the synthetic vocab
+    is tiny so the full table broadcasts.
+
+    Float discipline: log-probs rounded to 6 BEFORE the per-doc mean
+    (transcendental), the mean accumulated in decimal (order-independent
+    across partitionings and engines), one final round."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(text.normalize(F.col("text")), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    lp = vocab.join(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 6).alias("logp"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("logp").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("lm_score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
