@@ -81,8 +81,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        elif ts_type == "timestamp_ntz":
+            # Micro-resolution parquet without the UTC flag reads as
+            # TIMESTAMP_NTZ under Spark's inferTimestampNTZ, which cannot
+            # cast to numeric types.  The session timezone is pinned to
+            # UTC (session.py), so reinterpreting as TIMESTAMP is
+            # value-preserving and matches DuckDB's naive-TIMESTAMP view
+            # of the same column.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
