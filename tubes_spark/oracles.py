@@ -980,3 +980,62 @@ SELECT doc_id,
 FROM toks JOIN lp USING (tok)
 GROUP BY doc_id
 """
+
+ORACLES["quality_bigram_logprob"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  WHERE trim(text) <> ''
+), bg AS (
+  SELECT doc_id,
+    unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
+  FROM toks WHERE len(w) >= 2
+), counts AS (
+  SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg
+), ctx AS (
+  SELECT string_split(bg, ' ')[1] AS w1, SUM(cnt) AS ctx_cnt
+  FROM counts GROUP BY w1
+), model AS (
+  SELECT bg, round(ln(cnt::DOUBLE / ctx_cnt), 6) AS logp
+  FROM counts JOIN ctx ON string_split(counts.bg, ' ')[1] = ctx.w1
+)
+SELECT doc_id,
+  round(CAST(SUM(CAST(logp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6) AS lm_score,
+  COUNT(*) AS n_bigrams
+FROM bg JOIN model USING (bg)
+GROUP BY doc_id
+"""
+
+ORACLES["mix_sources_token_budget"] = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE trim(text) <> ''
+  UNION ALL
+  SELECT doc_id, source, CAST(0 AS BIGINT) FROM documents WHERE trim(text) = ''
+), c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_before FROM c WHERE cum_before < 20000
+"""
+
+ORACLES["top_bigrams_global"] = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+  WHERE trim(text) <> ''
+), bg AS (
+  SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
+  FROM toks WHERE len(w) >= 2
+)
+SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg
+ORDER BY cnt DESC, bg ASC LIMIT 20
+"""
+
+ORACLES["cdc_scd2_intervals"] = """
+SELECT user_id, event_id, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to,
+  value AS held_value
+FROM events
+"""

@@ -1930,3 +1930,127 @@ def quality_unigram_logprob(spark, sf_dir):
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def quality_bigram_logprob(spark, sf_dir):
+    """Bigram language-model quality score — one model class up from
+    ``quality_unigram_logprob`` and the closest SQL-expressible stand-in
+    for the CCNet/KenLM perplexity filter: score each doc by the mean
+    conditional log probability ln(c(w1,w2) / c(w1,*)) of its bigrams
+    under the corpus's own bigram counts.
+
+    Scale shape: bigrams are built JVM-side inside the tokens array
+    (``transform`` + ``element_at`` — no positional self-join, no
+    token-level explode until counting); the bigram-count model joins
+    back by BROADCAST so scoring stays map-side.  The only corpus-wide
+    shuffles are the two count aggregations.  At 100 TB cap the model to
+    top-K bigrams with an OOV floor, same note as the unigram filter.
+
+    Docs with fewer than 2 tokens have no bigrams and drop out (inner
+    join) — identical semantics in the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    first_tok = F.substring_index(F.col("bg"), " ", 1)
+    ctx = counts.groupBy(first_tok.alias("w1")).agg(F.sum("cnt").alias("ctx_cnt"))
+    model = counts.join(
+        F.broadcast(ctx), first_tok == F.col("w1"), "inner"
+    ).select(
+        "bg",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("ctx_cnt")), 6).alias("logp"),
+    )
+    return (
+        bg.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("logp").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("lm_score"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+def mix_sources_token_budget(spark, sf_dir):
+    """Data mixing: draw a deterministic, reproducible sample from EACH
+    source until a per-source token budget is met — the core op for
+    hitting a target corpus mixture (e.g. 30% web / 30% code / 40%
+    books) when assembling a training set.
+
+    Order within a source is md5(doc_id) (seedable shuffle, portable
+    across engines and partitionings); a doc is kept while the budget is
+    not yet exhausted BEFORE it, so the sample overshoots by at most one
+    doc — the standard greedy cut.
+
+    Scale shape: one shuffle on source + a per-source running sum.  A
+    window per source serializes each source's scan at the margin; at
+    100 TB pre-split each source into hash buckets and give each bucket
+    budget/n_buckets (same greedy cut, restores parallelism) — here
+    sources are few and small so the direct window is the right plan."""
+    d = _t(spark, sf_dir, "documents")
+    budget = 20_000
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tokens = text.token_count(F.col("text")).cast("long")
+    return (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("cum_before") < budget)
+        .select("doc_id", "source", "n_tokens", "cum_before")
+    )
+
+
+def top_bigrams_global(spark, sf_dir):
+    """Corpus-wide heavy hitters: the exact top-20 bigrams by frequency.
+
+    Scale shape: two-level aggregation (map-side partial counts, one
+    shuffle on the bigram key) + TakeOrderedAndProject — no global sort
+    materializes; ties break deterministically on the bigram string so
+    the result set is engine-portable.  The approximate alternative at
+    extreme cardinality is per-partition SpaceSaving + merge, but exact
+    two-level agg holds far past 100 TB for n-gram-shaped key spaces."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bg").asc())
+        .limit(20)
+    )
+
+
+def cdc_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) compaction of a change log:
+    turn each user's event stream into validity intervals
+    [valid_from, valid_to) carrying the value that held over the
+    interval; the open (current) interval has NULL valid_to.  This is
+    the standard CDC -> warehouse-dimension materialization.
+
+    Scale shape: one shuffle on user_id + an in-partition lead()
+    window; no self-join.  Keyed windows parallelize across users, the
+    same shape running_by uses."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("value").alias("held_value"),
+    )
