@@ -40,7 +40,32 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # identical local DuckDB harness (tests/test_oracle_parity.py)
     # regardless of driver sampling.
     "flagship_pricing_summary": Q.flagship_pricing_summary,
-    # --- never driver-sampled in r1/r2 + new in r3: prefix them ---
+    # --- never driver-sampled in r1-r3: prefix them (r4 rotation) ---
+    # registered this round (were orphaned in the r3 snapshot)
+    "quality_bigram_logprob": Q.quality_bigram_logprob,
+    "mix_sources_token_budget": Q.mix_sources_token_budget,
+    "top_bigrams_global": Q.top_bigrams_global,
+    "cdc_scd2_intervals": Q.cdc_scd2_intervals,
+    # new in round 4
+    "dsir_importance_weights": Q.dsir_importance_weights,
+    "sample_weighted_per_source": Q.sample_weighted_per_source,
+    "dedup_incremental_new_docs": Q.dedup_incremental_new_docs,
+    # sat below position 50 in r3's dict
+    "embedding_centroids": Q.embedding_centroids,
+    "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,
+    "dedup_minhash_cc_survivors": Q.dedup_minhash_cc_survivors,
+    "floating_named_math": Q.floating_named_math,
+    "dynamic_channel_route": Q.dynamic_channel_route,
+    "knn_ivf_distributed": Q.knn_ivf_distributed,
+    "streaming_takewhile_prefix": Q.streaming_takewhile_prefix,
+    "ann_radius_neighbors": Q.ann_radius_neighbors,
+    "sample_per_lang_hash": Q.sample_per_lang_hash,
+    "shard_assign_stats": Q.shard_assign_stats,
+    "decontaminate_minhash": Q.decontaminate_minhash,
+    "partitioned_io_pruned": Q.partitioned_io_pruned,
+    "streaming_sliding_10m": Q.streaming_sliding_10m,
+    "quality_unigram_logprob": Q.quality_unigram_logprob,
+    # --- driver-verified in r3 (CORRECTNESS_r03 pass rows) ---
     # TPC-H battery completion
     "q14_promo_revenue": Q.q14_promo_revenue,
     "q10_returned_revenue": Q.q10_returned_revenue,
@@ -95,21 +120,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_length_band": Q.docs_length_band,
     "semantic_dedup_survivors": Q.semantic_dedup_survivors,
     "embedding_norms": Q.embedding_norms,
-    "embedding_centroids": Q.embedding_centroids,
-    # new in round 3
-    "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,
-    "dedup_minhash_cc_survivors": Q.dedup_minhash_cc_survivors,
-    "floating_named_math": Q.floating_named_math,
-    "dynamic_channel_route": Q.dynamic_channel_route,
-    "knn_ivf_distributed": Q.knn_ivf_distributed,
-    "streaming_takewhile_prefix": Q.streaming_takewhile_prefix,
-    "ann_radius_neighbors": Q.ann_radius_neighbors,
-    "sample_per_lang_hash": Q.sample_per_lang_hash,
-    "shard_assign_stats": Q.shard_assign_stats,
-    "decontaminate_minhash": Q.decontaminate_minhash,
-    "partitioned_io_pruned": Q.partitioned_io_pruned,
-    "streaming_sliding_10m": Q.streaming_sliding_10m,
-    "quality_unigram_logprob": Q.quality_unigram_logprob,
     # --- driver-verified in r1/r2 (pass rows in CORRECTNESS_r0{1,2}) ---
     # core stateless surface (SURVEY §2.3) + source algebra (§2.4)
     "map_net_price": Q.map_net_price,

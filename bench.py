@@ -71,6 +71,17 @@ HEADLINE = [
     "shard_assign_stats",             # deterministic training-shard split
     "decontaminate_minhash",          # near-dup cross-corpus decon
     "partitioned_io_pruned",          # hive-partitioned write + pruned read
+    # round 4: LM-quality scoring, mixing, CDC, distributed IVF
+    "quality_unigram_logprob",        # unigram LM quality score
+    "quality_bigram_logprob",         # bigram LM quality score
+    "mix_sources_token_budget",       # per-source token-budget mixing
+    "top_bigrams_global",             # corpus heavy hitters (exact top-k)
+    "cdc_scd2_intervals",             # SCD2 change-log compaction
+    "knn_ivf_distributed",            # IVF ANN w/ distributed k-means trainer
+    "streaming_sliding_10m",          # sliding window through the stream engine
+    "dsir_importance_weights",        # DSIR hashed-ngram importance weighting
+    "sample_weighted_per_source",     # Efraimidis-Spirakis weighted sample
+    "dedup_incremental_new_docs",     # incremental dedup vs seen-set
 ]
 
 
@@ -95,7 +106,7 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    # streaming drain FIRST: measured after the 37-query battery the
+    # streaming drain FIRST: measured after the query battery the
     # same drain loses ~35% throughput to accumulated JVM state (code
     # cache pressure, GC debt from ~110 compiled plans) — isolated vs
     # post-battery: 60k vs 38k ev/s on an idle host.  The queries have
@@ -151,15 +162,18 @@ def _stream_drain_rate(spark, sf_dir: str) -> dict:
         n = events.count()
         events.repartition(8).write.parquet(f"{tmp}/in")
         # stateful streaming commits one state file per shuffle partition
-        # per trigger — size the partition count to the state, not the
-        # CPU count, and prefer fewer/larger micro-batches (the same
-        # advice that holds on a real cluster: commit overhead is fixed
-        # per trigger, throughput comes from batch size)
+        # per trigger — size the partition count to the state (the
+        # hourly-window x event-type state here is a few hundred rows:
+        # 4 partitions), not the CPU count, and prefer fewer/larger
+        # micro-batches (the same advice that holds on a real cluster:
+        # commit overhead is fixed per trigger, throughput comes from
+        # batch size).  Measured at sf0.1/local[32]: mfpt=4/parts=8 ->
+        # 62k ev/s, mfpt=8/parts=4 -> 94k ev/s (r4 probe).
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         def drain(ck: str) -> float:
             stream = file_replay_source(
-                spark, f"{tmp}/in", events.schema, max_files_per_trigger=4
+                spark, f"{tmp}/in", events.schema, max_files_per_trigger=8
             )
             agg = (
                 stream.withWatermark("ts", "40 days")
@@ -178,7 +192,10 @@ def _stream_drain_rate(spark, sf_dir: str) -> dict:
             return time.perf_counter() - t0
 
         drain("ck_warm")  # absorbs streaming-query init + codegen once
-        wall = drain("ck")
+        # best-of-2 measured drains (distinct checkpoints — a reused
+        # checkpoint would skip already-committed offsets): the same
+        # co-tenant-noise discipline the batch queries get from best-of-3
+        wall = min(drain("ck_a"), drain("ck_b"))
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return {"events": n, "drain_sec": round(wall, 3),
                 "events_per_sec": round(n / wall)}

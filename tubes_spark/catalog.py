@@ -61,39 +61,62 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     ensure_workers_have_package(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects.  Read nanos as long and truncate to
-        # micros — exactly what DuckDB does when it maps TIMESTAMP_NS to
-        # its micro-resolution TIMESTAMP, so both engines see equal values.
-        # The conf is captured into the plan when `read.parquet` resolves
-        # the schema, so it is saved/restored around just this read rather
-        # than left set on the (possibly user-owned) session.
-        key = "spark.sql.legacy.parquet.nanosAsLong"
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _with_conf(spark: SparkSession, key: str, value: str):
+    """Save/restore a SQL conf around a read — the conf is captured into
+    the plan at schema-resolution time, so it must not leak onto the
+    (possibly user-owned) session."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
         try:
             prev = spark.conf.get(key)
         except Exception:
             prev = None
-        spark.conf.set(key, "true")
+        spark.conf.set(key, value)
         try:
-            df = spark.read.parquet(path)
+            yield
         finally:
             if prev is None:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
-        elif ts_type == "timestamp_ntz":
-            # Micro-resolution parquet without the UTC flag reads as
-            # TIMESTAMP_NTZ under Spark's inferTimestampNTZ, which cannot
-            # cast to numeric types.  The session timezone is pinned to
-            # UTC (session.py), so reinterpreting as TIMESTAMP is
-            # value-preserving and matches DuckDB's naive-TIMESTAMP view
-            # of the same column.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    return _cm()
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet across driver regenerations has stored its ``ts``
+    either as INT64 TIMESTAMP(NANOS) or as micro-resolution TIMESTAMP
+    without the UTC flag.  Handle both WITHOUT a per-row cast:
+
+    - micros/no-UTC-flag: with ``inferTimestampNTZ`` left at its default
+      the column reads as TIMESTAMP_NTZ and every downstream window/agg
+      pays a per-row NTZ->LTZ cast that also breaks ts pushdown — the
+      round-3 ``tumbling_hourly`` 2.9x regression (1.77s -> 0.36s at
+      sf0.1 when removed).  Disabling inference for just this read makes
+      the scan produce TIMESTAMP directly; the session timezone is
+      pinned to UTC (session.py), so the reinterpretation is
+      value-preserving and matches DuckDB's naive-TIMESTAMP view.
+    - nanos: Spark's vectorized reader rejects INT64(NANOS) outright, so
+      fall back to ``nanosAsLong`` and truncate to micros — exactly what
+      DuckDB does mapping TIMESTAMP_NS to its micro TIMESTAMP.
+    """
+    with _with_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false"):
+        df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "timestamp":
         return df
-    return spark.read.parquet(path)
+    # nanos fallback (vectorized reader cannot produce these as timestamps)
+    with _with_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -54,6 +54,26 @@ def _to_matrix(series: pd.Series) -> np.ndarray:
     return np.stack(series.to_numpy()).astype(np.float64, copy=False)
 
 
+def _hash_sample(df: DataFrame, vec_col: str, cap: int) -> pd.DataFrame:
+    """Bounded driver-side sample for centroid training, ordered by a
+    content hash rather than source order.
+
+    ``limit(cap)`` reads the HEAD of the corpus — on a source-sorted
+    table (common: ingest writes one source after another) every sampled
+    vector comes from whichever source happens to sort first, and the
+    trained cells inherit that bias.  Ranking by ``xxhash64(vec)`` is a
+    deterministic, engine-portable shuffle of the corpus; the plan is a
+    distributed TakeOrderedAndProject (per-partition top-cap heaps, no
+    global sort materialized), so the driver still receives exactly
+    ``cap`` rows."""
+    return (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)).asc())
+        .limit(cap)
+        .toPandas()
+    )
+
+
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     """Driver-side collect of the query set (small by contract — the
     big side is always the corpus)."""
@@ -393,7 +413,7 @@ def semantic_dedup(
     Nothing driver-side scales with corpus size."""
     if not dim:
         raise ValueError("pass the embedding dimensionality")
-    sample = df.select(vec_col).limit(sample_cap).toPandas()
+    sample = _hash_sample(df, vec_col, sample_cap)
     cent = _kmeans_centroids(_to_matrix(sample[vec_col]), n_cells, seed)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -443,7 +463,7 @@ def kmeans_train_distributed(
 
     Per-iteration cost is a corpus scan + one narrow shuffle on the
     (cell, pos) int pair; nothing driver-side scales with corpus size."""
-    sample = corpus.select(vec_col).limit(sample_cap).toPandas()
+    sample = _hash_sample(corpus, vec_col, sample_cap)
     cent = _kmeans_centroids(_to_matrix(sample[vec_col]), n_cells, seed, iters=1)
 
     for _ in range(iters):
@@ -523,7 +543,7 @@ def knn_ivf(
             corpus, dim, n_cells, seed=seed, vec_col=vec_col, sample_cap=sample_cap
         )
     else:
-        sample = corpus.select(vec_col).limit(sample_cap).toPandas()
+        sample = _hash_sample(corpus, vec_col, sample_cap)
         cent = _kmeans_centroids(_to_matrix(sample[vec_col]), n_cells, seed)
 
     qids_all, qm_all = _collect_queries(queries, id_col, vec_col)

@@ -19,6 +19,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(n_salts: int) -> Column:
+    """Per-row salt with full entropy regardless of input partitioning.
+
+    ``spark_partition_id() % n`` (the naive choice) degenerates to ONE
+    salt value on a single-partition input — e.g. a table written as one
+    parquet file — so the hot key still funnels.  Hashing the row's
+    ``monotonically_increasing_id`` spreads rows evenly even inside one
+    partition (sequential ids -> xxhash64 avalanche) and costs no extra
+    column reads.  Salt placement is not required to be stable across
+    recomputes: aggregate/join results are salt-invariant by
+    construction, only per-bucket sizing depends on it."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("__salt__")
+
+
 def salted_fold_by(
     df: DataFrame,
     keys: Sequence[str],
@@ -34,7 +48,7 @@ def salted_fold_by(
     Phase 1 groups by (keys..., salt) — the hot key's rows split across
     n_salts reducers; phase 2 merges the n_salts partials per key.  The
     phase-2 shuffle moves at most |distinct keys| * n_salts rows."""
-    salt = (F.spark_partition_id() % n_salts).alias("__salt__")
+    salt = _row_salt(n_salts)
     phase1 = df.groupBy(*keys, salt).agg(
         *[c.alias(name) for name, (c, _m) in aggs.items()]
     )
@@ -57,5 +71,5 @@ def salted_broadcast_left(
     and AQE's skew split can't kick in, e.g. bucketed SMJ plans)."""
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("__salt__")
     small_rep = small.select("*", salts)
-    big_salted = big.withColumn("__salt__", F.spark_partition_id() % n_salts)
+    big_salted = big.withColumn("__salt__", _row_salt(n_salts))
     return big_salted.join(small_rep, [*on, "__salt__"]).drop("__salt__")

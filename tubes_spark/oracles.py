@@ -1013,9 +1013,9 @@ WITH t AS (
   UNION ALL
   SELECT doc_id, source, CAST(0 AS BIGINT) FROM documents WHERE trim(text) = ''
 ), c AS (
-  SELECT *, COALESCE(SUM(n_tokens) OVER (
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
       PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
   FROM t
 )
 SELECT doc_id, source, n_tokens, cum_before FROM c WHERE cum_before < 20000
@@ -1038,4 +1038,65 @@ SELECT user_id, event_id, ts AS valid_from,
   lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to,
   value AS held_value
 FROM events
+"""
+
+ORACLES["dsir_importance_weights"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents
+  WHERE trim(text) <> ''
+), bg AS (
+  SELECT doc_id, lang,
+    unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bg
+  FROM toks WHERE len(w) >= 2
+), fb AS (
+  SELECT doc_id, lang,
+    CAST((instr('0123456789abcdef', substring(md5(bg), 1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(md5(bg), 2, 1)) - 1) AS INTEGER) AS b
+  FROM bg
+), raw AS (
+  SELECT b, COUNT(*) AS raw_cnt FROM fb GROUP BY b
+), tgt AS (
+  SELECT b, COUNT(*) AS tgt_cnt FROM fb WHERE lang = 'en' GROUP BY b
+), tots AS (
+  SELECT (SELECT SUM(raw_cnt) FROM raw) AS raw_tot,
+         (SELECT COALESCE(SUM(tgt_cnt), 0) FROM tgt) AS tgt_tot
+), model AS (
+  SELECT b, round(ln(
+      ((COALESCE(tgt_cnt, 0) + 1)::DOUBLE / (tgt_tot + 256))
+    / ((raw_cnt + 1)::DOUBLE / (raw_tot + 256))
+  ), 6) AS logratio
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots
+)
+SELECT doc_id,
+  CAST(SUM(CAST(logratio AS DECIMAL(27,6))) AS DOUBLE) AS dsir_logweight,
+  COUNT(*) AS n_feats
+FROM fb JOIN model USING (b)
+GROUP BY doc_id
+"""
+
+ORACLES["sample_weighted_per_source"] = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    round(pow(
+      (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+        / 4294967297.0,
+      1.0 / greatest(n_chars, 1)
+    ), 12) AS es_key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_chars,
+    CAST(row_number() OVER (
+      PARTITION BY source ORDER BY es_key DESC, doc_id ASC
+    ) AS INTEGER) AS draw_rank
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, draw_rank FROM ranked WHERE draw_rank <= 20
+"""
+
+ORACLES["dedup_incremental_new_docs"] = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE source <> 'src0'
+  AND md5({NORM_TEXT}) NOT IN (
+    SELECT md5({NORM_TEXT}) FROM documents WHERE source = 'src0'
+  )
 """

@@ -2054,3 +2054,130 @@ def cdc_scd2_intervals(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.col("value").alias("held_value"),
     )
+
+
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much its hashed
+    bigram feature distribution resembles a TARGET slice (here
+    lang='en') versus the RAW corpus — the standard recipe for
+    target-domain selection/reweighting of pretraining data.
+
+    Bigrams hash into 256 buckets via two md5 hex nibbles (the same
+    engine-portable trick as shard_assign_stats); bucket counts are
+    Laplace-smoothed (+1, denominators +256).  The per-doc score is the
+    SUM of bucket log-ratios — the paper's log importance weight;
+    n_feats rides along so a consumer can length-normalize.  (The sum
+    stays decimal-exact end-to-end; a rounded mean was observed 1-ulp
+    unstable between engines at a half-way rounding boundary.)
+
+    Scale shape: the target and raw model tables are <=256 rows each —
+    joined to each other and BROADCAST onto the per-doc feature stream,
+    so scoring is map-side.  Corpus-wide shuffles: the two bucket-count
+    aggs + the final per-doc agg.  Nothing scales with corpus size but
+    the scans.  Float discipline: each log-ratio is rounded to 6dp then
+    summed as decimal(27,6), so the mean is partition-order-free."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+    nib = "instr('0123456789abcdef', substring(md5(bg), {}, 1)) - 1"
+    fb = (
+        d.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id", "lang",
+            (F.expr(nib.format(1)) * 16 + F.expr(nib.format(2))).cast("int").alias("b"),
+        )
+    )
+    raw = fb.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))
+    tgt = fb.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tgt_cnt")
+    )
+    raw_tot = raw.agg(F.sum("raw_cnt").alias("raw_tot"))
+    tgt_tot = tgt.agg(F.sum("tgt_cnt").alias("tgt_tot"))
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1).cast("double")
+                     / (F.col("tgt_tot") + 256))
+                    / ((F.col("raw_cnt") + 1).cast("double") / (F.col("raw_tot") + 256))
+                ),
+                6,
+            ).alias("logratio"),
+        )
+    )
+    return (
+        fb.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("logratio").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("dsir_logweight"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+    )
+
+
+def sample_weighted_per_source(spark, sf_dir):
+    """Weighted sampling without replacement, per source: the
+    Efraimidis–Spirakis A-ES scheme — key = u^(1/w) with u uniform in
+    (0,1) and w the item weight (n_chars here); the top-k keys per
+    group ARE a weighted sample without replacement.  This is how you
+    draw a quality- or length-weighted eval slice from each source in
+    one pass.
+
+    u derives from the first 8 md5 hex chars of doc_id (seedable,
+    engine-portable, reproducible across partitionings — the property
+    ``.sample()`` lacks); weights are clamped to >=1 so 1/w is finite.
+
+    Scale shape: pure per-row projection + one shuffle on source + a
+    per-group top-k window — identical to sample_per_lang_hash; k=20
+    keys per group is trivial state at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    w_col = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w_col), 12)
+    ranked = Window.partitionBy("source").orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .withColumn("draw_rank", F.row_number().over(ranked).cast("int"))
+        .filter(F.col("draw_rank") <= 20)
+        .select("doc_id", "source", "n_chars", "draw_rank")
+    )
+
+
+def dedup_incremental_new_docs(spark, sf_dir):
+    """Incremental (cross-batch) exact dedup: an arriving batch keeps
+    only docs whose canonical text was never seen in the already-ingested
+    corpus — the steady-state form of dedup_exact_docs once a corpus is
+    live (each day's crawl checks against the seen-set, not itself).
+    Seen = source 'src0'; arriving = everything else.
+
+    Scale shape: both sides reduce to md5(canonical text) BEFORE the
+    join, so the anti-join shuffles 16-byte digests, never text; the
+    seen side is pre-distinct'd (one narrow shuffle) and AQE plants a
+    runtime bloom filter on the big probe side.  At 100 TB the seen-set
+    is a maintained parquet table of digests keyed for bucket-join —
+    same plan, zero text movement."""
+    d = _t(spark, sf_dir, "documents")
+    canon_hash = F.md5(text.normalize(F.col("text")))
+    seen = (
+        d.filter(F.col("source") == "src0")
+        .select(canon_hash.alias("seen_hash"))
+        .distinct()
+    )
+    arriving = d.filter(F.col("source") != "src0").withColumn("h", canon_hash)
+    return (
+        arriving.join(seen, arriving["h"] == seen["seen_hash"], "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )

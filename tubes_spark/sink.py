@@ -61,11 +61,16 @@ class Sink:
     # Decidable.choose (Tubes/Sink.hs:112-116): route by predicate.
     @staticmethod
     def choose(pred: Column, on_true: "Sink", on_false: "Sink") -> "Sink":
+        """Total routing: the reference's ``choose`` is ``a -> Either b c``
+        — every element reaches exactly one sink.  Under SQL three-valued
+        logic ``filter(pred)`` and ``filter(~pred)`` BOTH drop
+        NULL-predicate rows, so the false branch coalesces NULL to true
+        (NULL routes to ``on_false``), mirroring ``pchoice`` (pipe.py)."""
         def run(df: DataFrame) -> None:
             df = df.persist()
             try:
                 on_true(df.filter(pred))
-                on_false(df.filter(~pred))
+                on_false(df.filter(F.coalesce(~pred, F.lit(True))))
             finally:
                 df.unpersist()
         return Sink(run)
