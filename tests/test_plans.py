@@ -200,3 +200,46 @@ def test_partitioned_read_prunes_partitions(spark):
         assert "PartitionFilters" in p and "lang" in p.split("PartitionFilters", 1)[1][:200], p
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dsir_models_broadcast(spark):
+    """The 256-row target/raw bucket models must ride broadcast joins;
+    only the bucket-count aggs and the final per-doc agg may shuffle."""
+    p = plan_of(Q.dsir_importance_weights(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_incremental_dedup_joins_on_digest(spark):
+    """The anti-join must probe on the md5 digest (never raw text) and
+    the arriving side's scan must prune text out of the join payload."""
+    p = plan_of(Q.dedup_incremental_new_docs(spark, SF))
+    assert "LeftAnti" in p, p
+    assert "md5" in p.lower(), p
+
+
+def test_weighted_sample_no_extra_shuffle(spark):
+    """A-ES sampling is projection + one keyed window: exactly one
+    Exchange (hashpartitioning on source)."""
+    p = plan_of(Q.sample_weighted_per_source(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "hashpartitioning(source" in p, p
+
+
+def test_cdc_scd2_single_keyed_window(spark):
+    p = plan_of(Q.cdc_scd2_intervals(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "hashpartitioning(user_id" in p, p
+    assert "Join" not in p, p
+
+
+def test_events_scan_pushes_ts_filter(spark):
+    """With the r4 loader the ts column is TIMESTAMP at the scan, so a
+    ts predicate must reach PushedFilters (the r3 NTZ+cast path ate it)."""
+    from tubes_spark.catalog import load_table
+
+    e = load_table(spark, "events", SF).filter(
+        F.col("ts") >= "2024-06-01"
+    ).select("event_id", "ts")
+    p = plan_of(e)
+    assert re.search(r"PushedFilters: \[.*ts", p), p

@@ -225,3 +225,46 @@ def test_rollup_reuses_hour_exchange(spark):
     df.collect()
     p = plan_of(df)
     assert n_nodes(p, "ReusedExchange") >= 1, p
+
+
+def test_compact_files_reduces_count(spark, tmpdir):
+    from tubes_spark import sources
+
+    src = f"{tmpdir}/many"
+    out = f"{tmpdir}/compacted"
+    spark.range(0, 20000).repartition(64).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = sources.compact_files(spark, src, out, target_mb=256)
+    assert n == 1  # 20k longs is far below one 256MB target
+    got = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(got) == 1
+    assert spark.read.parquet(out).count() == 20000
+
+
+def test_write_sorted_by_disjoint_file_ranges(spark, tmpdir):
+    """Each output file must cover a disjoint ts range (footer min/max),
+    so a ts filter prunes whole files on any parquet reader."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tubes_spark import sources
+    from tubes_spark.catalog import load_table
+
+    out = f"{tmpdir}/events_by_ts"
+    e = load_table(spark, "events", "/root/testdata/sf0.01")
+    sources.write_sorted_by(e, out, ["ts"], n_files=4)
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("ts")
+        stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+        assert all(st is not None for st in stats)  # micros encoding carries stats
+        spans.append((min(st.min for st in stats), max(st.max for st in stats)))
+    spans.sort()
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint, ordered ranges
+    n = spark.read.parquet(out).count()
+    assert n == e.count()

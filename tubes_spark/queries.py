@@ -1932,6 +1932,27 @@ def quality_unigram_logprob(spark, sf_dir):
     )
 
 
+def _bigram_frame(d, *extra_cols):
+    """(doc_id, *extra_cols, bg) exploded-bigram frame, built scale-safe:
+    bigrams come from ``zip_with`` of two O(n) slices of the token
+    array, so the split is evaluated a constant number of times per row.
+    The earlier form — ``transform`` whose lambda did
+    ``element_at(tokenize(text), i+2)`` — re-evaluated the full split
+    per array ELEMENT after projection collapsing, the O(words²)
+    codegen trap text.py documents for shingles; it benched 8.6 s vs
+    0.9 s for this shape at sf0.1."""
+    toks = text.tokenize(F.col("text"))
+    t = d.select("doc_id", *extra_cols, toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    pair_len = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("__toks"), 1, pair_len),
+        F.slice(F.col("__toks"), 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return t.select("doc_id", *extra_cols, F.explode(bigrams).alias("bg"))
+
+
 def quality_bigram_logprob(spark, sf_dir):
     """Bigram language-model quality score — one model class up from
     ``quality_unigram_logprob`` and the closest SQL-expressible stand-in
@@ -1940,21 +1961,16 @@ def quality_bigram_logprob(spark, sf_dir):
     under the corpus's own bigram counts.
 
     Scale shape: bigrams are built JVM-side inside the tokens array
-    (``transform`` + ``element_at`` — no positional self-join, no
-    token-level explode until counting); the bigram-count model joins
-    back by BROADCAST so scoring stays map-side.  The only corpus-wide
-    shuffles are the two count aggregations.  At 100 TB cap the model to
-    top-K bigrams with an OOV floor, same note as the unigram filter.
+    (:func:`_bigram_frame` — no positional self-join, no token-level
+    explode until counting); the bigram-count model joins back by
+    BROADCAST so scoring stays map-side.  The only corpus-wide shuffles
+    are the two count aggregations.  At 100 TB cap the model to top-K
+    bigrams with an OOV floor, same note as the unigram filter.
 
     Docs with fewer than 2 tokens have no bigrams and drop out (inner
     join) — identical semantics in the oracle."""
     d = _t(spark, sf_dir, "documents")
-    toks = text.tokenize(F.col("text"))
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
-    )
-    bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg = _bigram_frame(d)
     counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     first_tok = F.substring_index(F.col("bg"), " ", 1)
     ctx = counts.groupBy(first_tok.alias("w1")).agg(F.sum("cnt").alias("ctx_cnt"))
@@ -2021,13 +2037,8 @@ def top_bigrams_global(spark, sf_dir):
     extreme cardinality is per-partition SpaceSaving + merge, but exact
     two-level agg holds far past 100 TB for n-gram-shaped key spaces."""
     d = _t(spark, sf_dir, "documents")
-    toks = text.tokenize(F.col("text"))
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
-    )
     return (
-        d.select(F.explode(bigrams).alias("bg"))
+        _bigram_frame(d)
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bg").asc())
@@ -2078,18 +2089,10 @@ def dsir_importance_weights(spark, sf_dir):
     the scans.  Float discipline: each log-ratio is rounded to 6dp then
     summed as decimal(27,6), so the mean is partition-order-free."""
     d = _t(spark, sf_dir, "documents")
-    toks = text.tokenize(F.col("text"))
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
-    )
     nib = "instr('0123456789abcdef', substring(md5(bg), {}, 1)) - 1"
-    fb = (
-        d.select("doc_id", "lang", F.explode(bigrams).alias("bg"))
-        .select(
-            "doc_id", "lang",
-            (F.expr(nib.format(1)) * 16 + F.expr(nib.format(2))).cast("int").alias("b"),
-        )
+    fb = _bigram_frame(d, "lang").select(
+        "doc_id", "lang",
+        (F.expr(nib.format(1)) * 16 + F.expr(nib.format(2))).cast("int").alias("b"),
     )
     raw = fb.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))
     tgt = fb.filter(F.col("lang") == "en").groupBy("b").agg(

@@ -105,3 +105,56 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read — bucketing metadata (and therefore shuffle-free
     joins) only survives through the catalog, not raw parquet paths."""
     return spark.table(table)
+
+
+def compact_files(spark: SparkSession, path: str, out_path: str,
+                  target_mb: int = 256, fmt: str = "parquet") -> int:
+    """Small-file compaction: rewrite a directory into ceil(bytes/target)
+    files.  Streaming sinks and over-parallel writers leave thousands of
+    KB-scale files; at 100 TB that is a NameNode/listing problem AND a
+    scan-task-scheduling problem (one task per file).  Sizing from the
+    actual on-disk bytes (not row counts) keeps output files near the
+    rowgroup-friendly target regardless of compression ratio.  Returns
+    the file count written.  Run periodically per partition directory;
+    the rewrite is one wide repartition, no skew (round-robin)."""
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(out_path)
+    return n_files
+
+
+def write_sorted_by(df: DataFrame, path: str, sort_cols: Sequence[str],
+                    n_files: int | None = None, mode: str = "overwrite") -> None:
+    """Range-clustered parquet write: ``repartitionByRange`` on the sort
+    key + ``sortWithinPartitions`` so every output file covers a disjoint
+    key range.  Parquet footers then carry tight min/max stats per file
+    and rowgroup, so any reader filtering on the sort key skips whole
+    files — the poor man's clustered index, and the single highest-value
+    layout choice for an append-mostly event table queried by time.
+
+    Spark's legacy parquet timestamp encoding (INT96) writes NO footer
+    statistics — a timestamp sort key would cluster the data and then
+    give readers nothing to skip with — so the write pins
+    ``outputTimestampType=TIMESTAMP_MICROS`` (stats-bearing, and the
+    modern interchange default) for its duration."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        w = df.repartitionByRange(*([n_files] if n_files else []), *sort_cols) \
+              .sortWithinPartitions(*sort_cols)
+        w.write.mode(mode).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
