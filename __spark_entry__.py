@@ -50,6 +50,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_importance_weights": Q.dsir_importance_weights,
     "sample_weighted_per_source": Q.sample_weighted_per_source,
     "dedup_incremental_new_docs": Q.dedup_incremental_new_docs,
+    "streaming_funnel_conversions": Q.streaming_funnel_conversions,
     # sat below position 50 in r3's dict
     "embedding_centroids": Q.embedding_centroids,
     "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,

@@ -82,6 +82,7 @@ HEADLINE = [
     "dsir_importance_weights",        # DSIR hashed-ngram importance weighting
     "sample_weighted_per_source",     # Efraimidis-Spirakis weighted sample
     "dedup_incremental_new_docs",     # incremental dedup vs seen-set
+    "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
 ]
 
 

@@ -396,3 +396,40 @@ def test_watermark_drops_late_event(spark, tmpdir):
     assert got.get("10:00") == 1, got
     # the 12:00 window closed once 14:00 advanced the watermark
     assert got.get("12:00") == 1, got
+
+
+def test_funnel_state_crosses_batches(spark, tmpdir):
+    """A view in trigger 1 must convert a purchase in trigger 2 (state
+    handoff), a purchase outside the window must not convert, and a
+    purchase with no preceding view must emit nothing."""
+    import uuid
+
+    from tubes_spark.streaming.funnel import funnel_conversions_stream
+    from tubes_spark.streaming.run import drain_to_df
+
+    MIN = 60 * 1_000_000  # one minute in micros
+    batch1 = [
+        (1, 10 * MIN, 100, "view"),      # converts in batch 2
+        (2, 10 * MIN, 101, "view"),      # too old for user 2's purchase
+        (3, 10 * MIN, 102, "purchase"),  # no preceding view: no emit
+    ]
+    batch2 = [
+        (1, 30 * MIN, 200, "purchase"),   # 20 min after view -> converts
+        (2, 200 * MIN, 201, "purchase"),  # 190 min after view -> no
+        (3, 210 * MIN, 202, "view"),      # view after purchase: no pair
+    ]
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    for rows in (batch1, batch2):  # sequential writes -> ordered triggers
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            f"{tmpdir}/funnel_in"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmpdir}/funnel_in")
+    )
+    conv = funnel_conversions_stream(stream.groupBy("user_id"), window_us=30 * MIN)
+    out = drain_to_df(conv, f"funnel_t_{uuid.uuid4().hex[:8]}", output_mode="append")
+    rows = sorted((r.user_id, r.view_event_id, r.purchase_event_id, r.lag_sec)
+                  for r in out.collect())
+    assert rows == [(1, 100, 200, 1200)]

@@ -1100,3 +1100,26 @@ WHERE source <> 'src0'
     SELECT md5({NORM_TEXT}) FROM documents WHERE source = 'src0'
   )
 """
+
+ORACLES["streaming_funnel_conversions"] = """
+WITH v AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), paired AS (
+  SELECT p.user_id, p.event_id AS purchase_event_id, epoch_us(p.ts) AS pts,
+    (SELECT v.event_id FROM v
+     WHERE v.user_id = p.user_id
+       AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+     ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id,
+    (SELECT epoch_us(v.ts) FROM v
+     WHERE v.user_id = p.user_id
+       AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id < p.event_id))
+     ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS vts
+  FROM p
+)
+SELECT user_id, view_event_id, purchase_event_id,
+  (pts - vts) // 1000000 AS lag_sec
+FROM paired
+WHERE view_event_id IS NOT NULL AND pts - vts <= 30 * 60 * 1000000
+"""

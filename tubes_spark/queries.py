@@ -2067,6 +2067,62 @@ def cdc_scd2_intervals(spark, sf_dir):
     )
 
 
+def streaming_funnel_conversions(spark, sf_dir):
+    """Conversion-funnel detection through the REAL streaming engine
+    with keyed arbitrary state (streaming/funnel.py): each purchase
+    pairs with the user's most recent preceding view when the gap is
+    <= 30 minutes.  One 16-byte state cell per user crosses micro-batch
+    boundaries — a pattern (not a fold) no windowed agg expresses.
+    Hash-checked against a batch as-of-join oracle.
+
+    The replay writes four event-time slices SEQUENTIALLY (ntile on the
+    (ts, event_id) order) so the file stream delivers triggers in event
+    order — the in-order-delivery contract cross-batch pairing needs;
+    a production deployment gets the same property from log offsets."""
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.funnel import funnel_conversions_stream
+    from tubes_spark.streaming.run import drain_to_df
+
+    e = _t(spark, sf_dir, "events")
+    base = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="tubes_funnel_")
+    w = Window.orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    sliced = base.withColumn("slice", F.ntile(4).over(w))
+    for i in range(1, 5):  # sequential appends -> monotone file mtimes
+        (
+            sliced.filter(F.col("slice") == i)
+            .drop("slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(f"{tmp}/in")
+        )
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/in")
+    )
+    conv = funnel_conversions_stream(
+        stream.groupBy("user_id"), window_us=30 * 60 * 1_000_000
+    )
+    out = drain_to_df(
+        conv, f"stream_funnel_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    res = out.cache()
+    res.count()  # pin rows before tmp cleanup
+    return res
+
+
 def dsir_importance_weights(spark, sf_dir):
     """DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
     arXiv:2302.03169): score every document by how much its hashed
