@@ -51,6 +51,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted_per_source": Q.sample_weighted_per_source,
     "dedup_incremental_new_docs": Q.dedup_incremental_new_docs,
     "streaming_funnel_conversions": Q.streaming_funnel_conversions,
+    "gapfill_hourly_counts": Q.gapfill_hourly_counts,
+    "unpivot_doc_metrics": Q.unpivot_doc_metrics,
+    "approx_top_tokens": Q.approx_top_tokens,
     # sat below position 50 in r3's dict
     "embedding_centroids": Q.embedding_centroids,
     "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,

@@ -83,6 +83,9 @@ HEADLINE = [
     "sample_weighted_per_source",     # Efraimidis-Spirakis weighted sample
     "dedup_incremental_new_docs",     # incremental dedup vs seen-set
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
+    "gapfill_hourly_counts",          # dense time-series gap filling
+    "unpivot_doc_metrics",            # wide-to-long melt
+    "approx_top_tokens",              # SpaceSaving mergeable heavy hitters
 ]
 
 

@@ -150,3 +150,35 @@ def test_events_ts_loads_as_ltz_timestamp(spark):
     # and it is scan-direct: no Project-with-cast between scan and consumer
     plan = e._jdf.queryExecution().executedPlan().toString()
     assert "precisetimestampconversion" not in plan.lower()
+
+
+# ------------------------------------------------------ SpaceSaving sketch
+
+def test_space_saving_eviction_bounds(spark):
+    """Capacity 4 on a 12-key skewed stream forces real evictions; every
+    reported key must satisfy true <= est <= true + err, and the two
+    genuinely heavy keys must surface at the top."""
+    from tubes_spark.operators.sketch import space_saving_topk
+
+    rows = (["a"] * 100 + ["b"] * 50 + ["c"] * 8
+            + [f"x{i}" for i in range(9)] * 2)
+    df = spark.createDataFrame([(x,) for x in rows], "tok string").coalesce(1)
+    got = {r.tok: (r.est_count, r.max_overcount)
+           for r in space_saving_topk(df, "tok", k=4, capacity=4).collect()}
+    true = {"a": 100, "b": 50, "c": 8, **{f"x{i}": 2 for i in range(9)}}
+    for tok, (est, err) in got.items():
+        assert true[tok] <= est <= true[tok] + err, (tok, est, err)
+    top2 = sorted(got.items(), key=lambda it: -it[1][0])[:2]
+    assert {t for t, _ in top2} == {"a", "b"}
+
+
+def test_space_saving_exact_when_capacity_suffices(spark):
+    """With capacity >= distinct keys per task the sketch IS the exact
+    count (err 0) — the condition the oracle-gated query relies on."""
+    from tubes_spark.operators.sketch import space_saving_topk
+
+    rows = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    df = spark.createDataFrame([(x,) for x in rows], "tok string").repartition(4)
+    got = [(r.tok, r.est_count, r.max_overcount)
+           for r in space_saving_topk(df, "tok", k=3, capacity=16).collect()]
+    assert got == [("a", 5, 0), ("b", 3, 0), ("c", 2, 0)]

@@ -1,0 +1,76 @@
+"""Mergeable approximate heavy hitters — SpaceSaving (Metwally et al.,
+ICDT 2005) as a two-phase Spark aggregation.
+
+Exact top-k (``top_bigrams_global``) holds far past 100 TB for n-gram
+key spaces, but a truly unbounded key domain (URLs, user ids, raw
+substrings) can make even the two-level agg's keyspace too large.  The
+classic fix: each task keeps a CAPACITY-bounded SpaceSaving summary
+(overflow evicts the min counter, the newcomer inherits its count as
+overcount error), then summaries merge by per-key addition — the
+mergeable-summaries pattern (Agarwal et al., PODS 2012).
+
+Error contract surfaced per key: ``true <= est_count`` when the key was
+tracked everywhere it appeared, and ``est_count <= true +
+max_overcount``.  When every task sees at most ``capacity`` distinct
+keys the summary degenerates to an exact count (err 0) — the
+exactness condition the oracle-gated query relies on; the unit test
+exercises REAL eviction with a tiny capacity and checks the bounds.
+
+Scale shape: one Arrow-batched scan producing at most ``capacity`` rows
+PER TASK, one narrow shuffle on the key for the merge, then
+TakeOrderedAndProject for the top-k.  Driver receives k rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def space_saving_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Approximate top-k keys by frequency with per-key error bounds.
+
+    Returns (key_col, est_count, max_overcount) for the k largest
+    estimates, ties broken on the key string for engine portability."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, tuple[int, int]] = {}
+        for pdf in batches:
+            for x in pdf[key_col]:
+                hit = counters.get(x)
+                if hit is not None:
+                    counters[x] = (hit[0] + 1, hit[1])
+                elif len(counters) < capacity:
+                    counters[x] = (1, 0)
+                else:
+                    victim = min(counters.items(), key=lambda it: (it[1][0], it[0]))
+                    vcount = victim[1][0]
+                    del counters[victim[0]]
+                    # newcomer inherits the evicted min count as its
+                    # overcount bound — the SpaceSaving invariant
+                    counters[x] = (vcount + 1, vcount)
+        if counters:
+            yield pd.DataFrame(
+                [(kk, c, e) for kk, (c, e) in counters.items()],
+                columns=[key_col, "est", "err"],
+            )
+
+    summaries = df.select(key_col).mapInPandas(
+        partial, schema=f"{key_col} string, est long, err long"
+    )
+    merged = summaries.groupBy(key_col).agg(
+        F.sum("est").alias("est_count"),
+        F.sum("err").alias("max_overcount"),
+    )
+    return (
+        merged.orderBy(F.col("est_count").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

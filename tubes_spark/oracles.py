@@ -1123,3 +1123,44 @@ SELECT user_id, view_event_id, purchase_event_id,
 FROM paired
 WHERE view_event_id IS NOT NULL AND pts - vts <= 30 * 60 * 1000000
 """
+
+ORACLES["gapfill_hourly_counts"] = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+    COUNT(*) AS n_events,
+    {_dsum('value')} AS sum_value
+  FROM events GROUP BY 1
+), b AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM hourly
+), spectrum AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b
+)
+SELECT CAST(floor(epoch(spectrum.h)) AS BIGINT) AS hour_start,
+  COALESCE(n_events, 0) AS n_events,
+  sum_value
+FROM spectrum LEFT JOIN hourly ON spectrum.h = hourly.h
+"""
+
+ORACLES["unpivot_doc_metrics"] = r"""
+WITH wide AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tokens,
+    CAST(length(text) AS BIGINT) AS raw_len
+  FROM documents
+)
+SELECT doc_id, 'chars' AS metric, chars AS value FROM wide
+UNION ALL SELECT doc_id, 'tokens', tokens FROM wide
+UNION ALL SELECT doc_id, 'raw_len', raw_len FROM wide
+"""
+
+ORACLES["approx_top_tokens"] = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT tok, COUNT(*) AS est_count FROM toks GROUP BY tok
+)
+SELECT tok, est_count, CAST(0 AS BIGINT) AS max_overcount
+FROM c ORDER BY est_count DESC, tok ASC LIMIT 10
+"""

@@ -2123,6 +2123,76 @@ def streaming_funnel_conversions(spark, sf_dir):
     return res
 
 
+def gapfill_hourly_counts(spark, sf_dir):
+    """Time-series gap filling (the hypertable ``time_bucket_gapfill``
+    shape): the hourly rollup emits NO row for an empty hour, but
+    downstream chart/model consumers need a dense spectrum — generate
+    every hour between the corpus min and max and left-join the rollup
+    onto it (missing hours -> count 0, sum NULL).
+
+    Scale shape: the rollup is the usual one-shuffle partial agg; the
+    bounds are a one-row agg; the spectrum is an exploded ``sequence``
+    over the bounds (rows = hours in range — thousands per YEAR, tiny
+    forever) that BROADCASTs onto the rollup.  Nothing scales with
+    event volume except the first agg."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spectrum = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    return (
+        F.broadcast(spectrum)
+        .join(hourly, "h", "left")
+        .select(
+            F.col("h").cast("long").alias("hour_start"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            "sum_value",
+        )
+    )
+
+
+def unpivot_doc_metrics(spark, sf_dir):
+    """Wide-to-long reshaping (``unpivot``/melt — the inverse of
+    ``pivot_event_counts``): per-doc metrics computed as columns, then
+    melted to (doc_id, metric, value) rows.  The standard shape for
+    feeding heterogeneous per-doc statistics to a single metrics sink.
+
+    Scale shape: pure per-row projection — unpivot is a local explode,
+    no shuffle anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    wide = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("chars"),
+        text.token_count(F.col("text")).cast("long").alias("tokens"),
+        F.length("text").cast("long").alias("raw_len"),
+    )
+    return wide.unpivot("doc_id", ["chars", "tokens", "raw_len"], "metric", "value")
+
+
+def approx_top_tokens(spark, sf_dir):
+    """SpaceSaving approximate heavy hitters over the token stream
+    (operators/sketch.py) — the bounded-memory alternative to the exact
+    two-level agg when the key domain is unbounded.  At this corpus's
+    vocabulary (~31 tokens << capacity 4096) every task tracks every
+    key, the error bound is 0, and the result equals the exact top-10 —
+    which is precisely what the oracle checks; the eviction path is
+    exercised separately with a capacity-4 unit test."""
+    from tubes_spark.operators.sketch import space_saving_topk
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokenize(F.col("text"))).alias("tok"))
+    return space_saving_topk(toks, "tok", k=10, capacity=4096)
+
+
 def dsir_importance_weights(spark, sf_dir):
     """DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
     arXiv:2302.03169): score every document by how much its hashed
