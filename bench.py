@@ -86,6 +86,7 @@ HEADLINE = [
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt
     "approx_top_tokens",              # SpaceSaving mergeable heavy hitters
+    "source_kl_divergence",           # per-source distribution drift (KL)
 ]
 
 

@@ -243,3 +243,11 @@ def test_events_scan_pushes_ts_filter(spark):
     ).select("event_id", "ts")
     p = plan_of(e)
     assert re.search(r"PushedFilters: \[.*ts", p), p
+
+
+def test_source_kl_broadcasts_models(spark):
+    """The global token model and the per-source totals are broadcast;
+    the only wide shuffles are the two count aggs + the final agg."""
+    p = plan_of(Q.source_kl_divergence(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p

@@ -1164,3 +1164,32 @@ WITH toks AS (
 SELECT tok, est_count, CAST(0 AS BIGINT) AS max_overcount
 FROM c ORDER BY est_count DESC, tok ASC LIMIT 10
 """
+
+ORACLES["source_kl_divergence"] = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), src_cnt AS (
+  SELECT source, tok, COUNT(*) AS s_cnt FROM toks GROUP BY source, tok
+), glob_cnt AS (
+  SELECT tok, COUNT(*) AS g_cnt FROM toks GROUP BY tok
+), vocab AS (
+  SELECT COUNT(*) AS v, SUM(g_cnt) AS g_tot FROM glob_cnt
+), src_tot AS (
+  SELECT source, SUM(s_cnt) AS s_tot FROM src_cnt GROUP BY source
+), term AS (
+  SELECT source,
+    round(
+      ((s_cnt + 1)::DOUBLE / (s_tot + v))
+      * ln(((s_cnt + 1)::DOUBLE / (s_tot + v))
+         / ((g_cnt + 1)::DOUBLE / (g_tot + v))), 6) AS kl_term
+  FROM src_cnt
+  JOIN glob_cnt USING (tok)
+  JOIN src_tot USING (source)
+  CROSS JOIN vocab
+)
+SELECT source,
+  CAST(SUM(CAST(kl_term AS DECIMAL(27,6))) AS DOUBLE) AS kl_to_corpus,
+  COUNT(*) AS n_terms
+FROM term GROUP BY source
+"""

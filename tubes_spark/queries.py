@@ -2193,6 +2193,50 @@ def approx_top_tokens(spark, sf_dir):
     return space_saving_topk(toks, "tok", k=10, capacity=4096)
 
 
+def source_kl_divergence(spark, sf_dir):
+    """Distribution-drift monitor: KL(source || corpus) over the token
+    distribution, per source — the standard check that one ingest
+    source hasn't drifted away from the corpus mixture (run per
+    crawl/day at scale; alert on a jump).
+
+    Laplace-smoothed (+1 / +V with V = corpus vocabulary) so
+    source-absent tokens contribute finite mass.  Scale shape: two
+    narrow count shuffles (per-source and global token counts), the
+    global model BROADCAST onto the per-source terms, one final
+    per-source agg.  Model size = vocabulary — cap to top-K tokens at
+    open-vocabulary scale, same note as the LM-quality filters.  Float
+    discipline: each term is rounded to 6dp and summed as
+    decimal(27,6)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(text.tokenize(F.col("text"))).alias("tok"))
+    src_cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("s_cnt"))
+    glob_cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("g_cnt"))
+    vocab = glob_cnt.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("g_cnt").alias("g_tot")
+    )
+    src_tot = src_cnt.groupBy("source").agg(F.sum("s_cnt").alias("s_tot"))
+    term = (
+        src_cnt.join(F.broadcast(glob_cnt), "tok")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.round(
+                ((F.col("s_cnt") + 1).cast("double") / (F.col("s_tot") + F.col("v")))
+                * F.log(
+                    ((F.col("s_cnt") + 1).cast("double") / (F.col("s_tot") + F.col("v")))
+                    / ((F.col("g_cnt") + 1).cast("double") / (F.col("g_tot") + F.col("v")))
+                ),
+                6,
+            ).alias("kl_term"),
+        )
+    )
+    return term.groupBy("source").agg(
+        F.sum(F.col("kl_term").cast("decimal(27,6)")).cast("double").alias("kl_to_corpus"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
 def dsir_importance_weights(spark, sf_dir):
     """DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
     arXiv:2302.03169): score every document by how much its hashed
