@@ -47,6 +47,13 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+# Format coverage note: Avro is an EXTERNAL Spark module (spark-avro jar)
+# not shipped in this container — wire it via
+# --packages org.apache.spark:spark-avro_2.13:<ver> on a real cluster and
+# the same read/write pattern applies; Delta/Iceberg likewise ride their
+# own catalogs.  Everything in this module is built into Spark core.
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC: the other columnar built-in — same pushdown/pruning story as
     parquet (plus bloom filters where written)."""
