@@ -55,6 +55,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_doc_metrics": Q.unpivot_doc_metrics,
     "approx_top_tokens": Q.approx_top_tokens,
     "source_kl_divergence": Q.source_kl_divergence,
+    "knn_pq_rerank": Q.knn_pq_rerank,
     # sat below position 50 in r3's dict
     "embedding_centroids": Q.embedding_centroids,
     "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,

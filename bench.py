@@ -87,6 +87,7 @@ HEADLINE = [
     "unpivot_doc_metrics",            # wide-to-long melt
     "approx_top_tokens",              # SpaceSaving mergeable heavy hitters
     "source_kl_divergence",           # per-source distribution drift (KL)
+    "knn_pq_rerank",                  # PQ-ADC two-stage ANN (32x compressed index)
 ]
 
 

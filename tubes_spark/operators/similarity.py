@@ -576,3 +576,182 @@ def knn_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------- PQ ANN
+
+def _kmeans_plain(mat: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Euclidean (non-spherical) k-means for PQ sub-vector codebooks —
+    sub-vectors are NOT unit vectors, so the spherical trainer above
+    would distort them."""
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    seed: int = 11,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou, Douze, Schmid: "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into ``m`` sub-vectors and train an independent ``k``-entry
+    Euclidean codebook per subspace on a bounded hash-ordered sample.
+    Returns (m, k, dim//m) float64 — a few KB, broadcast-sized.
+
+    This is the storage layer that makes billion-vector ANN feasible:
+    a dim=64 float32 vector is 256 bytes; its PQ code is ``m`` bytes
+    (here 8) — a 32x shrink that keeps the WHOLE index in memory at
+    corpus sizes where raw vectors would not even fit on disk budget."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    sample = _to_matrix(_hash_sample(corpus, vec_col, sample_cap)[vec_col])
+    return np.stack([
+        _kmeans_plain(sample[:, j * sub:(j + 1) * sub], k, seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m-byte PQ code (array<int> of
+    per-subspace nearest-centroid ids).  Arrow-batched matmul per
+    subspace; no shuffle — encoding is a pure per-row projection."""
+    m, _k, sub = codebooks.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _to_matrix(pdf[vec_col])
+            codes = np.empty((len(cm), m), dtype=np.int64)
+            for j in range(m):
+                block = cm[:, j * sub:(j + 1) * sub]
+                # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2; ||x||^2 constant per row
+                dots = block @ codebooks[j].T
+                c2 = (codebooks[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(c2[None, :] - 2 * dots, axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "pq_code": list(codes),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, pq_code array<long>"
+    )
+
+
+def knn_pq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+    seed: int = 11,
+) -> DataFrame:
+    """PQ approximate top-k via asymmetric distance computation (ADC):
+    each query precomputes an (m x k) table of squared distances from
+    its sub-vectors to every codebook centroid, then a corpus code's
+    distance is m table lookups summed — no decompression, no float
+    vector ever re-read.
+
+    ``rerank > 0`` keeps the standard two-stage pipeline: take
+    ``rerank`` ADC candidates per query, then re-score EXACTLY on the
+    original vectors (one narrow semi-join by id) — recall approaches
+    brute force while ADC still prunes ~all of the corpus.
+
+    Scale shape: codebooks + query tables broadcast (KBs); the encoded
+    corpus streams through one Arrow pass; only (query, candidate, est)
+    narrow rows shuffle for the top-k; the rerank join moves ``rerank``
+    vectors per query, not the corpus."""
+    books = pq_train(corpus, dim, m, n_codes, vec_col, sample_cap, seed)
+    qids, qm = _collect_queries(queries, id_col, vec_col)
+    sub = dim // m
+    # (nq, m, k) ADC tables of squared sub-distances
+    tables = np.stack([
+        ((qm[:, j * sub:(j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        for j in range(m)
+    ], axis=1)
+
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf["pq_code"].to_numpy()).astype(np.int64)  # (nc, m)
+            nc, nq = len(cm), len(qids)
+            # gather: est[c, q] = sum_j tables[q, j, code[c, j]]
+            est = np.zeros((nc, nq))
+            for j in range(m):
+                est += tables[:, j, :][:, cm[:, j]].T  # (nc, nq)
+            yield pd.DataFrame({
+                "neighbor_id": np.repeat(pdf[id_col].to_numpy(), nq),
+                "query_id": np.tile(qids, nc),
+                "adc_dist": np.round(est.ravel(), 6),
+            })
+
+    scored = codes.mapInPandas(
+        score, schema="neighbor_id long, query_id long, adc_dist double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    exact = cand.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id"
+    )
+
+    def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = _to_matrix(pdf[vec_col])
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            qs = np.array([qpos[int(q)] for q in pdf["query_id"]])
+            sims = np.einsum("ij,ij->i", cm, qm[qs])
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "cos_sim": np.round(sims, 6),
+            })
+
+    rescored = exact.mapInPandas(
+        rescore, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -903,6 +903,21 @@ def knn_ivf_approx(spark, sf_dir):
     )
 
 
+def knn_pq_rerank(spark, sf_dir):
+    """IVF-PQ-style two-stage ANN: product-quantized codes scored by
+    asymmetric distance (m table lookups per candidate, no vector
+    decompression), top-50 shortlist re-ranked exactly on the original
+    vectors.  The 32x storage shrink (8-byte codes vs 256-byte vectors)
+    is what keeps a billion-vector index in memory.  Rows-only check
+    (numpy-seeded codebooks); recall vs brute force pinned in
+    tests/test_dedup_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_pq_adc(
+        emb, q, dim=64, k=10, m=8, n_codes=64, rerank=50
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 def rollup_hour_day_week(spark, sf_dir):
     """Hypertable-style multi-resolution rollup: hour -> day -> week,
     each coarser level re-aggregated from the previous level's partials
