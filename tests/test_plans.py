@@ -251,3 +251,43 @@ def test_source_kl_broadcasts_models(spark):
     p = plan_of(Q.source_kl_divergence(spark, SF))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_observed_metrics_free_telemetry(spark):
+    """Observation metrics must report from the SAME pass as the action
+    — no extra jobs — and match independently-computed values."""
+    from tubes_spark.catalog import load_table
+    from tubes_spark.plans import observed
+
+    d = load_table(spark, "orders", SF)
+    df, obs = observed(
+        d, "quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double").alias("total"),
+        F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias("null_status"),
+    )
+    n = df.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    expect_total = d.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double")
+    ).first()[0]
+    assert got["total"] == expect_total
+    assert got["null_status"] == d.filter(F.col("o_orderstatus").isNull()).count()
+
+
+def test_join_strategy_hints_control_plan(spark):
+    """The engine exposes Spark's join-strategy control surface: hints
+    must actually change the physical join operator."""
+    from tubes_spark.catalog import load_table
+
+    li = load_table(spark, "lineitem", SF)
+    orders = load_table(spark, "orders", SF)
+    p_merge = plan_of(
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    )
+    assert "SortMergeJoin" in p_merge, p_merge
+    p_shj = plan_of(
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    )
+    assert "ShuffledHashJoin" in p_shj, p_shj

@@ -69,3 +69,19 @@ def codegen_subtrees(df: DataFrame) -> int:
     p = plan_of(df, "codegen")
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
     return int(m.group(1)) if m else 0
+
+
+def observed(df: DataFrame, name: str, *metrics):
+    """Attach free pipeline telemetry to a plan: ``Observation`` metrics
+    are accumulated BY THE TASKS that already process each row — row
+    counts, null counts, sums for data-quality gates — with zero extra
+    scans or actions (a naive ``df.count(); df.filter(...).count()``
+    quality check reads the data once per metric; at 100 TB that is the
+    difference between free and doubling the job).
+
+    Returns (df, observation); run any action on the returned df, then
+    ``observation.get`` yields the metrics dict."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs
