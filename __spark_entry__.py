@@ -56,6 +56,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_top_tokens": Q.approx_top_tokens,
     "source_kl_divergence": Q.source_kl_divergence,
     "knn_pq_rerank": Q.knn_pq_rerank,
+    "grouping_sets_priority_flag": Q.grouping_sets_priority_flag,
+    "orders_price_percentile": Q.orders_price_percentile,
+    "ewma_user_values": Q.ewma_user_values,
     # sat below position 50 in r3's dict
     "embedding_centroids": Q.embedding_centroids,
     "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,

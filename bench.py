@@ -88,6 +88,9 @@ HEADLINE = [
     "approx_top_tokens",              # SpaceSaving mergeable heavy hitters
     "source_kl_divergence",           # per-source distribution drift (KL)
     "knn_pq_rerank",                  # PQ-ADC two-stage ANN (32x compressed index)
+    "grouping_sets_priority_flag",    # explicit GROUPING SETS + grouping_id
+    "orders_price_percentile",        # percent_rank / cume_dist windows
+    "ewma_user_values",               # per-key EWMA recurrence (applyInPandas)
 ]
 
 

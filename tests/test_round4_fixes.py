@@ -182,3 +182,27 @@ def test_space_saving_exact_when_capacity_suffices(spark):
     got = [(r.tok, r.est_count, r.max_overcount)
            for r in space_saving_topk(df, "tok", k=3, capacity=16).collect()]
     assert got == [("a", 5, 0), ("b", 3, 0), ("c", 2, 0)]
+
+
+# ----------------------------------------------------------------- EWMA
+
+def test_ewma_matches_pandas_reference(spark):
+    """The distributed per-user EWMA must equal pandas' reference
+    ewm(alpha, adjust=False).mean() computed per user on the driver."""
+    import pandas as pd
+
+    from tubes_spark import queries as Q
+    from tubes_spark.catalog import load_table
+
+    got = {
+        r.event_id: r.ewma_value
+        for r in Q.ewma_user_values(spark, SF_SMALL).collect()
+    }
+    e = load_table(spark, "events", SF_SMALL).select(
+        "user_id", "event_id", "ts", "value"
+    ).toPandas()
+    for _uid, grp in e.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        ref = grp["value"].ewm(alpha=0.3, adjust=False).mean().round(6)
+        for eid, val in zip(grp["event_id"], ref):
+            assert got[eid] == val, (eid, got[eid], val)

@@ -1193,3 +1193,20 @@ SELECT source,
   COUNT(*) AS n_terms
 FROM term GROUP BY source
 """
+
+ORACLES["grouping_sets_priority_flag"] = f"""
+SELECT o_orderpriority, o_orderstatus,
+  CAST(grouping(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+  COUNT(*) AS n_orders,
+  {_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+ORACLES["orders_price_percentile"] = """
+SELECT o_orderkey, o_orderpriority,
+  round(percent_rank() OVER w, 6) AS price_pct_rank,
+  round(cume_dist() OVER w, 6) AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""

@@ -903,6 +903,73 @@ def knn_ivf_approx(spark, sf_dir):
     )
 
 
+def grouping_sets_priority_flag(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form rollup/cube specialize
+    (rollup_flag_status / cube_priority_status cover those): exactly the
+    requested group combinations, plus grouping_id to tell aggregate
+    levels apart.  One Expand + one shuffle, same cost envelope as a
+    rollup with the same set count."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+def orders_price_percentile(spark, sf_dir):
+    """Distribution-position analytics: percent_rank and cume_dist of
+    each order's price within its priority class — the remaining two
+    ranking window functions the battery didn't yet pin (row_number/
+    rank/ntile/lag/lead are covered elsewhere).  One shuffle on the
+    partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+def ewma_user_values(spark, sf_dir):
+    """Exponentially-weighted moving average of each user's event
+    values in event order — the classic time-series smoothing feature.
+    EWMA is a linear RECURRENCE (y_t = a*x_t + (1-a)*y_{t-1}), which no
+    SQL window expresses without numerically-explosive pow() tricks, so
+    this is the canonical batch ``applyInPandas`` use: one shuffle on
+    user_id, the recurrence runs vectorized per key inside Arrow
+    batches.  Rows-only driver check; values pinned against pandas'
+    reference ``ewm(alpha).mean()`` in tests."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    alpha = 0.3
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = pdf[["event_id", "user_id"]].copy()
+        out["ewma_value"] = (
+            pdf["value"].ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return out
+
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(smooth, schema="event_id long, user_id long, ewma_value double")
+    )
+
+
 def knn_pq_rerank(spark, sf_dir):
     """IVF-PQ-style two-stage ANN: product-quantized codes scored by
     asymmetric distance (m table lookups per candidate, no vector
