@@ -91,6 +91,7 @@ HEADLINE = [
     "grouping_sets_priority_flag",    # explicit GROUPING SETS + grouping_id
     "orders_price_percentile",        # percent_rank / cume_dist windows
     "ewma_user_values",               # per-key EWMA recurrence (applyInPandas)
+    "multimodal_png_dims",            # oracle-gated media header round-trip
 ]
 
 

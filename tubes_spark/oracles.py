@@ -1210,3 +1210,11 @@ SELECT o_orderkey, o_orderpriority,
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
 """
+
+ORACLES["multimodal_png_dims"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+  'image/png' AS mime,
+  CAST(n_chars % 256 + 1 AS INTEGER) AS width,
+  CAST(48 AS INTEGER) AS height
+FROM documents
+"""

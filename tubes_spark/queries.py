@@ -970,6 +970,36 @@ def ewma_user_values(spark, sf_dir):
     )
 
 
+def multimodal_png_dims(spark, sf_dir):
+    """End-to-end media-metadata path under the ORACLE gate: build a
+    real PNG header per doc JVM-side (binary concat; width = derived
+    from n_chars, so every row differs), parse it back with the
+    stdlib header decoder (operators/multimodal.py::decode_headers,
+    Arrow-batched), and check the recovered dimensions against pure
+    arithmetic in DuckDB.  This upgrades the multimodal story from
+    'unit-tested goldens' to driver-hash-verified: the binary column
+    plumbing AND the parser agree with an independent engine on every
+    row.
+
+    Scale shape: two per-row projections (construct + parse) — no
+    shuffle, no driver data."""
+    from tubes_spark.operators.multimodal import decode_headers
+
+    d = _t(spark, sf_dir, "documents")
+    width = (F.col("n_chars") % 256 + 1).cast("int")
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),  # sig + IHDR
+        F.unhex(F.lpad(F.hex(width), 8, "0")),                # width  (BE)
+        F.unhex(F.lpad(F.hex(F.lit(48)), 8, "0")),            # height (BE)
+        F.unhex(F.lit("0806000000")),                          # bit depth etc
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        payload.alias("content"),
+    )
+    return decode_headers(media).select("media_id", "mime", "width", "height")
+
+
 def knn_pq_rerank(spark, sf_dir):
     """IVF-PQ-style two-stage ANN: product-quantized codes scored by
     asymmetric distance (m table lookups per candidate, no vector
