@@ -60,6 +60,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_percentile": Q.orders_price_percentile,
     "ewma_user_values": Q.ewma_user_values,
     "multimodal_png_dims": Q.multimodal_png_dims,
+    "multimodal_frame_sample": Q.multimodal_frame_sample,
     # sat below position 50 in r3's dict
     "embedding_centroids": Q.embedding_centroids,
     "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,

@@ -92,6 +92,7 @@ HEADLINE = [
     "orders_price_percentile",        # percent_rank / cume_dist windows
     "ewma_user_values",               # per-key EWMA recurrence (applyInPandas)
     "multimodal_png_dims",            # oracle-gated media header round-trip
+    "multimodal_frame_sample",        # frame-sampling fan-out (explode plan)
 ]
 
 

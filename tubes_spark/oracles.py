@@ -1218,3 +1218,9 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
   CAST(48 AS INTEGER) AS height
 FROM documents
 """
+
+ORACLES["multimodal_frame_sample"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+  unnest(generate_series(0, greatest(CAST(n_chars % 1000 + 100 AS INTEGER) - 1, 0), 250))::BIGINT AS frame_ts_ms
+FROM documents
+"""

@@ -1000,6 +1000,34 @@ def multimodal_png_dims(spark, sf_dir):
     return decode_headers(media).select("media_id", "mime", "width", "height")
 
 
+def multimodal_frame_sample(spark, sf_dir):
+    """Video/audio frame-sampling fan-out under the ORACLE gate: each
+    media row (typed MEDIA_META struct, duration derived per row)
+    explodes to one row per 250 ms sample point —
+    operators/multimodal.py::frame_sample_plan, the row-shape a real
+    frame grabber fills with decoded bytes.  DuckDB generates the same
+    series arithmetically, so the fan-out logic (inclusive bounds, zero
+    anchor, empty-duration guard) is engine-verified row by row.
+
+    Scale shape: pure explode — no shuffle; output rows =
+    sum(duration/step) which the step parameter budgets."""
+    from tubes_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents")
+    dur = (F.col("n_chars") % 1000 + 100).cast("int")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            dur.alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = frame_sample_plan(media, every_ms=250)
+    return out.select("media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"))
+
+
 def knn_pq_rerank(spark, sf_dir):
     """IVF-PQ-style two-stage ANN: product-quantized codes scored by
     asymmetric distance (m table lookups per candidate, no vector
