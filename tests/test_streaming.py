@@ -433,3 +433,47 @@ def test_funnel_state_crosses_batches(spark, tmpdir):
     rows = sorted((r.user_id, r.view_event_id, r.purchase_event_id, r.lag_sec)
                   for r in out.collect())
     assert rows == [(1, 100, 200, 1200)]
+
+
+def test_funnel_state_survives_restart(spark, tmpdir):
+    """Stop the funnel query entirely, then start a NEW query on the
+    same checkpoint after more data arrives: the last-view register
+    must come back from the state store — a view seen before the stop
+    converts a purchase that arrives after it (the reference's pump
+    resumption, Tubes/Util.hs:158-172, on real checkpoint state)."""
+    from tubes_spark.streaming.funnel import funnel_conversions_stream
+
+    MIN = 60 * 1_000_000
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    seen = []
+
+    def run_drain(ck: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmpdir}/funnel_r_in")
+        )
+        conv = funnel_conversions_stream(stream.groupBy("user_id"), window_us=30 * MIN)
+        q = (
+            conv.writeStream.foreachBatch(
+                lambda bdf, _bid: seen.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/funnel_r_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame(
+        [(7, 10 * MIN, 100, "view")], schema
+    ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/funnel_r_in")
+    run_drain("a")  # first lifecycle: view only, no emission
+    assert seen == []
+
+    spark.createDataFrame(
+        [(7, 25 * MIN, 200, "purchase")], schema
+    ).coalesce(1).write.mode("append").parquet(f"{tmpdir}/funnel_r_in")
+    run_drain("b")  # fresh query, same checkpoint: state must resume
+    assert [(r.user_id, r.view_event_id, r.purchase_event_id, r.lag_sec)
+            for r in seen] == [(7, 100, 200, 900)]
