@@ -946,27 +946,36 @@ def ewma_user_values(spark, sf_dir):
     values in event order — the classic time-series smoothing feature.
     EWMA is a linear RECURRENCE (y_t = a*x_t + (1-a)*y_{t-1}), which no
     SQL window expresses without numerically-explosive pow() tricks, so
-    this is the canonical batch ``applyInPandas`` use: one shuffle on
-    user_id, the recurrence runs vectorized per key inside Arrow
-    batches.  Rows-only driver check; values pinned against pandas'
-    reference ``ewm(alpha).mean()`` in tests."""
+    this is the canonical batch ``applyInPandas`` use: one shuffle on a
+    BUCKET of users (not per-user — per-key grouping pays one Arrow
+    round-trip per key, ~1000 calls / 3.5 s at sf0.1; 64 buckets with a
+    pandas groupby inside cut it to 64 calls / ~1 s, same exact
+    results, and bound task count at any user cardinality).  Rows-only
+    driver check; values pinned against pandas' reference
+    ``ewm(alpha).mean()`` in tests."""
     import pandas as pd
 
     e = _t(spark, sf_dir, "events")
     alpha = 0.3
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
         out = pdf[["event_id", "user_id"]].copy()
         out["ewma_value"] = (
-            pdf["value"].ewm(alpha=alpha, adjust=False).mean().round(6)
+            pdf.groupby("user_id")["value"]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+            .round(6)
         )
         return out
 
     return (
         e.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(smooth, schema="event_id long, user_id long, ewma_value double")
+        .withColumn("bucket", F.pmod(F.xxhash64("user_id"), F.lit(64)))
+        .groupBy("bucket")
+        .applyInPandas(
+            lambda pdf: smooth(pdf.drop(columns=["bucket"])),
+            schema="event_id long, user_id long, ewma_value double",
+        )
     )
 
 
