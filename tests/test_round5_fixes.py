@@ -1,0 +1,143 @@
+"""Regression tests pinning the round-5 review (ADVICE.md r4) fixes:
+
+* catalog._load_events must survive an INT64 TIMESTAMP(NANOS) events
+  parquet: the first read raises AnalysisException [PARQUET_TYPE_ILLEGAL]
+  eagerly, so the nanosAsLong fallback has to be reached via try/except,
+  not via a dtype check that never runs.
+* knn_pq metric space: codebooks/codes must live in the same (unit-norm)
+  space as the queries, so ADC ranking is cosine-consistent.
+* JPEG header walker must not read a segment length for length-less
+  markers (EOI/SOS/fill bytes) and must survive 0xFF fill runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tubes_spark.catalog import load_table
+
+
+def _write_events_ns(path: str) -> None:
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                np.array(
+                    ["2024-01-01T00:00:00.123456789", "2024-01-01T01:00:00", "2024-01-01T02:00:00"],
+                    dtype="datetime64[ns]",
+                ),
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["view", "click", "purchase"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, path, store_schema=False)
+
+
+def test_load_events_nanos_parquet_falls_back(spark, tmp_path):
+    """A nanos-stored events.parquet must load, with ts a TIMESTAMP column
+    truncated to micros (DuckDB's TIMESTAMP_NS -> TIMESTAMP mapping)."""
+    sf_dir = str(tmp_path)
+    _write_events_ns(os.path.join(sf_dir, "events.parquet"))
+    df = load_table(spark, "events", sf_dir)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    rows = df.orderBy("event_id").collect()
+    assert len(rows) == 3
+    # nanos truncated to micros, value preserved
+    assert rows[0]["ts"].microsecond == 123456
+
+
+def test_load_events_micros_still_direct(spark):
+    """The fast path (micros, no NTZ cast) must still produce TIMESTAMP."""
+    df = load_table(spark, "events", "/root/testdata/sf0.001")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+# ------------------------------------------------------- PQ metric consistency
+
+def test_pq_adc_cosine_consistent_under_magnitude_skew(spark):
+    """Scaling corpus vectors by arbitrary positive magnitudes must not
+    change the ADC ranking (cosine is scale-invariant; before the fix,
+    codebooks lived in raw space while queries were unit-norm, so
+    magnitude skew wrecked the shortlist)."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.catalog import load_table as lt
+    from tubes_spark.operators import similarity
+
+    emb = lt(spark, "embeddings", "/root/testdata/sf0.001")
+    # scale each vector by 1 + (vec_id % 7): cosine geometry unchanged
+    scaled = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * (F.lit(1.0) + (F.col("vec_id") % 7))
+        ).alias("embedding"),
+    )
+    q = scaled.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(scaled, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_pq_adc(
+            scaled, q, dim=64, k=10, m=8, n_codes=64, rerank=50
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"recall {recall}"
+
+
+# ----------------------------------------------------------- JPEG marker walk
+
+def _sof0(w: int, h: int) -> bytes:
+    return (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + bytes(9)
+    )
+
+
+def test_jpeg_dims_with_fill_byte_runs(spark_noop=None):
+    from tubes_spark.operators.multimodal import parse_media_header
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    # 0xFF fill run before the APP0 marker and before SOF0
+    b = b"\xff\xd8" + b"\xff\xff" + app0[1:] + b"\xff\xff\xff" + _sof0(640, 480)[1:]
+    assert parse_media_header(b) == ("image/jpeg", 640, 480, None)
+
+
+def test_jpeg_eoi_before_sof_returns_null_dims():
+    """EOI has no length bytes; the old walker read garbage there and
+    could jump anywhere.  A scan-less truncated JPEG must degrade to
+    NULL dims, never crash or misparse."""
+    from tubes_spark.operators.multimodal import parse_media_header
+
+    b = b"\xff\xd8" + b"\xff\xd9" + _sof0(123, 45)
+    assert parse_media_header(b) == ("image/jpeg", None, None, None)
+
+
+def test_jpeg_sos_stops_walk():
+    """Entropy-coded data after SOS may contain 0xFFC0-looking byte
+    pairs; the walker must stop at SOS rather than 'find' a fake SOF."""
+    from tubes_spark.operators.multimodal import parse_media_header
+
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + bytes(6)
+    fake_sof_in_scan = _sof0(9999, 9999)
+    b = b"\xff\xd8" + sos + fake_sof_in_scan
+    assert parse_media_header(b) == ("image/jpeg", None, None, None)
+
+
+def test_jpeg_normal_header_still_parses():
+    from tubes_spark.operators.multimodal import parse_media_header
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    b = b"\xff\xd8" + app0 + _sof0(800, 600)
+    assert parse_media_header(b) == ("image/jpeg", 800, 600, None)

@@ -106,9 +106,16 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
       fall back to ``nanosAsLong`` and truncate to micros — exactly what
       DuckDB does mapping TIMESTAMP_NS to its micro TIMESTAMP.
     """
-    with _with_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false"):
-        df = spark.read.parquet(path)
-    ts_type = dict(df.dtypes).get("ts")
+    try:
+        with _with_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false"):
+            df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts")
+    except Exception as exc:  # AnalysisException [PARQUET_TYPE_ILLEGAL]
+        # INT64 TIMESTAMP(NANOS) raises eagerly at schema resolution —
+        # before any dtypes check — so the fallback must catch, not sniff.
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc) and "NANOS" not in str(exc):
+            raise
+        ts_type = None
     if ts_type == "timestamp":
         return df
     # nanos fallback (vectorized reader cannot produce these as timestamps)

@@ -88,22 +88,42 @@ def parse_media_header(data: bytes | None) -> tuple[str, int | None, int | None,
                     int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little"), None)
         if b[:2] == b"\xff\xd8":
             # walk JFIF segments to the first SOF marker (C0-CF minus
-            # C4/C8/CC which are not frame headers)
+            # C4/C8/CC which are not frame headers).  Per the marker
+            # grammar: 0xFF fill runs precede a marker byte; SOI/TEM/RSTn
+            # are length-less; EOI/SOS end the header walk (reading a
+            # "length" there would be entropy-coded garbage and could
+            # jump past the real SOF); 0xFF00 is a stuffed data byte.
             i = 2
-            while i + 9 < len(b):
+            while i + 1 < len(b):
                 if b[i] != 0xFF:
                     i += 1
                     continue
-                marker = b[i + 1]
-                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                    i += 2
+                j = i + 1
+                while j < len(b) and b[j] == 0xFF:  # fill-byte run
+                    j += 1
+                if j >= len(b):
+                    break
+                marker = b[j]
+                if marker == 0x00:  # byte-stuffed 0xFF00, not a marker
+                    i = j + 1
                     continue
-                seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i = j + 1  # length-less markers
+                    continue
+                if marker in (0xD9, 0xDA):  # EOI / start-of-scan
+                    break
+                if j + 3 > len(b):
+                    break
+                seg_len = int.from_bytes(b[j + 1:j + 3], "big")
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                    h = int.from_bytes(b[i + 5:i + 7], "big")
-                    w = int.from_bytes(b[i + 7:i + 9], "big")
-                    return ("image/jpeg", w, h, None)
-                i += 2 + seg_len
+                    if j + 8 <= len(b):
+                        h = int.from_bytes(b[j + 4:j + 6], "big")
+                        w = int.from_bytes(b[j + 6:j + 8], "big")
+                        return ("image/jpeg", w, h, None)
+                    break
+                if seg_len < 2:
+                    break  # malformed length; stop rather than loop
+                i = j + 1 + seg_len
             return ("image/jpeg", None, None, None)
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             byte_rate = None

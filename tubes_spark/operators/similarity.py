@@ -619,6 +619,12 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     sample = _to_matrix(_hash_sample(corpus, vec_col, sample_cap)[vec_col])
+    # Train in the same metric space the queries are scored in: queries
+    # are L2-normalized (_collect_queries), so codebooks must be built
+    # on unit-norm corpus vectors too — then ADC squared distance is
+    # 2 - 2*cos, monotone in cosine, and the shortlist agrees with the
+    # exact rerank stage.
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     return np.stack([
         _kmeans_plain(sample[:, j * sub:(j + 1) * sub], k, seed + j)
         for j in range(m)
@@ -641,6 +647,8 @@ def pq_encode(
             if len(pdf) == 0:
                 continue
             cm = _to_matrix(pdf[vec_col])
+            # unit-norm to match the codebook training space (see pq_train)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
             codes = np.empty((len(cm), m), dtype=np.int64)
             for j in range(m):
                 block = cm[:, j * sub:(j + 1) * sub]

@@ -2216,7 +2216,7 @@ def cdc_scd2_intervals(spark, sf_dir):
     )
 
 
-def streaming_funnel_conversions(spark, sf_dir):
+def streaming_funnel_conversions(spark, sf_dir, n_slices=4):
     """Conversion-funnel detection through the REAL streaming engine
     with keyed arbitrary state (streaming/funnel.py): each purchase
     pairs with the user's most recent preceding view when the gap is
@@ -2224,15 +2224,26 @@ def streaming_funnel_conversions(spark, sf_dir):
     boundaries — a pattern (not a fold) no windowed agg expresses.
     Hash-checked against a batch as-of-join oracle.
 
-    The replay writes four event-time slices SEQUENTIALLY so the file
-    stream delivers triggers in event order — the in-order-delivery
-    contract cross-batch pairing needs; a production deployment gets the
-    same property from log offsets.  Slice boundaries come from a
-    one-row percentile agg (any time-contiguous cut preserves order),
-    NOT a global ntile sort — an Exchange SinglePartition there would be
-    the serial funnel this engine avoids everywhere else (7.8 s -> 6.2 s
-    at sf0.1; the remainder is the four-trigger streaming drain itself,
-    inherent to exercising cross-batch state)."""
+    The sliced-replay writer below is HARNESS-ONLY: it exists to feed
+    the oracle gate ``n_slices`` in-event-order triggers from a bounded
+    table.  A production funnel ingests an already-partitioned log
+    (Kafka/file offsets), so the ``.coalesce(1)`` single-task slice
+    writes and the explicit mtime stamping are test scaffolding, not
+    the engine's scale path.  Slice boundaries come from a one-row
+    percentile agg (any time-contiguous cut preserves order), NOT a
+    global ntile sort — an Exchange SinglePartition there would be the
+    serial funnel this engine avoids everywhere else (7.8 s -> 6.2 s at
+    sf0.1; the remainder is the n-trigger streaming drain itself,
+    inherent to exercising cross-batch state).
+
+    FileStreamSource orders files by modification time, so same-ms
+    appends could tie and reorder triggers, silently mis-pairing
+    cross-batch conversions; each slice's files get an explicit,
+    strictly increasing mtime and the set is asserted distinct before
+    the stream starts."""
+    import glob
+    import os
+    import shutil
     import tempfile
     import uuid
 
@@ -2250,28 +2261,43 @@ def streaming_funnel_conversions(spark, sf_dir):
         )
     )
     tmp = tempfile.mkdtemp(prefix="tubes_funnel_")
-    b1, b2, b3 = base.agg(
-        F.percentile_approx("ts_us", [0.25, 0.5, 0.75]).alias("b")
-    ).first()["b"]
-    lo = F.col("ts_us")
-    slices = [lo < b1, (lo >= b1) & (lo < b2), (lo >= b2) & (lo < b3), lo >= b3]
-    for cond in slices:  # sequential appends -> monotone file mtimes
-        base.filter(cond).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
-    schema = "user_id long, ts_us long, event_id long, event_type string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{tmp}/in")
-    )
-    conv = funnel_conversions_stream(
-        stream.groupBy("user_id"), window_us=30 * 60 * 1_000_000
-    )
-    out = drain_to_df(
-        conv, f"stream_funnel_{uuid.uuid4().hex[:8]}", output_mode="append"
-    )
-    res = out.cache()
-    res.count()  # pin rows before tmp cleanup
-    return res
+    try:
+        qs = [i / n_slices for i in range(1, n_slices)]
+        bounds = base.agg(F.percentile_approx("ts_us", qs).alias("b")).first()["b"]
+        lo = F.col("ts_us")
+        edges = [None, *bounds, None]
+        stamped: set = set()
+        epoch = 1_700_000_000  # fixed base; only relative order matters
+        for i in range(n_slices):
+            cond = F.lit(True)
+            if edges[i] is not None:
+                cond = cond & (lo >= edges[i])
+            if edges[i + 1] is not None:
+                cond = cond & (lo < edges[i + 1])
+            base.filter(cond).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+            for p in glob.glob(f"{tmp}/in/*.parquet"):
+                if p not in stamped:
+                    os.utime(p, (epoch + i, epoch + i))
+                    stamped.add(p)
+        mtimes = [os.path.getmtime(p) for p in stamped]
+        assert len(set(mtimes)) == n_slices, "slice mtimes must be distinct"
+        schema = "user_id long, ts_us long, event_id long, event_type string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        conv = funnel_conversions_stream(
+            stream.groupBy("user_id"), window_us=30 * 60 * 1_000_000
+        )
+        out = drain_to_df(
+            conv, f"stream_funnel_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        res = out.cache()
+        res.count()  # pin rows before tmp cleanup
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def gapfill_hourly_counts(spark, sf_dir):
