@@ -1211,6 +1211,31 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
 """
 
+ORACLES["ewma_user_values"] = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), ew AS (
+  SELECT user_id, event_id, rn, x AS y FROM seq WHERE rn = 1
+  UNION ALL
+  -- literally the Spark recurrence: a*x + (1-a)*y on IEEE doubles,
+  -- same multiply/add order, so pre-round values are bit-equal
+  SELECT s.user_id, s.event_id, s.rn,
+         CAST(0.3 AS DOUBLE) * s.x
+           + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * e.y
+  FROM ew e JOIN seq s ON s.user_id = e.user_id AND s.rn = e.rn + 1
+)
+SELECT event_id, user_id,
+  -- same primitive rounding expression as the Spark side (engine
+  -- round() implementations disagree at 6dp boundaries on bit-equal
+  -- doubles); floor() in DuckDB returns DOUBLE, same value as Spark's
+  -- LONG floor widened back to double in the division
+  floor(y * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+    / CAST(1000000 AS DOUBLE) AS ewma_value
+FROM ew
+"""
+
 ORACLES["multimodal_png_dims"] = """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
   'image/png' AS mime,

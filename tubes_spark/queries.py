@@ -948,25 +948,39 @@ def ewma_user_values(spark, sf_dir):
     SQL window expresses without numerically-explosive pow() tricks, so
     this is the canonical batch ``applyInPandas`` use: one shuffle on a
     BUCKET of users (not per-user — per-key grouping pays one Arrow
-    round-trip per key, ~1000 calls / 3.5 s at sf0.1; 64 buckets with a
-    pandas groupby inside cut it to 64 calls / ~1 s, same exact
-    results, and bound task count at any user cardinality).  Rows-only
-    driver check; values pinned against pandas' reference
-    ``ewm(alpha).mean()`` in tests."""
+    round-trip per key, ~1000 calls / 3.5 s at sf0.1; 64 buckets with
+    one sequential pass inside cut it to 64 calls / ~1 s, same exact
+    results, and bound task count at any user cardinality).
+
+    FULLY oracle-gated (not rows-only): the recurrence is written out
+    explicitly as ``a*x + (1-a)*y`` on IEEE doubles — NOT pandas'
+    ``ewm`` whose internal ``(w*y + a*x)/(w + a)`` division is a
+    version-dependent ulp away — so a DuckDB recursive CTE running the
+    literally identical double expression in the same per-user order is
+    bit-equal before the final 6dp round.  Values additionally pinned
+    near pandas' ``ewm(alpha, adjust=False).mean()`` in tests."""
+    import numpy as np
     import pandas as pd
 
     e = _t(spark, sf_dir, "events")
     alpha = 0.3
+    beta = 1.0 - alpha
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-        out = pdf[["event_id", "user_id"]].copy()
-        out["ewma_value"] = (
-            pdf.groupby("user_id")["value"]
-            .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
-            .round(6)
+        users = pdf["user_id"].to_numpy()
+        vals = pdf["value"].to_numpy()
+        y = np.empty(len(vals), dtype=np.float64)
+        prev_user, acc = None, 0.0
+        for i in range(len(vals)):
+            if users[i] != prev_user:
+                prev_user, acc = users[i], vals[i]
+            else:
+                acc = alpha * vals[i] + beta * acc
+            y[i] = acc
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"].to_numpy(), "user_id": users, "ewma_value": y}
         )
-        return out
 
     return (
         e.select("user_id", "event_id", "ts", "value")
@@ -975,6 +989,15 @@ def ewma_user_values(spark, sf_dir):
         .applyInPandas(
             lambda pdf: smooth(pdf.drop(columns=["bucket"])),
             schema="event_id long, user_id long, ewma_value double",
+        )
+        # NOT F.round: Spark rounds the double's exact decimal expansion
+        # (HALF_UP on BigDecimal) while DuckDB multiplies by 1e6 and
+        # nearbyints — 6 rows per 100k land on opposite sides of the
+        # boundary.  floor(y*1e6 + 0.5)/1e6 is the same primitive double
+        # expression in both engines, hence bit-equal.
+        .withColumn(
+            "ewma_value",
+            F.floor(F.col("ewma_value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
         )
     )
 
