@@ -135,6 +135,72 @@ def test_jpeg_sos_stops_walk():
     assert parse_media_header(b) == ("image/jpeg", None, None, None)
 
 
+# ------------------------------------------------------------- BMP decoding
+
+def _bmp_bytes(rgb_rows, top_down=False):
+    """Assemble a 24bpp BMP from [[(r,g,b),...],...] (top-down order)."""
+    h, w = len(rgb_rows), len(rgb_rows[0])
+    stride = (3 * w + 3) // 4 * 4
+    rows = rgb_rows if top_down else rgb_rows[::-1]
+    px = b""
+    for row in rows:
+        line = b"".join(bytes([b_, g, r]) for (r, g, b_) in row)
+        px += line + bytes(stride - 3 * w)
+    hdr = (
+        b"BM" + (54 + len(px)).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+        + (h if not top_down else -h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + bytes(4)
+        + len(px).to_bytes(4, "little") + bytes(16)
+    )
+    return hdr + px
+
+
+GRADIENT = [
+    [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+]
+
+
+def test_bmp_decode_bottom_up_gradient():
+    import numpy as np
+
+    from tubes_spark.operators.multimodal import decode_bmp
+
+    arr = decode_bmp(_bmp_bytes(GRADIENT))
+    assert arr.shape == (2, 3, 3)
+    assert np.array_equal(arr, np.array(GRADIENT, dtype=np.uint8))
+
+
+def test_bmp_decode_top_down_gradient():
+    import numpy as np
+
+    from tubes_spark.operators.multimodal import decode_bmp
+
+    arr = decode_bmp(_bmp_bytes(GRADIENT, top_down=True))
+    assert np.array_equal(arr, np.array(GRADIENT, dtype=np.uint8))
+
+
+def test_bmp_mean_rgb_exact():
+    from tubes_spark.operators.multimodal import bmp_mean_rgb
+
+    means = bmp_mean_rgb(_bmp_bytes(GRADIENT))
+    flat = [px for row in GRADIENT for px in row]
+    for ch in range(3):
+        assert means[ch] == sum(p[ch] for p in flat) / len(flat)
+
+
+def test_bmp_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from tubes_spark.operators.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bmp at all")
+    with _pytest.raises(ValueError):
+        decode_bmp(_bmp_bytes(GRADIENT)[:40])  # truncated
+
+
 def test_jpeg_normal_header_still_parses():
     from tubes_spark.operators.multimodal import parse_media_header
 

@@ -2,10 +2,13 @@
 
 Media ride through the engine as opaque ``binary`` columns + a typed
 metadata struct.  The Spark-side plumbing (schemas, Arrow-batched
-mapInPandas, partition sizing) is real and tested; the actual codec
-work is STUBBED (pillow/librosa/etc. are not in this container) behind
-``decoder=`` hooks — a deterministic fake decoder is provided so the
-batch shape / schema path is exercised end-to-end.
+mapInPandas, partition sizing) is real and tested.  Codec status:
+header metadata (PNG/GIF/JPEG dims, WAV duration) and 24bpp BMP PIXEL
+decode (:func:`decode_bmp`) are REAL, pure-stdlib, and oracle-gated;
+compressed-codec decode (JPEG pixels, audio samples) is stubbed behind
+``decoder=`` hooks (pillow/librosa are not in this container) with a
+deterministic fake so the batch shape / schema path is still exercised
+end-to-end.
 """
 
 from __future__ import annotations
@@ -166,6 +169,50 @@ def decode_headers(
 
     schema = StructType([StructField("media_id", StringType()), *MEDIA_META.fields])
     return df.mapInPandas(run, schema=schema)
+
+
+def decode_bmp(data: bytes):
+    """Pure-stdlib 24bpp uncompressed BMP pixel decoder -> (H, W, 3)
+    uint8 RGB array (top-down).  Handles bottom-up (positive height) and
+    top-down (negative height) files and 4-byte row padding.  This is a
+    REAL decoder — no codec library needed because BI_RGB stores raw
+    pixels — so feature extraction over it produces genuine
+    pixel-derived values inside this container (PIL/librosa absent)."""
+    import numpy as np
+
+    b = data or b""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dims {w}x{h}")
+    stride = (3 * w + 3) // 4 * 4
+    if off + stride * h > len(b):
+        raise ValueError("truncated BMP pixel data")
+    px = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = px.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1]  # stored BGR -> RGB
+
+
+def bmp_mean_rgb(data: bytes) -> list[float]:
+    """Mean R/G/B over all pixels of a 24bpp BMP — a real pixel-derived
+    feature vector (plug into ``extract_features(decoder=...)``).
+    Exact: channel sums are small integers, so the float64 means are
+    exact rationals an independent engine reproduces bit-for-bit."""
+    import numpy as np
+
+    arr = decode_bmp(data).astype(np.float64)
+    return [float(x) for x in arr.mean(axis=(0, 1))]
 
 
 def real_decode_stub(data: bytes) -> list[float]:

@@ -1244,6 +1244,15 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
 FROM documents
 """
 
+ORACLES["multimodal_bmp_mean_rgb"] = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+  list_sum(list_transform(generate_series(0, 7), r -> (doc_id*3 + r) % 256)) / 8.0 AS mean_r,
+  list_sum(list_transform(generate_series(0, 7), r -> (n_chars + 2*r) % 256)) / 8.0 AS mean_g,
+  list_sum(list_transform(generate_series(0, 7), r -> (doc_id + r) % 256)) / 8.0 AS mean_b,
+  CAST(54 + ((((n_chars % 16 + 1) * 3 + 3) // 4) * 4) * 8 AS INTEGER) AS n_bytes
+FROM documents
+"""
+
 ORACLES["multimodal_frame_sample"] = """
 SELECT CAST(doc_id AS VARCHAR) AS media_id,
   unnest(generate_series(0, greatest(CAST(n_chars % 1000 + 100 AS INTEGER) - 1, 0), 250))::BIGINT AS frame_ts_ms

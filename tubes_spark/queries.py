@@ -1032,6 +1032,76 @@ def multimodal_png_dims(spark, sf_dir):
     return decode_headers(media).select("media_id", "mime", "width", "height")
 
 
+def multimodal_bmp_mean_rgb(spark, sf_dir):
+    """Real PIXEL-derived media features under the ORACLE gate: build a
+    complete 24bpp BMP per doc JVM-side (header + 8 gradient rows whose
+    colors derive from doc fields; width varies per doc so row padding
+    is exercised), decode the pixels with the pure-stdlib BMP decoder
+    (operators/multimodal.py::decode_bmp) through
+    ``extract_features(decoder=bmp_mean_rgb)``, and check the mean-RGB
+    feature against independent DuckDB arithmetic.  Channel sums are
+    small integers and height is 8, so the float means are exact k/8
+    rationals — bit-equal across engines, no rounding tolerance needed.
+    This flips multimodal features from 'deterministic fake' to real
+    decoded pixel values inside this container.
+
+    Scale shape: two per-row projections (JVM binary construct + one
+    Arrow-batched decode pass) — no shuffle, no driver data; binary
+    stays executor-side."""
+    from tubes_spark.operators.multimodal import bmp_mean_rgb, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    H = 8
+    width = (F.col("n_chars") % 16 + 1).cast("long")
+    stride = (F.floor((width * 3 + 3) / 4) * 4).cast("long")
+    img_size = stride * H
+    file_size = img_size + 54
+
+    def le4(c):  # 4-byte little-endian hex of a small positive long
+        c = c.cast("long")
+        return F.concat(
+            *[F.lpad(F.hex(F.shiftright(c, 8 * i) % 256), 2, "0") for i in range(4)]
+        )
+
+    header_hex = F.concat(
+        F.lit("424D"), le4(file_size), F.lit("0000000036000000"),  # BM,size,res,offset
+        F.lit("28000000"), le4(width), le4(F.lit(H)),               # DIB,w,h
+        F.lit("01001800"), F.lit("00000000"), le4(img_size),        # planes,bpp,comp,size
+        F.lit("00000000" * 4),                                       # ppm + palette
+    )
+
+    def chan_hex(c):
+        return F.lpad(F.hex(c % 256), 2, "0")
+
+    pad_hex = F.repeat(F.lit("00"), (stride - width * 3).cast("int"))
+
+    def row_hex(r):  # one padded row: `width` identical BGR pixels
+        px = F.concat(
+            chan_hex(F.col("doc_id") + r),       # blue
+            chan_hex(F.col("n_chars") + r * 2),  # green
+            chan_hex(F.col("doc_id") * 3 + r),   # red
+        )
+        return F.concat(F.repeat(px, width.cast("int")), pad_hex)
+
+    pixels_hex = F.aggregate(
+        F.sequence(F.lit(0), F.lit(H - 1)),
+        F.lit(""),
+        lambda acc, r: F.concat(acc, row_hex(r)),
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(F.concat(header_hex, pixels_hex)).alias("content"),
+    )
+    feats = extract_features(media, decoder=bmp_mean_rgb)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).cast("double").alias("mean_r"),
+        F.element_at("feature", 2).cast("double").alias("mean_g"),
+        F.element_at("feature", 3).cast("double").alias("mean_b"),
+        "n_bytes",
+    )
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Video/audio frame-sampling fan-out under the ORACLE gate: each
     media row (typed MEDIA_META struct, duration derived per row)
