@@ -477,3 +477,46 @@ def test_funnel_state_survives_restart(spark, tmpdir):
     run_drain("b")  # fresh query, same checkpoint: state must resume
     assert [(r.user_id, r.view_event_id, r.purchase_event_id, r.lag_sec)
             for r in seen] == [(7, 100, 200, 900)]
+
+
+def test_rate_source_live_unbounded_two_triggers(spark, tmpdir):
+    """Drive a LIVE unbounded source (the `prompt` analog, Tubes.hs:
+    182-189) — no file replay: start the rate source, consume at least
+    two non-empty triggers through foreachBatch, assert delivery is the
+    gapless monotone sequence the source contracts, and stop cleanly
+    from the test thread (never from the micro-batch thread)."""
+    import threading
+
+    from tubes_spark.streaming.run import rate_source
+
+    src = rate_source(spark, rows_per_second=200)
+    seen: list = []  # (batch_id, [values]) appended by the stream thread
+    got_two = threading.Event()
+
+    def handle(bdf, bid):
+        # the source spreads a trigger's range across partitions, so
+        # collect order is partition-strided — sort to get event order
+        vals = sorted(r["value"] for r in bdf.select("value").collect())
+        if vals:
+            seen.append((bid, vals))
+        if len(seen) >= 2:
+            got_two.set()
+
+    q = (
+        src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{tmpdir}/rate_ck")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        assert got_two.wait(timeout=120), "fewer than 2 non-empty triggers in 120s"
+        assert q.isActive  # genuinely unbounded: still running until we stop it
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    first, second = seen[0], seen[1]
+    assert first[0] < second[0]  # trigger ids advance
+    # gapless delivery within and monotone across the two triggers
+    allv = first[1] + second[1]
+    assert allv == list(range(min(allv), min(allv) + len(allv)))
+    assert max(first[1]) < min(second[1])
