@@ -474,3 +474,38 @@ def test_knn_pq_rerank_recall_vs_bruteforce(spark):
     # this sf: (m=8,k=16)->0.63, (m=8,k=64)->0.83, (m=8,k=256)->0.98 —
     # recall rises with codebook size exactly as PQ predicts
     assert recall >= 0.7, f"recall {recall}"
+
+
+# ---------------------------------------------------- recall@k contracts (r5)
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "tier,thresh,make",
+    [
+        # thresholds are CONTRACTS: the structures are seeded, so recall
+        # is deterministic on the fixture corpus — a parameter change
+        # that craters recall fails loudly here, not silently in prod.
+        # measured on this corpus: lsh 0.89, ivf 0.93, pq+rerank 0.96
+        ("lsh", 0.85,
+         lambda emb, q: similarity.knn_lsh(emb, q, dim=64, k=10, n_planes=4, n_tables=16)),
+        ("ivf", 0.90,
+         lambda emb, q: similarity.knn_ivf(emb, q, dim=64, k=10, n_cells=16, n_probe=12)),
+        ("pq_rerank", 0.95,
+         lambda emb, q: similarity.knn_pq_adc(emb, q, dim=64, k=10, m=8, n_codes=64, rerank=100)),
+    ],
+    ids=["lsh@0.85", "ivf@0.90", "pq_rerank@0.95"],
+)
+def test_ann_tier_recall_contract(spark, tier, thresh, make):
+    """Each ANN tier must clear its recall@10 floor vs brute-force
+    cosine ground truth over 20 fixture queries."""
+    emb = load_table(spark, "embeddings", SF)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(emb, q, k=10).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in make(emb, q).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= thresh, f"{tier} recall@10 {recall:.3f} < {thresh}"
