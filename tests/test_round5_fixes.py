@@ -207,3 +207,30 @@ def test_jpeg_normal_header_still_parses():
     app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
     b = b"\xff\xd8" + app0 + _sof0(800, 600)
     assert parse_media_header(b) == ("image/jpeg", 800, 600, None)
+
+
+# ------------------------------------------------ SpaceSaving eviction regime
+
+def test_eviction_bound_query_really_evicts(spark):
+    """The eviction-bound oracle query must run in the EVICTION regime
+    (otherwise it degenerates to the exact case approx_top_tokens
+    already covers): with ~997 cold keys against capacity 64, some
+    merged summary entries must carry a nonzero overcount."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.catalog import load_table
+    from tubes_spark.operators.sketch import space_saving_topk
+
+    e = load_table(spark, "events", "/root/testdata/sf0.01")
+    key = F.when(
+        F.col("event_id") % 10 < 6,
+        F.concat(F.lit("hot_"), (F.col("event_id") % 3).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("cold_"), (F.col("event_id") % 997).cast("string"))
+    )
+    sk = space_saving_topk(e.select(key.alias("tok")), "tok", k=500, capacity=64)
+    rows = sk.collect()
+    assert any(r["max_overcount"] > 0 for r in rows), "no eviction happened"
+    # and the hot keys still dominate the estimates
+    top3 = [r["tok"] for r in rows[:3]]
+    assert sorted(top3) == ["hot_0", "hot_1", "hot_2"]

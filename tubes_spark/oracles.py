@@ -1211,6 +1211,23 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
 """
 
+ORACLES["approx_top_tokens_eviction_bound"] = """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 10 < 6
+              THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+              ELSE 'cold_' || CAST(event_id % 997 AS VARCHAR) END AS tok
+  FROM events
+), cnt AS (
+  SELECT tok, COUNT(*) AS true_count FROM keyed GROUP BY tok
+)
+-- keys above N/capacity are GUARANTEED in the merged SpaceSaving
+-- summary with true <= est <= true + max_overcount, so the engine's
+-- bound booleans must come back TRUE and the key set/counts are exact
+SELECT tok, true_count, TRUE AS lower_ok, TRUE AS upper_ok
+FROM cnt
+WHERE true_count > (SELECT SUM(true_count) FROM cnt) / 64.0
+"""
+
 ORACLES["ewma_user_values"] = """
 WITH RECURSIVE seq AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,

@@ -2463,6 +2463,57 @@ def approx_top_tokens(spark, sf_dir):
     return space_saving_topk(toks, "tok", k=10, capacity=4096)
 
 
+def approx_top_tokens_eviction_bound(spark, sf_dir):
+    """SpaceSaving under REAL eviction, with its error contract checked
+    row-wise under the oracle gate — the companion to
+    ``approx_top_tokens`` above, which deliberately runs in the
+    no-eviction regime where the sketch is exact (sketch.py's exactness
+    condition: every task sees at most ``capacity`` distinct keys).
+
+    Here the key stream is skewed by construction: 3 hot keys carry
+    ~20% of the stream each while ~997 cold keys split the rest, and
+    ``capacity=64 << 1000`` forces constant eviction in every task.
+    SpaceSaving guarantees (Metwally et al., ICDT 2005): any key with
+    true count > N/capacity is present in the merged summary, and for
+    keys tracked in every task, ``true <= est <= true + max_overcount``.
+    The query emits exactly those guaranteed keys with their EXACT
+    counts plus the two bound checks as boolean columns — all
+    deterministic, so DuckDB reproduces them from scratch while the
+    est values themselves (arrival-order dependent) stay internal.  A
+    bound violation surfaces as a FALSE in a hashed column, i.e. a
+    driver-visible wrong answer.
+
+    Scale shape: the sketch is the capacity-bounded Arrow pass + one
+    narrow merge shuffle; the exact side is one count shuffle (the
+    fixture's key domain is small — at true open-vocabulary scale the
+    exact join is replaced by a sampled audit, same bound logic)."""
+    from tubes_spark.operators.sketch import space_saving_topk
+
+    e = _t(spark, sf_dir, "events")
+    key = F.when(
+        F.col("event_id") % 10 < 6,
+        F.concat(F.lit("hot_"), (F.col("event_id") % 3).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("cold_"), (F.col("event_id") % 997).cast("string"))
+    )
+    keys = e.select(key.alias("tok"))
+    capacity = 64
+    sk = space_saving_topk(keys, "tok", k=10, capacity=capacity)
+    exact = keys.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    tot = exact.agg(F.sum("true_count").alias("n_total"))
+    return (
+        sk.join(exact, "tok")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("true_count") > F.col("n_total") / F.lit(float(capacity)))
+        .select(
+            "tok",
+            "true_count",
+            (F.col("est_count") >= F.col("true_count")).alias("lower_ok"),
+            (F.col("est_count") <= F.col("true_count") + F.col("max_overcount")).alias("upper_ok"),
+        )
+    )
+
+
 def source_kl_divergence(spark, sf_dir):
     """Distribution-drift monitor: KL(source || corpus) over the token
     distribution, per source — the standard check that one ingest
