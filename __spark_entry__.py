@@ -43,6 +43,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 5: prefix so the driver samples them this round ---
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
+    "streaming_late_data": Q.streaming_late_data,
     # --- never driver-sampled in r1-r3: prefix them (r4 rotation) ---
     # registered this round (were orphaned in the r3 snapshot)
     "quality_bigram_logprob": Q.quality_bigram_logprob,

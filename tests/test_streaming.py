@@ -520,3 +520,70 @@ def test_rate_source_live_unbounded_two_triggers(spark, tmpdir):
     allv = first[1] + second[1]
     assert allv == list(range(min(allv), min(allv) + len(allv)))
     assert max(first[1]) < min(second[1])
+
+
+def test_watermark_late_row_filter_lags_one_batch(spark, tmpdir):
+    """Pin the engine's late-data protocol (probed empirically, and what
+    the streaming_late_data oracle encodes): the late-row filter for
+    batch i uses the PREVIOUS batch's watermark while eviction at end of
+    batch i uses the current one — so a straggler for a still-live
+    window merges even when its window end is below the current wm, and
+    a straggler for an already-evicted window is dropped, never
+    re-emitted."""
+    import datetime as dt
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    def run(rows_slices, path):
+        df = spark.createDataFrame(
+            [(i, ts, s) for s, rows in enumerate(rows_slices) for (i, ts) in rows],
+            "event_id long, ts timestamp, slice int",
+        )
+        write_ordered_slices(
+            df, [F.col("slice") == s for s in range(len(rows_slices))], path
+        )
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, slice int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+        )
+        name = f"wmlate_{uuid.uuid4().hex[:6]}"
+        q = (
+            agg.writeStream.queryName(name)
+            .format("memory")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["ws"]: r["n"] for r in spark.table(name).collect()}
+
+    # straggler while window still live (wm used by filter is one batch
+    # behind): merges, single emission with n=2
+    out = run(
+        [[(1, T(1, 5)), (2, T(2, 5)), (3, T(3, 10))],
+         [(10, T(1, 20)), (11, T(2, 20)), (12, T(4, 10))]],
+        f"{tmpdir}/wm_live",
+    )
+    assert out == {T(1): 2, T(2): 2}
+
+    # straggler AFTER its window was evicted: dropped, no duplicate row
+    out = run(
+        [[(1, T(1, 5)), (2, T(3, 10))],
+         [(3, T(5, 0))],
+         [(4, T(1, 20)), (5, T(6, 0))]],
+        f"{tmpdir}/wm_evicted",
+    )
+    assert out == {T(1): 1, T(3): 1}

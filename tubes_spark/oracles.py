@@ -1211,6 +1211,38 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
 """
 
+ORACLES["streaming_late_data"] = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+), e AS (
+  SELECT epoch_us(ts) AS ts_us,
+         date_trunc('hour', ts) AS wstart,
+         LEAST((epoch_us(ts) - b.mn) * 4 // (b.mx - b.mn + 1)
+               + CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END, 3) AS slice
+  FROM events, b
+), smax AS (
+  SELECT slice, max(ts_us) AS mx_us FROM e GROUP BY slice
+), kept AS (
+  -- row-drop rule (probed empirically on the engine): the late filter
+  -- for batch i uses the PREVIOUS batch's watermark, i.e. the max
+  -- event time over slices <= i-2 (ms resolution, floor(max_us/1000) -
+  -- delay_ms); a row is dropped when its window END is at or below it.
+  -- Eviction at end of batch i uses the CURRENT wm (slices <= i-1), so
+  -- an evicted window's stragglers are always caught by this filter in
+  -- later batches — no duplicate emissions.
+  SELECT e.* FROM e
+  WHERE (SELECT max(p.mx_us) FROM smax p WHERE p.slice < e.slice - 1) IS NULL
+     OR epoch_us(e.wstart + INTERVAL 1 HOUR)
+        > ((SELECT max(p.mx_us) FROM smax p WHERE p.slice < e.slice - 1) // 1000
+           - 1753000) * 1000
+)
+-- append mode emits only windows finalized by the LAST watermark
+SELECT kept.wstart AS window_start, COUNT(*) AS n_events
+FROM kept, (SELECT max(ts_us) AS mx FROM e) f
+WHERE epoch_us(kept.wstart + INTERVAL 1 HOUR) <= (f.mx // 1000 - 1753000) * 1000
+GROUP BY 1
+"""
+
 ORACLES["approx_top_tokens_eviction_bound"] = """
 WITH keyed AS (
   SELECT CASE WHEN event_id % 10 < 6

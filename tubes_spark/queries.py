@@ -2334,14 +2334,12 @@ def streaming_funnel_conversions(spark, sf_dir, n_slices=4):
     cross-batch conversions; each slice's files get an explicit,
     strictly increasing mtime and the set is asserted distinct before
     the stream starts."""
-    import glob
-    import os
     import shutil
     import tempfile
     import uuid
 
     from tubes_spark.streaming.funnel import funnel_conversions_stream
-    from tubes_spark.streaming.run import drain_to_df
+    from tubes_spark.streaming.run import drain_to_df, write_ordered_slices
 
     e = _t(spark, sf_dir, "events")
     base = (
@@ -2359,21 +2357,15 @@ def streaming_funnel_conversions(spark, sf_dir, n_slices=4):
         bounds = base.agg(F.percentile_approx("ts_us", qs).alias("b")).first()["b"]
         lo = F.col("ts_us")
         edges = [None, *bounds, None]
-        stamped: set = set()
-        epoch = 1_700_000_000  # fixed base; only relative order matters
+        conds = []
         for i in range(n_slices):
             cond = F.lit(True)
             if edges[i] is not None:
                 cond = cond & (lo >= edges[i])
             if edges[i + 1] is not None:
                 cond = cond & (lo < edges[i + 1])
-            base.filter(cond).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
-            for p in glob.glob(f"{tmp}/in/*.parquet"):
-                if p not in stamped:
-                    os.utime(p, (epoch + i, epoch + i))
-                    stamped.add(p)
-        mtimes = [os.path.getmtime(p) for p in stamped]
-        assert len(set(mtimes)) == n_slices, "slice mtimes must be distinct"
+            conds.append(cond)
+        write_ordered_slices(base, conds, f"{tmp}/in")
         schema = "user_id long, ts_us long, event_id long, event_type string"
         stream = (
             spark.readStream.schema(schema)
@@ -2385,6 +2377,76 @@ def streaming_funnel_conversions(spark, sf_dir, n_slices=4):
         )
         out = drain_to_df(
             conv, f"stream_funnel_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        res = out.cache()
+        res.count()  # pin rows before tmp cleanup
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_late_data(spark, sf_dir):
+    """Watermark late-data semantics through the REAL engine, under the
+    ORACLE gate: events replay in four time-quartile triggers, except
+    every 20th event arrives one trigger LATE.  A 1753-second watermark
+    (deliberately not window-aligned) then decides each late row's
+    fate — rows whose hour-window end is at or below the watermark in
+    force when they arrive are dropped — and append mode emits only
+    windows finalized by the last watermark.  DuckDB reproduces the
+    full protocol arithmetically: per-trigger max event time, the
+    ms-resolution watermark ``floor(max_us/1000) - delay_ms``, the
+    row-drop rule, and the final-emission cutoff — so Spark's state
+    eviction is hash-checked row by row, not just trusted.
+
+    Quartile boundaries are integer micros arithmetic ((ts-min)*4 div
+    span) — NOT percentile_approx, whose engine-specific estimate could
+    put a row in different triggers on the two sides.
+
+    Scale shape: the windowed agg is one (window) shuffle with
+    watermark-bounded state; the replay writer is harness-only
+    (streaming/run.py::write_ordered_slices)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.operators.windows import with_watermark
+    from tubes_spark.streaming.run import drain_to_df, write_ordered_slices
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    sliced = (
+        e.crossJoin(F.broadcast(b))
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn(
+            "slice",
+            F.least(
+                F.expr("(ts_us - mn) * 4 DIV (mx - mn + 1)")
+                + F.when(F.col("event_id") % 20 == 0, F.lit(1)).otherwise(F.lit(0)),
+                F.lit(3),
+            ),
+        )
+        .select("event_id", "ts", "slice")
+    )
+    tmp = tempfile.mkdtemp(prefix="tubes_late_")
+    try:
+        write_ordered_slices(
+            sliced, [F.col("slice") == i for i in range(4)], f"{tmp}/in"
+        )
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, slice int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        agg = (
+            with_watermark(stream, "ts", "1753 seconds")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("win.start").alias("window_start"), "n_events")
+        )
+        out = drain_to_df(
+            agg, f"stream_late_{uuid.uuid4().hex[:8]}", output_mode="append"
         )
         res = out.cache()
         res.count()  # pin rows before tmp cleanup

@@ -45,6 +45,29 @@ def file_replay_source(spark: SparkSession, path: str, schema, fmt: str = "parqu
     )
 
 
+def write_ordered_slices(df: DataFrame, conds, path: str,
+                         base_epoch: int = 1_700_000_000) -> None:
+    """HARNESS-ONLY replay writer: write one filtered slice per trigger
+    with ``coalesce(1)`` and explicit strictly increasing mtimes, so
+    FileStreamSource (which orders files by modification time) delivers
+    the slices as in-order triggers even when appends land in the same
+    millisecond.  A production pipeline ingests an already-partitioned
+    log with offsets; this exists to feed oracle-gated streaming
+    queries from a bounded table."""
+    import glob
+    import os
+
+    stamped: set = set()
+    for i, cond in enumerate(conds):
+        df.filter(cond).coalesce(1).write.mode("append").parquet(path)
+        for p in glob.glob(f"{path}/*.parquet"):
+            if p not in stamped:
+                os.utime(p, (base_epoch + i, base_epoch + i))
+                stamped.add(p)
+    mtimes = {os.path.getmtime(p) for p in stamped}
+    assert len(mtimes) == len(conds), "slice mtimes must be distinct"
+
+
 def run_stream(
     df: DataFrame,
     sink: Sink,
