@@ -43,6 +43,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver sampling.
     "flagship_pricing_summary": Q.flagship_pricing_summary,
     # --- new in round 5: prefix so the driver samples them this round ---
+    "dedup_minhash_arith_survivors": Q.dedup_minhash_arith_survivors,
+    "connected_components_jaccard": Q.connected_components_jaccard,
+    "streaming_dedup_watermark": Q.streaming_dedup_watermark,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

@@ -509,3 +509,20 @@ def test_ann_tier_recall_contract(spark, tier, thresh, make):
     approx = {(r["query_id"], r["neighbor_id"]) for r in make(emb, q).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= thresh, f"{tier} recall@10 {recall:.3f} < {thresh}"
+
+
+def test_arith_minhash_drops_exact_and_near_dups(spark):
+    """The oracle-expressible MinHash (arith family) must behave like a
+    near-dedup: a verbatim copy shares every band key with its source
+    (dropped), and the survivor set is deterministic and idempotent."""
+    d = load_table(spark, "documents", SF)
+    row = d.orderBy(F.length("text").desc()).limit(1)
+    dup = row.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = dedup.dedup_minhash_arith(d.unionByName(dup))
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    base = dedup.dedup_minhash_arith(d)
+    assert base.count() == dedup.dedup_minhash_arith(base).count()
+    # survivors are a function of the data alone: two runs agree exactly
+    a = {r["doc_id"] for r in base.select("doc_id").collect()}
+    b = {r["doc_id"] for r in dedup.dedup_minhash_arith(d).select("doc_id").collect()}
+    assert a == b and 0 < len(a) <= d.count()

@@ -456,3 +456,133 @@ def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .distinct()
     )
     return df.join(dup_ids, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# Oracle-expressible MinHash (arithmetic hash family)
+# --------------------------------------------------------------------------
+
+ARITH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
+
+
+def arith_hash_family(num_hashes: int, seed: int = 0) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for the universal family
+    h_i(x) = (a_i * x + b_i) mod ARITH_P.
+
+    Derived from fixed primes with NO runtime randomness so both the
+    Spark expressions and the DuckDB oracle SQL can bake the exact same
+    integer literals — the single source of truth for the cross-engine
+    MinHash below.  Products stay < (P-1)^2 < 2^62: safe 64-bit math in
+    both engines."""
+    out = []
+    for i in range(num_hashes):
+        a = (104_729 * (2 * i + 3) + 7 * seed) % ARITH_P or 1
+        b = (1_299_721 * (i + 1) + 13 * seed) % ARITH_P
+        out.append((a, b))
+    return out
+
+
+def arith_shingle_hash(shingle: Column) -> Column:
+    """Cross-engine shingle hash: first 8 hex chars of md5, parsed as an
+    integer, reduced mod ARITH_P.  md5 is bit-identical across Spark and
+    DuckDB (unlike xxhash64, whose seeding is engine-internal), which is
+    what buys the full value-hash oracle for the LSH pipeline."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long") % F.lit(ARITH_P)
+    )
+
+
+def arith_minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, key) LSH band rows from the arithmetic MinHash — the
+    oracle-expressible twin of :func:`band_frame` (same plan shape:
+    materialized token array, distinct shingles exploded, 16 codegen'd
+    min-aggregates map-side combined before ONE shuffle).
+
+    Band key = the r row-minima of the band concatenated as text; docs
+    sharing any (band, key) are candidate near-duplicates at the usual
+    (1/b)^(1/r) similarity threshold.  Shingles reuse
+    :func:`tubes_spark.operators.text.word_shingles` — the exact string
+    form the `_SHINGLES` DuckDB macro reproduces (oracles.py), already
+    oracle-validated via jaccard_near_dup_pairs."""
+    from tubes_spark.operators.text import word_shingles_from_tokens, normalize
+
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    fam = arith_hash_family(num_hashes)
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    toks = (
+        df.select(F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("toks"))
+        .repartition(n_parts, F.col(id_col))
+    )
+    ex = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles_from_tokens(F.col("toks"), shingle_k))
+        ).alias("sh"),
+    ).select(F.col(id_col), arith_shingle_hash(F.col("sh")).alias("x"))
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(ARITH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(fam)
+        ]
+    )
+    banded = mins.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"m{bnd * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    return banded
+
+
+def dedup_minhash_arith(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Greedy MinHash-LSH dedup with the ORACLE-EXPRESSIBLE hash family:
+    drop every doc that shares any LSH band bucket with a smaller-id doc.
+
+    Deliberately the pure-LSH policy (no Jaccard verify step) so the
+    survivor set is an exact deterministic function of the band keys —
+    DuckDB reproduces it bit-for-bit, giving the banded-LSH pipeline a
+    full value-hash driver pass that the xxhash64 production path
+    (:func:`dedup_minhash`) structurally cannot have.  Production use
+    remains dedup_minhash; this is its verification twin.
+
+    Scale shape: identical to the production path — one narrow shuffle
+    on (band, key) text keys, a per-bucket min, a broadcast-size dropped
+    set anti-joined back.  No all-pairs anywhere."""
+    banded = arith_minhash_bands(df, text_col, id_col, shingle_k, num_hashes, bands)
+    w = Window.partitionBy("band", "key")
+    dropped = (
+        banded.withColumn("__mn__", F.min(F.col(id_col)).over(w))
+        .filter(F.col(id_col) > F.col("__mn__"))
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(dropped, on=id_col, how="left_anti")

@@ -1307,3 +1307,81 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
   unnest(generate_series(0, greatest(CAST(n_chars % 1000 + 100 AS INTEGER) - 1, 0), 250))::BIGINT AS frame_ts_ms
 FROM documents
 """
+
+
+# Coefficients baked from arith_hash_family(16) — regenerate with
+# scripts/gen_arith_minhash_oracle.py if the family ever changes.
+ORACLES["dedup_minhash_arith_survivors"] = f"""
+WITH hx AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS x
+  FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM documents)
+), m AS (
+  SELECT doc_id,
+    min((314187*x + 1299721) % 2147483647) AS m0,
+    min((523645*x + 2599442) % 2147483647) AS m1,
+    min((733103*x + 3899163) % 2147483647) AS m2,
+    min((942561*x + 5198884) % 2147483647) AS m3,
+    min((1152019*x + 6498605) % 2147483647) AS m4,
+    min((1361477*x + 7798326) % 2147483647) AS m5,
+    min((1570935*x + 9098047) % 2147483647) AS m6,
+    min((1780393*x + 10397768) % 2147483647) AS m7,
+    min((1989851*x + 11697489) % 2147483647) AS m8,
+    min((2199309*x + 12997210) % 2147483647) AS m9,
+    min((2408767*x + 14296931) % 2147483647) AS m10,
+    min((2618225*x + 15596652) % 2147483647) AS m11,
+    min((2827683*x + 16896373) % 2147483647) AS m12,
+    min((3037141*x + 18196094) % 2147483647) AS m13,
+    min((3246599*x + 19495815) % 2147483647) AS m14,
+    min((3456057*x + 20795536) % 2147483647) AS m15
+  FROM hx GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, CAST(m0 AS VARCHAR) || '_' || CAST(m1 AS VARCHAR) AS key FROM m
+  UNION ALL
+  SELECT doc_id, 1 AS band, CAST(m2 AS VARCHAR) || '_' || CAST(m3 AS VARCHAR) AS key FROM m
+  UNION ALL
+  SELECT doc_id, 2 AS band, CAST(m4 AS VARCHAR) || '_' || CAST(m5 AS VARCHAR) AS key FROM m
+  UNION ALL
+  SELECT doc_id, 3 AS band, CAST(m6 AS VARCHAR) || '_' || CAST(m7 AS VARCHAR) AS key FROM m
+  UNION ALL
+  SELECT doc_id, 4 AS band, CAST(m8 AS VARCHAR) || '_' || CAST(m9 AS VARCHAR) AS key FROM m
+  UNION ALL
+  SELECT doc_id, 5 AS band, CAST(m10 AS VARCHAR) || '_' || CAST(m11 AS VARCHAR) AS key FROM m
+  UNION ALL
+  SELECT doc_id, 6 AS band, CAST(m12 AS VARCHAR) || '_' || CAST(m13 AS VARCHAR) AS key FROM m
+  UNION ALL
+  SELECT doc_id, 7 AS band, CAST(m14 AS VARCHAR) || '_' || CAST(m15 AS VARCHAR) AS key FROM m
+), dropped AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, key) AS mn FROM bands
+  ) WHERE doc_id > mn
+)
+SELECT d.doc_id, d.source, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+ORACLES["connected_components_jaccard"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents
+), sized AS (
+  SELECT doc_id, s, len(s) AS n FROM sh
+), edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id AND a.n <= 2*b.n AND b.n <= 2*a.n
+  WHERE len(list_intersect(a.s, b.s))
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM edges UNION SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT src AS node, dst AS r FROM und
+  UNION
+  SELECT reach.node, und.dst FROM reach JOIN und ON reach.r = und.src
+)
+SELECT node AS doc_id, least(node, min(r)) AS comp FROM reach GROUP BY node
+"""
+
+
+ORACLES["streaming_dedup_watermark"] = """
+SELECT event_id, ts FROM events
+"""

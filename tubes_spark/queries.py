@@ -2737,3 +2737,209 @@ def dedup_incremental_new_docs(spark, sf_dir):
         arriving.join(seen, arriving["h"] == seen["seen_hash"], "left_anti")
         .select("doc_id", "source", "n_chars")
     )
+
+
+def dedup_minhash_arith_survivors(spark, sf_dir):
+    """MinHash-LSH dedup under the FULL value-hash oracle gate: the
+    md5-derived arithmetic hash family (operators/dedup.py
+    arith_hash_family) is bit-reproducible in DuckDB, so — unlike the
+    xxhash64 production path, which gets rows-only checks — every band
+    key, bucket min and survivor row here is hash-checked end to end.
+    Same plan shape as the production path: one narrow shuffle on
+    (band, key), per-bucket min, anti-join of a tiny dropped set."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dedup_minhash_arith(d).select("doc_id", "source", "n_chars")
+
+
+def connected_components_jaccard(spark, sf_dir):
+    """Connected components of the exact-Jaccard>=0.5 near-dup graph,
+    under the FULL oracle gate: the edge set is the already-gated
+    jaccard_near_dup_pairs result, and the iterative smallest-label
+    propagation (operators/dedup.py connected_components — the engine
+    behind the 'components' survivor policy) is checked row-for-row
+    against a DuckDB recursive-CTE transitive closure.  This gives the
+    union-find machinery a value-hash driver pass on REAL corpus data,
+    complementing the fixture-graph unit tests.
+
+    Scale shape: label propagation is one narrow self-join per round on
+    the (tiny) verified-pair set, lineage-truncated each round; the
+    oracle's O(closure) CTE is the verification-side luxury, not the
+    production plan."""
+    pairs = jaccard_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "comp")
+
+
+def streaming_dedup_watermark(spark, sf_dir):
+    """Cross-batch streaming deduplication through the REAL engine
+    (``dropDuplicatesWithinWatermark``), under the ORACLE gate: events
+    replay in four time-quartile triggers and every 10th event is
+    re-injected VERBATIM one trigger later.  The engine must remember
+    each key across batches (365-day watermark => state never evicted
+    within the replay) and drop every re-delivery, so the surviving
+    stream equals the original table exactly — any premature state
+    eviction or missed duplicate surfaces as a row/hash mismatch.
+    The cross-batch twin of batch dedup_exact_docs, exercising the
+    at-least-once-delivery dedup every production ingest needs.
+
+    Scale shape: per-key state is a single timestamp cell keyed by
+    event_id; one keyed exchange per micro-batch.  The sliced-replay
+    writer is harness-only (write_ordered_slices)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import drain_to_df, write_ordered_slices
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    base = (
+        e.crossJoin(F.broadcast(b))
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("slice", F.expr("(ts_us - mn) * 4 DIV (mx - mn + 1)"))
+        .select("event_id", "ts", "slice")
+    )
+    dups = (
+        base.filter(F.col("event_id") % 10 == 0)
+        .withColumn("slice", F.least(F.col("slice") + 1, F.lit(3)))
+    )
+    sliced = base.unionByName(dups)
+    tmp = tempfile.mkdtemp(prefix="tubes_dedup_wm_")
+    try:
+        write_ordered_slices(
+            sliced, [F.col("slice") == i for i in range(4)], f"{tmp}/in"
+        )
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, slice int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        deduped = (
+            stream.withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "ts")
+        )
+        out = drain_to_df(
+            deduped, f"stream_dedup_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        res = out.cache()
+        res.count()  # pin rows before tmp cleanup
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def array_hof_doc_stats(spark, sf_dir):
+    """Higher-order array-function battery over the token stream —
+    transform / filter / aggregate / exists in ONE projection, the
+    Spark-idiomatic replacement for per-row Python loops (reference
+    `each`/`map` composed pipelines do this with closures; here it is
+    a single whole-stage-codegen'd stage, no shuffle at all).
+
+    Float discipline: lengths are integers throughout — no rounding
+    concerns.  aggregate() seeds with a long zero so the sum type is
+    stable across engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 6)).alias("n_long_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_token_chars"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_token_len"),
+        F.exists(toks, lambda t: t.rlike("[0-9]")).alias("has_numeric_token"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def datetime_funcs_events(spark, sf_dir):
+    """Calendar-function battery over the event stream: ISO week
+    truncation, weekday, month arithmetic, quarter — the slice-and-dice
+    axes every time-partitioned 100 TB table is bucketed by.  Pure
+    per-row projections: zero shuffles, scan-dominated.
+
+    Cross-engine notes baked into the expressions: Spark ``dayofweek``
+    is 1=Sunday..7=Saturday (DuckDB's is 0-based — oracle adds 1);
+    ``date_trunc('week', ...)`` is ISO-Monday in both engines."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+        F.dayofweek("ts").alias("dow"),
+        F.quarter("ts").alias("qtr"),
+        F.last_day("ts").alias("month_end"),
+        F.add_months(F.to_date("ts"), 2).alias("plus2m"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_2024"
+        ),
+    )
+
+
+def percentile_approx_bound_check(spark, sf_dir):
+    """``percentile_approx`` (KLL-ish quantile sketch) with its RANK
+    ERROR contract checked row-wise under the oracle gate — same
+    pattern as approx_top_tokens_eviction_bound: the engine-internal
+    estimate stays internal; what the oracle hash-checks are the exact
+    rank-window bounds and a boolean that the estimate landed inside
+    them.  Guarantee (Greenwald-Khanna / Spark docs): with accuracy A,
+    the returned value's rank is within eps*N of p*N for eps = 1/A.
+
+    Scale shape: the sketch side is one partial-aggregated shuffle
+    (mergeable summaries, no sort); the exact bounds side sorts only
+    within each (small) group for verification — at 100 TB you'd keep
+    the sketch and drop the audit, or sample it."""
+    o = _t(spark, sf_dir, "orders")
+    acc = 100  # eps = 1% of N
+    probs = [0.5, 0.9, 0.99]
+    approx = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", probs, acc).alias("est"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select("o_orderpriority", "o_totalprice").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    checks = []
+    for i, p in enumerate(probs):
+        lo_rank = F.greatest(F.floor((F.lit(p) - 0.01) * F.col("n")), F.lit(1))
+        hi_rank = F.least(F.ceil((F.lit(p) + 0.01) * F.col("n")) + 1, F.col("n"))
+        checks.append((i, p, lo_rank, hi_rank))
+    est = approx
+    for i, p, lo_rank, hi_rank in checks:
+        est = est.withColumn(f"lo_rank_{i}", lo_rank).withColumn(f"hi_rank_{i}", hi_rank)
+    r = ranked.alias("r")
+    out = est
+    for i, p, _, _ in checks:
+        lo_val = (
+            r.join(
+                est.select("o_orderpriority", f"lo_rank_{i}"),
+                on="o_orderpriority",
+            )
+            .filter(F.col("rn") == F.col(f"lo_rank_{i}"))
+            .select("o_orderpriority", F.col("o_totalprice").alias(f"lo_val_{i}"))
+        )
+        hi_val = (
+            r.join(
+                est.select("o_orderpriority", f"hi_rank_{i}"),
+                on="o_orderpriority",
+            )
+            .filter(F.col("rn") == F.col(f"hi_rank_{i}"))
+            .select("o_orderpriority", F.col("o_totalprice").alias(f"hi_val_{i}"))
+        )
+        out = out.join(lo_val, on="o_orderpriority").join(hi_val, on="o_orderpriority")
+    return out.select(
+        "o_orderpriority",
+        "n",
+        *[F.round(F.col(f"lo_val_{i}"), 2).alias(f"rank_lo_p{int(p*100)}") for i, p, _, _ in checks],
+        *[F.round(F.col(f"hi_val_{i}"), 2).alias(f"rank_hi_p{int(p*100)}") for i, p, _, _ in checks],
+        *[
+            (
+                (F.element_at(F.col("est"), i + 1) >= F.col(f"lo_val_{i}"))
+                & (F.element_at(F.col("est"), i + 1) <= F.col(f"hi_val_{i}"))
+            ).alias(f"within_p{int(p*100)}")
+            for i, p, _, _ in checks
+        ],
+    )
