@@ -46,6 +46,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_arith_survivors": Q.dedup_minhash_arith_survivors,
     "connected_components_jaccard": Q.connected_components_jaccard,
     "streaming_dedup_watermark": Q.streaming_dedup_watermark,
+    "array_hof_doc_stats": Q.array_hof_doc_stats,
+    "datetime_funcs_events": Q.datetime_funcs_events,
+    "percentile_approx_bound_check": Q.percentile_approx_bound_check,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

@@ -1385,3 +1385,54 @@ SELECT node AS doc_id, least(node, min(r)) AS comp FROM reach GROUP BY node
 ORACLES["streaming_dedup_watermark"] = """
 SELECT event_id, ts FROM events
 """
+
+
+ORACLES["array_hof_doc_stats"] = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+SELECT doc_id,
+  len(list_filter(tk, t -> length(t) > 6)) AS n_long_tokens,
+  CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS total_token_chars,
+  CAST(list_max(list_transform(tk, t -> length(t))) AS BIGINT) AS max_token_len,
+  len(list_filter(tk, t -> regexp_matches(t, '[0-9]'))) > 0 AS has_numeric_token,
+  len(list_distinct(tk)) AS n_distinct_tokens
+FROM t
+"""
+
+
+# Spark dayofweek is 1=Sunday..7=Saturday; DuckDB's is 0-based -> +1.
+# Spark date_trunc returns TIMESTAMP (DuckDB: DATE) and last_day /
+# add_months return DATE — both sides cast to TIMESTAMP so the compare
+# sees one dtype.
+ORACLES["datetime_funcs_events"] = """
+SELECT event_id,
+  CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+  CAST(quarter(ts) AS INTEGER) AS qtr,
+  CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end,
+  CAST(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS TIMESTAMP) AS plus2m,
+  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since_2024
+FROM events
+"""
+
+
+# The est values themselves are engine-internal (sketch-dependent);
+# what is hash-checked are the exact rank-window bounds and the TRUE
+# booleans asserting the estimate landed inside them — identical
+# double-arithmetic rank expressions on both sides.
+ORACLES["percentile_approx_bound_check"] = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, max(n) AS n,
+  round(max(CASE WHEN rn = greatest(CAST(floor((0.5 - 0.01)*n) AS BIGINT), 1) THEN o_totalprice END), 2) AS rank_lo_p50,
+  round(max(CASE WHEN rn = greatest(CAST(floor((0.9 - 0.01)*n) AS BIGINT), 1) THEN o_totalprice END), 2) AS rank_lo_p90,
+  round(max(CASE WHEN rn = greatest(CAST(floor((0.99 - 0.01)*n) AS BIGINT), 1) THEN o_totalprice END), 2) AS rank_lo_p99,
+  round(max(CASE WHEN rn = least(CAST(ceil((0.5 + 0.01)*n) AS BIGINT) + 1, n) THEN o_totalprice END), 2) AS rank_hi_p50,
+  round(max(CASE WHEN rn = least(CAST(ceil((0.9 + 0.01)*n) AS BIGINT) + 1, n) THEN o_totalprice END), 2) AS rank_hi_p90,
+  round(max(CASE WHEN rn = least(CAST(ceil((0.99 + 0.01)*n) AS BIGINT) + 1, n) THEN o_totalprice END), 2) AS rank_hi_p99,
+  TRUE AS within_p50, TRUE AS within_p90, TRUE AS within_p99
+FROM ranked GROUP BY o_orderpriority
+"""

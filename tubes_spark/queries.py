@@ -2845,13 +2845,13 @@ def array_hof_doc_stats(spark, sf_dir):
     toks = text.tokenize(F.col("text"))
     return d.select(
         "doc_id",
-        F.size(F.filter(toks, lambda t: F.length(t) > 6)).alias("n_long_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 6)).cast("long").alias("n_long_tokens"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
         ).alias("total_token_chars"),
-        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_token_len"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).cast("long").alias("max_token_len"),
         F.exists(toks, lambda t: t.rlike("[0-9]")).alias("has_numeric_token"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
     )
 
 
@@ -2870,8 +2870,8 @@ def datetime_funcs_events(spark, sf_dir):
         F.date_trunc("week", F.col("ts")).alias("week_start"),
         F.dayofweek("ts").alias("dow"),
         F.quarter("ts").alias("qtr"),
-        F.last_day("ts").alias("month_end"),
-        F.add_months(F.to_date("ts"), 2).alias("plus2m"),
+        F.last_day("ts").cast("timestamp").alias("month_end"),
+        F.add_months(F.to_date("ts"), 2).cast("timestamp").alias("plus2m"),
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
             "days_since_2024"
         ),
