@@ -49,6 +49,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_hof_doc_stats": Q.array_hof_doc_stats,
     "datetime_funcs_events": Q.datetime_funcs_events,
     "percentile_approx_bound_check": Q.percentile_approx_bound_check,
+    "streaming_enrich_static": Q.streaming_enrich_static,
+    "approx_distinct_bound_check": Q.approx_distinct_bound_check,
+    "dedup_simhash_arith_survivors": Q.dedup_simhash_arith_survivors,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

@@ -1436,3 +1436,75 @@ SELECT o_orderpriority, max(n) AS n,
   TRUE AS within_p50, TRUE AS within_p90, TRUE AS within_p99
 FROM ranked GROUP BY o_orderpriority
 """
+
+
+ORACLES["streaming_enrich_static"] = """
+SELECT e.event_id, e.user_id, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+ORACLES["approx_distinct_bound_check"] = """
+SELECT event_type, count(*) AS n_events,
+  count(DISTINCT user_id) AS exact_users,
+  TRUE AS within_3rsd
+FROM events GROUP BY event_type
+"""
+
+
+_SHINGLES2 = f"""
+list_transform(
+  range(1, greatest(len(string_split({NORM_TEXT}, ' ')) - 1, 1) + 1),
+  i -> array_to_string(list_slice(string_split({NORM_TEXT}, ' '), i, i + 1), ' ')
+)
+"""
+
+# 32-bit md5-derived SimHash: per-bit majority votes packed into one
+# BIGINT — regenerated alongside the Spark expressions in
+# queries.dedup_simhash_arith_survivors.
+ORACLES["dedup_simhash_arith_survivors"] = f"""
+WITH hx AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS x
+  FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES2})) AS s FROM documents)
+), votes AS (
+  SELECT doc_id,
+    sum(CASE WHEN ((x >> 0) & 1) = 1 THEN 1 ELSE -1 END) AS v0,
+    sum(CASE WHEN ((x >> 1) & 1) = 1 THEN 1 ELSE -1 END) AS v1,
+    sum(CASE WHEN ((x >> 2) & 1) = 1 THEN 1 ELSE -1 END) AS v2,
+    sum(CASE WHEN ((x >> 3) & 1) = 1 THEN 1 ELSE -1 END) AS v3,
+    sum(CASE WHEN ((x >> 4) & 1) = 1 THEN 1 ELSE -1 END) AS v4,
+    sum(CASE WHEN ((x >> 5) & 1) = 1 THEN 1 ELSE -1 END) AS v5,
+    sum(CASE WHEN ((x >> 6) & 1) = 1 THEN 1 ELSE -1 END) AS v6,
+    sum(CASE WHEN ((x >> 7) & 1) = 1 THEN 1 ELSE -1 END) AS v7,
+    sum(CASE WHEN ((x >> 8) & 1) = 1 THEN 1 ELSE -1 END) AS v8,
+    sum(CASE WHEN ((x >> 9) & 1) = 1 THEN 1 ELSE -1 END) AS v9,
+    sum(CASE WHEN ((x >> 10) & 1) = 1 THEN 1 ELSE -1 END) AS v10,
+    sum(CASE WHEN ((x >> 11) & 1) = 1 THEN 1 ELSE -1 END) AS v11,
+    sum(CASE WHEN ((x >> 12) & 1) = 1 THEN 1 ELSE -1 END) AS v12,
+    sum(CASE WHEN ((x >> 13) & 1) = 1 THEN 1 ELSE -1 END) AS v13,
+    sum(CASE WHEN ((x >> 14) & 1) = 1 THEN 1 ELSE -1 END) AS v14,
+    sum(CASE WHEN ((x >> 15) & 1) = 1 THEN 1 ELSE -1 END) AS v15,
+    sum(CASE WHEN ((x >> 16) & 1) = 1 THEN 1 ELSE -1 END) AS v16,
+    sum(CASE WHEN ((x >> 17) & 1) = 1 THEN 1 ELSE -1 END) AS v17,
+    sum(CASE WHEN ((x >> 18) & 1) = 1 THEN 1 ELSE -1 END) AS v18,
+    sum(CASE WHEN ((x >> 19) & 1) = 1 THEN 1 ELSE -1 END) AS v19,
+    sum(CASE WHEN ((x >> 20) & 1) = 1 THEN 1 ELSE -1 END) AS v20,
+    sum(CASE WHEN ((x >> 21) & 1) = 1 THEN 1 ELSE -1 END) AS v21,
+    sum(CASE WHEN ((x >> 22) & 1) = 1 THEN 1 ELSE -1 END) AS v22,
+    sum(CASE WHEN ((x >> 23) & 1) = 1 THEN 1 ELSE -1 END) AS v23,
+    sum(CASE WHEN ((x >> 24) & 1) = 1 THEN 1 ELSE -1 END) AS v24,
+    sum(CASE WHEN ((x >> 25) & 1) = 1 THEN 1 ELSE -1 END) AS v25,
+    sum(CASE WHEN ((x >> 26) & 1) = 1 THEN 1 ELSE -1 END) AS v26,
+    sum(CASE WHEN ((x >> 27) & 1) = 1 THEN 1 ELSE -1 END) AS v27,
+    sum(CASE WHEN ((x >> 28) & 1) = 1 THEN 1 ELSE -1 END) AS v28,
+    sum(CASE WHEN ((x >> 29) & 1) = 1 THEN 1 ELSE -1 END) AS v29,
+    sum(CASE WHEN ((x >> 30) & 1) = 1 THEN 1 ELSE -1 END) AS v30,
+    sum(CASE WHEN ((x >> 31) & 1) = 1 THEN 1 ELSE -1 END) AS v31
+  FROM hx GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN v16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN v17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN v18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN v19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS sig FROM votes
+), ranked AS (
+  SELECT doc_id, sig, row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn FROM sig
+)
+SELECT doc_id, sig FROM ranked WHERE rn = 1
+"""

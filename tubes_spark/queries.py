@@ -2943,3 +2943,142 @@ def percentile_approx_bound_check(spark, sf_dir):
             for i, p, _, _ in checks
         ],
     )
+
+
+def streaming_enrich_static(spark, sf_dir):
+    """Stream-STATIC enrichment join through the real engine: the event
+    stream replays in four triggers and each micro-batch joins to a
+    static customer dimension (market segment keyed by user_id) — the
+    canonical clickstream-enrichment shape.  Left join keeps events
+    with no dimension row (segment NULL), so dropped-row bugs surface
+    as count mismatches; the drained result must hash-match the batch
+    join's oracle.
+
+    Scale shape: the static side is broadcast once and reused across
+    every micro-batch (no stream-side shuffle at all — contrast the
+    stream-stream interval join, which keeps keyed state on both
+    sides); at 100 TB of events the dim is still MBs."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import drain_to_df, write_ordered_slices
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    sliced = (
+        e.crossJoin(F.broadcast(b))
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("slice", F.expr("(ts_us - mn) * 4 DIV (mx - mn + 1)"))
+        .select("event_id", "user_id", "slice")
+    )
+    tmp = tempfile.mkdtemp(prefix="tubes_enrich_")
+    try:
+        write_ordered_slices(
+            sliced, [F.col("slice") == i for i in range(4)], f"{tmp}/in"
+        )
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, slice int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        enriched = stream.join(F.broadcast(c), on="user_id", how="left").select(
+            "event_id", "user_id", "c_mktsegment"
+        )
+        out = drain_to_df(
+            enriched, f"stream_enrich_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        res = out.cache()
+        res.count()  # pin rows before tmp cleanup
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def approx_distinct_bound_check(spark, sf_dir):
+    """``approx_count_distinct`` (HLL++) with its error contract checked
+    under the oracle gate — the bound-checked companion to
+    sketch_distinct_users (which stays rows-only because sketch
+    internals differ across engines).  The estimate itself stays
+    internal; the oracle hash-checks the exact distinct count and a
+    boolean that the estimate landed within 3x the configured relative
+    standard deviation (rsd=0.02 => 6%) — deterministic, since HLL on a
+    fixed dataset is a pure function.
+
+    Scale shape: the sketch side is one partial-aggregated shuffle of
+    fixed-size registers; the exact side is the two-level distinct
+    shuffle you'd drop (or sample) at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    rsd = 0.02
+    sk = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("est"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return sk.join(exact, on="event_type").select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 3 * F.lit(rsd) * F.col("exact_users")
+        ).alias("within_3rsd"),
+    )
+
+
+def dedup_simhash_arith_survivors(spark, sf_dir):
+    """SimHash dedup under the FULL value-hash oracle gate — the
+    verification twin of dedup_simhash_survivors, exactly as
+    dedup_minhash_arith_survivors twins the xxhash64 MinHash path: the
+    32-bit shingle hash is md5-derived (bit-identical in DuckDB), the
+    per-bit majority vote and the packed signature are plain integer
+    arithmetic, so every signature and survivor row is hash-checked.
+
+    Scale shape: identical to the production path — distinct shingles
+    exploded, 32 codegen'd conditional sums map-side combined into ONE
+    shuffle, then a per-signature min and an anti-join."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(text.normalize(F.col("text")), " ")
+    base = d.select("doc_id", toks.alias("toks"))
+    ex = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text.word_shingles_from_tokens(F.col("toks"), 2))
+        ).alias("sh"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("x"),
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(x >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(32)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("sig"),
+    )
+    w = Window.partitionBy("sig").orderBy(F.col("doc_id").asc())
+    return (
+        sig.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("doc_id", "sig")
+    )
