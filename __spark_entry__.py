@@ -52,6 +52,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_enrich_static": Q.streaming_enrich_static,
     "approx_distinct_bound_check": Q.approx_distinct_bound_check,
     "dedup_simhash_arith_survivors": Q.dedup_simhash_arith_survivors,
+    "rolling_1h_user_value": Q.rolling_1h_user_value,
+    "streaming_upsert_latest": Q.streaming_upsert_latest,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

@@ -1508,3 +1508,19 @@ WITH hx AS (
 )
 SELECT doc_id, sig FROM ranked WHERE rn = 1
 """
+
+
+ORACLES["rolling_1h_user_value"] = """
+SELECT event_id, user_id,
+  count(*) OVER w AS n_1h,
+  CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+ORACLES["streaming_upsert_latest"] = """
+SELECT user_id, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""

@@ -3082,3 +3082,108 @@ def dedup_simhash_arith_survivors(spark, sf_dir):
         .filter(F.col("__rn__") == 1)
         .select("doc_id", "sig")
     )
+
+
+def rolling_1h_user_value(spark, sf_dir):
+    """Per-row trailing time-window aggregate (RANGE frame): for every
+    event, the count and decimal-exact sum of the same user's values in
+    the preceding hour INCLUDING this row — the per-event form of a
+    rolling metric (fraud velocity checks, rate limiting), distinct
+    from the bucketed sliding_10m windows which emit per-window rows.
+
+    RANGE (not ROWS) so timestamp ties are frame-peers on both engines
+    and tie order can't flip the result.  Scale shape: one shuffle on
+    user_id, then a sorted in-partition frame scan — Spark keeps a
+    sliding frame buffer, no re-scan per row."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+def streaming_upsert_latest(spark, sf_dir):
+    """Cross-batch UPSERT materialization through the real engine: each
+    micro-batch foreachBatch-merges into an external key->latest store
+    (the CDC-apply / mirror-table pattern every warehouse sink needs),
+    with batches alternating between two parquet generations so a
+    generation is never overwritten while readable.  After the four-
+    trigger replay the store must equal the batch latest-event-per-user
+    query exactly — the oracle is the same QUALIFY row_number() = 1.
+
+    Scale shape: per batch, one keyed latest-merge shuffle of
+    state+batch; state is one row per user.  At 100 TB you'd swap the
+    parquet generations for a format with row-level merge (the
+    foreachBatch body is the only thing that changes)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    sliced = (
+        e.crossJoin(F.broadcast(b))
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("slice", F.expr("(ts_us - mn) * 4 DIV (mx - mn + 1)").cast("int"))
+        .select("event_id", "ts", "user_id", "value", "slice")
+    )
+    tmp = tempfile.mkdtemp(prefix="tubes_upsert_")
+    state: dict = {"path": None}
+    try:
+        write_ordered_slices(
+            sliced, [F.col("slice") == i for i in range(4)], f"{tmp}/in"
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double, slice int"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+
+        def upsert(batch_df, batch_id):
+            s = batch_df.sparkSession
+            cur = batch_df.select("event_id", "ts", "user_id", "value")
+            if state["path"] is not None:
+                prev = s.read.parquet(state["path"])
+                cur = prev.unionByName(cur)
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            latest = (
+                cur.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .drop("__rn__")
+            )
+            nxt = f"{tmp}/state_{batch_id}"
+            latest.write.mode("overwrite").parquet(nxt)
+            state["path"] = nxt
+
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .queryName(f"stream_upsert_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        res = (
+            spark.read.parquet(state["path"])
+            .select("user_id", "event_id", "value")
+            .cache()
+        )
+        res.count()  # pin rows before tmp cleanup
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
