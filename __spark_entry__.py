@@ -54,6 +54,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_arith_survivors": Q.dedup_simhash_arith_survivors,
     "rolling_1h_user_value": Q.rolling_1h_user_value,
     "streaming_upsert_latest": Q.streaming_upsert_latest,
+    "ann_recall_contract_check": Q.ann_recall_contract_check,
+    "text_winnow_arith_fingerprints": Q.text_winnow_arith_fingerprints,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

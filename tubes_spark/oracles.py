@@ -1524,3 +1524,45 @@ ORACLES["streaming_upsert_latest"] = """
 SELECT user_id, event_id, value FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 """
+
+
+# The approx structures are seeded/engine-internal; the oracle checks
+# the exact ground-truth pair count (20 queries x k=10) and that every
+# tier's recall-floor boolean is TRUE.
+ORACLES["ann_recall_contract_check"] = """
+SELECT t.tier, p.n_exact_pairs, TRUE AS recall_floor_ok
+FROM (SELECT unnest(['lsh', 'ivf', 'pq_rerank']) AS tier) t
+CROSS JOIN (
+  SELECT count(*) AS n_exact_pairs FROM (
+    SELECT 1 FROM embeddings q, embeddings c
+    WHERE q.vec_id < 20
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY
+        list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) DESC,
+        c.vec_id
+    ) <= 10
+  )
+) p
+"""
+
+
+ORACLES["text_winnow_arith_fingerprints"] = f"""
+WITH g AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, greatest(length(nrm) - 7, 1) + 1),
+      i -> CAST(('0x' || substring(md5(substring(nrm, i, 8)), 1, 8)) AS BIGINT)
+    ) AS hs
+  FROM (SELECT doc_id, {NORM_TEXT} AS nrm FROM documents)
+)
+SELECT doc_id, unnest(list_distinct(
+  list_transform(
+    range(1, greatest(len(hs) - 3, 1) + 1),
+    i -> list_min(list_slice(hs, i, i + least(4, len(hs)) - 1))
+  )
+)) AS fp
+FROM g
+"""

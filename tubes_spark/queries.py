@@ -3187,3 +3187,84 @@ def streaming_upsert_latest(spark, sf_dir):
         return res
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ann_recall_contract_check(spark, sf_dir):
+    """The ANN recall@10 contracts, DRIVER-VISIBLE: each approximate
+    tier (sign-LSH multi-table, IVF multi-probe, PQ+rerank) is run
+    against brute-force cosine ground truth over 20 queries and must
+    clear its recall floor — the same thresholds pinned in
+    tests/test_dedup_similarity.py (measured on this corpus: lsh 0.89,
+    ivf 0.93, pq+rerank 0.96 vs floors 0.85/0.90/0.95).  The seeded
+    structures are engine-internal, so what the oracle hash-checks is
+    the exact ground-truth pair count and a TRUE per tier: a parameter
+    or algorithm change that craters recall becomes a driver-visible
+    wrong answer, not just a local test failure.
+
+    Scale shape: verification-side query — the exact tier is |Q|x|C| by
+    definition and |Q|=20; the approx tiers are the production path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.knn_bruteforce(emb, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    tiers = {
+        "lsh": (
+            0.85,
+            similarity.knn_lsh(emb, q, dim=64, k=10, n_planes=4, n_tables=16),
+        ),
+        "ivf": (
+            0.90,
+            similarity.knn_ivf(emb, q, dim=64, k=10, n_cells=16, n_probe=12),
+        ),
+        "pq_rerank": (
+            0.95,
+            similarity.knn_pq_adc(emb, q, dim=64, k=10, m=8, n_codes=64, rerank=100),
+        ),
+    }
+    n_exact = exact.count()
+    rows = []
+    for tier, (floor, approx) in tiers.items():
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).count()
+        rows.append((tier, n_exact, hits / n_exact >= floor))
+    return spark.createDataFrame(
+        rows, "tier string, n_exact_pairs long, recall_floor_ok boolean"
+    )
+
+
+def text_winnow_arith_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03)
+    under the FULL value-hash oracle gate — the md5-derived twin of
+    text_winnow_fingerprints (xxhash64, rows-only), completing the
+    verification-twin set alongside the MinHash and SimHash arith
+    variants: char 8-gram hashes, window w=4 minima, distinct selected
+    set, every fingerprint row hash-checked against DuckDB.
+
+    Emitted exploded as (doc_id, fp) rows so the compare is dtype-exact
+    (array columns stringify differently across engines).  Scale shape:
+    one codegen'd projection + explode, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    k, w = 8, 4
+    norm = text.normalize(F.col("text"))
+    base = d.select("doc_id", norm.alias("nrm"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(F.col("nrm")) - (k - 1), F.lit(1))),
+        lambda i: F.col("nrm").substr(i, F.lit(k)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    hcol = base.select("doc_id", hashes.alias("hs"))
+    n_windows = F.greatest(F.size(F.col("hs")) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(
+            F.slice(F.col("hs"), i, F.least(F.lit(w), F.size(F.col("hs"))))
+        ),
+    )
+    return hcol.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
