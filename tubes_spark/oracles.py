@@ -1566,3 +1566,9 @@ SELECT doc_id, unnest(list_distinct(
 )) AS fp
 FROM g
 """
+
+
+ORACLES["dedup_invariant_check"] = """
+SELECT unnest(['minhash_greedy', 'minhash_components', 'simhash_exact']) AS variant,
+  TRUE AS size_ok, TRUE AS no_exact_twin_survivors
+"""

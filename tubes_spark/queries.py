@@ -3268,3 +3268,44 @@ def text_winnow_arith_fingerprints(spark, sf_dir):
     return hcol.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+def dedup_invariant_check(spark, sf_dir):
+    """Driver-visible INVARIANTS for the seeded (rows-only) dedup
+    variants — the same move ann_recall_contract_check makes for the
+    ANN tiers: the xxhash64 survivor sets stay engine-internal, but
+    each variant's hard invariants are emitted as booleans the oracle
+    hash-checks.  Checked per variant: the survivor set is non-empty,
+    no larger than the corpus, and — because identical canonical text
+    implies identical shingle sets, hence jaccard 1 and equal
+    signatures — NO two exact-twin documents may both survive any
+    near-dedup tier.  A seeding/banding regression that stops catching
+    verbatim copies becomes a driver-visible wrong answer.
+
+    Scale shape: each variant is its production plan plus one md5
+    self-twin check on the (small) survivor set."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    canon = F.md5(text.normalize(F.col("text"))).alias("__h__")
+
+    def _twins_survive(surv):
+        s = d.join(surv.select("doc_id"), "doc_id", "left_semi").select(
+            "doc_id", canon
+        )
+        return (
+            s.groupBy("__h__").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).count()
+            > 0
+        )
+
+    variants = {
+        "minhash_greedy": dedup.dedup_minhash(d, threshold=0.8),
+        "minhash_components": dedup.dedup_minhash(d, threshold=0.8, policy="components"),
+        "simhash_exact": dedup.dedup_simhash(d, bits=32),
+    }
+    rows = []
+    for name, surv in variants.items():
+        n = surv.count()
+        rows.append((name, 0 < n <= n_docs, not _twins_survive(surv)))
+    return spark.createDataFrame(
+        rows, "variant string, size_ok boolean, no_exact_twin_survivors boolean"
+    )
