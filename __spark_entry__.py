@@ -57,6 +57,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_contract_check": Q.ann_recall_contract_check,
     "text_winnow_arith_fingerprints": Q.text_winnow_arith_fingerprints,
     "dedup_invariant_check": Q.dedup_invariant_check,
+    "custom_source_arith_events": Q.custom_source_arith_events,
+    "custom_stream_source_drain": Q.custom_stream_source_drain,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

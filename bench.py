@@ -97,6 +97,19 @@ HEADLINE = [
     "multimodal_bmp_mean_rgb",        # stdlib BMP pixel decode -> mean RGB
     "approx_top_tokens_eviction_bound",  # SpaceSaving bounds under eviction
     "streaming_late_data",            # watermark late-row drops (oracle-gated)
+    # round 5: oracle-gated verification twins, stream-static ops, frames
+    "dedup_minhash_arith_survivors",  # md5-family MinHash LSH (hash-gated)
+    "dedup_simhash_arith_survivors",  # md5-family SimHash (hash-gated)
+    "text_winnow_arith_fingerprints", # md5-family winnowing (hash-gated)
+    "rolling_1h_user_value",          # per-event trailing RANGE frame
+    "streaming_dedup_watermark",      # cross-batch dropDuplicatesWithinWatermark
+    "streaming_enrich_static",        # stream-static broadcast enrichment
+    "streaming_upsert_latest",        # foreachBatch CDC-apply upsert
+    "array_hof_doc_stats",            # higher-order array-function battery
+    "datetime_funcs_events",          # calendar-function battery
+    "percentile_approx_bound_check",  # quantile sketch rank-error contract
+    "approx_distinct_bound_check",    # HLL++ 3-sigma error contract
+    "custom_source_arith_events",     # Python DataSource V2 connector scan
 ]
 
 

@@ -1572,3 +1572,25 @@ ORACLES["dedup_invariant_check"] = """
 SELECT unnest(['minhash_greedy', 'minhash_components', 'simhash_exact']) AS variant,
   TRUE AS size_ok, TRUE AS no_exact_twin_survivors
 """
+
+
+# DuckDB reproduction of the deterministic Python DataSource
+# (tubes_spark/datasource.py::arith_events_oracle_sql inlined at its
+# query parameters).
+ORACLES["custom_source_arith_events"] = """
+WITH src AS (
+  SELECT i AS event_id, i % 97 AS user_id,
+         (i * 7919 % 10000) / 100.0 AS value
+  FROM range(20000) t(i)
+)
+SELECT user_id, count(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM src GROUP BY user_id
+"""
+
+
+ORACLES["custom_stream_source_drain"] = """
+SELECT i AS event_id, i % 97 AS user_id,
+       (i * 7919 % 10000) / 100.0 AS value
+FROM range(1000) t(i)
+"""

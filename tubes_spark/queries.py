@@ -3309,3 +3309,75 @@ def dedup_invariant_check(spark, sf_dir):
     return spark.createDataFrame(
         rows, "variant string, size_ok boolean, no_exact_twin_survivors boolean"
     )
+
+
+def custom_source_arith_events(spark, sf_dir):
+    """CUSTOM CONNECTOR under the oracle gate: a Python DataSource V2
+    (tubes_spark/datasource.py) — the Spark-native form of the
+    reference's hand-me-a-producer Source abstraction (Tubes/Source.hs
+    sample/Source) — planned and scanned by the engine like any
+    built-in format.  The source is deterministic integer arithmetic,
+    so DuckDB reproduces the full output from range(): the ingest
+    surface itself gets value-hash verification, not just the operators
+    downstream of it.
+
+    Scale shape: partitions() hands each executor a contiguous id
+    range; rows are generated executor-side (no driver buffering), and
+    the downstream agg is one partial-aggregated shuffle."""
+    from tubes_spark import datasource
+
+    datasource.register(spark)
+    df = (
+        spark.read.format("arith_events")
+        .option("n_rows", 20000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def custom_stream_source_drain(spark, sf_dir):
+    """The custom connector's UNBOUNDED form through the real streaming
+    engine: a Python DataSourceStreamReader advancing a monotone integer
+    offset (the minimal Kafka-shaped contract — initialOffset /
+    latestOffset / partitions(start,end) / replayable read) admits
+    rows_per_batch ids per trigger; the drained append stream must
+    contain exactly the first max_rows generated rows — the reference's
+    `prompt` (Tubes.hs:182-189) with offset tracking and retryable
+    ranges, under the oracle gate."""
+    import time
+    import uuid
+
+    from tubes_spark import datasource
+
+    datasource.register(spark)
+    max_rows = 1000
+    df = (
+        spark.readStream.format("arith_events")
+        .option("rows_per_batch", 200)
+        .option("max_rows", max_rows)
+        .option("n_parts", 4)
+        .load()
+    )
+    name = f"custom_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.queryName(name)
+        .format("memory")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if spark.table(name).count() >= max_rows:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    res = spark.table(name).cache()
+    res.count()
+    return res
