@@ -59,6 +59,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_invariant_check": Q.dedup_invariant_check,
     "custom_source_arith_events": Q.custom_source_arith_events,
     "custom_stream_source_drain": Q.custom_stream_source_drain,
+    "chunk_documents_ctx": Q.chunk_documents_ctx,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

@@ -110,6 +110,7 @@ HEADLINE = [
     "percentile_approx_bound_check",  # quantile sketch rank-error contract
     "approx_distinct_bound_check",    # HLL++ 3-sigma error contract
     "custom_source_arith_events",     # Python DataSource V2 connector scan
+    "chunk_documents_ctx",            # context-window chunking (size 64/stride 48)
 ]
 
 

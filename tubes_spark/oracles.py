@@ -1594,3 +1594,20 @@ SELECT i AS event_id, i % 97 AS user_id,
        (i * 7919 % 10000) / 100.0 AS value
 FROM range(1000) t(i)
 """
+
+
+# size=64, stride=48 context windows; chunk content verified via md5 of
+# the space-joined token window.
+ORACLES["chunk_documents_ctx"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+), w AS (
+  SELECT doc_id, tk,
+    unnest(range(0, greatest(CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT), 0) + 1)) AS w
+  FROM t
+)
+SELECT doc_id, CAST(w AS INTEGER) AS chunk_idx,
+  len(list_slice(tk, w*48 + 1, w*48 + 64)) AS n_tokens,
+  md5(array_to_string(list_slice(tk, w*48 + 1, w*48 + 64), ' ')) AS chunk_md5
+FROM w
+"""

@@ -3381,3 +3381,41 @@ def custom_stream_source_drain(spark, sf_dir):
     res = spark.table(name).cache()
     res.count()
     return res
+
+
+def chunk_documents_ctx(spark, sf_dir):
+    """Context-window chunking — the LLM-pretraining step that slices
+    each document into fixed-size token windows with overlap (size 64,
+    stride 48 here): the operator that turns a cleaned corpus into
+    model-ready sequences, upstream of pack_sequences_bins.  Built-in
+    array expressions only (sequence/slice/array_join — a UDTF would be
+    the slow path): chunk text is emitted as its md5 so the oracle
+    hash-checks every chunk's CONTENT, not just counts, while keeping
+    the result narrow.
+
+    Scale shape: one codegen'd projection + explode; rows = total
+    windows; no shuffle.  The chunk hash also doubles as the join key
+    a downstream global chunk-dedup would use."""
+    size, stride = 64, 48
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", text.tokenize(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    # window w covers tokens [w*stride, w*stride+size); last window is
+    # the first one whose start reaches n-size (ceil), min one window
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(size)) / F.lit(stride)).cast("long"), F.lit(0)),
+    )
+    chunked = base.select(
+        "doc_id", F.col("toks"), F.explode(starts).alias("w")
+    ).select(
+        "doc_id",
+        F.col("w").cast("int").alias("chunk_idx"),
+        F.slice(F.col("toks"), F.col("w") * stride + 1, size).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.col("chunk"), " ")).alias("chunk_md5"),
+    )
