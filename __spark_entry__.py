@@ -60,6 +60,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "custom_source_arith_events": Q.custom_source_arith_events,
     "custom_stream_source_drain": Q.custom_stream_source_drain,
     "chunk_documents_ctx": Q.chunk_documents_ctx,
+    "embedding_sq8_roundtrip": Q.embedding_sq8_roundtrip,
+    "build_vocab_ids": Q.build_vocab_ids,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

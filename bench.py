@@ -111,6 +111,8 @@ HEADLINE = [
     "approx_distinct_bound_check",    # HLL++ 3-sigma error contract
     "custom_source_arith_events",     # Python DataSource V2 connector scan
     "chunk_documents_ctx",            # context-window chunking (size 64/stride 48)
+    "embedding_sq8_roundtrip",        # SQ8 scalar quantization round trip
+    "build_vocab_ids",                # frequency-ranked vocabulary build
 ]
 
 

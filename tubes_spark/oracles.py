@@ -1611,3 +1611,42 @@ SELECT doc_id, CAST(w AS INTEGER) AS chunk_idx,
   md5(array_to_string(list_slice(tk, w*48 + 1, w*48 + 64), ' ')) AS chunk_md5
 FROM w
 """
+
+
+ORACLES["embedding_sq8_roundtrip"] = """
+WITH pos AS (
+  SELECT vec_id, d - 1 AS d, embedding[d]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, 65)) t(d)
+), bounds AS (
+  SELECT d, min(v) AS lo, max(v) AS hi FROM pos GROUP BY d
+), q AS (
+  SELECT p.vec_id, p.v,
+    greatest(b.hi - b.lo, 1e-12) AS span, b.lo
+  FROM pos p JOIN bounds b USING (d)
+), e AS (
+  SELECT vec_id,
+    abs(lo + CAST(round((v - lo) / span * 255) AS INTEGER) * span / 255.0 - v) AS err
+  FROM q
+), s AS (
+  SELECT vec_id, round(max(err), 6) AS max_err,
+    round(CAST(sum(CAST(err AS DECIMAL(27,18))) AS DOUBLE) / 64, 6) AS mean_err
+  FROM e GROUP BY vec_id
+)
+SELECT vec_id, max_err, mean_err,
+  max_err <= (SELECT max(greatest(hi - lo, 1e-12)) FROM bounds) / 255.0 / 2.0 + 1e-9 AS within_half_step
+FROM s
+"""
+
+
+ORACLES["build_vocab_ids"] = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INTEGER) AS token_id,
+  tok, n,
+  round(n / (SELECT CAST(sum(n) AS DOUBLE) FROM counts), 6) AS corpus_frac
+FROM counts
+QUALIFY token_id <= 500
+"""

@@ -3419,3 +3419,84 @@ def chunk_documents_ctx(spark, sf_dir):
         F.size("chunk").cast("long").alias("n_tokens"),
         F.md5(F.array_join(F.col("chunk"), " ")).alias("chunk_md5"),
     )
+
+
+def embedding_sq8_roundtrip(spark, sf_dir):
+    """Scalar quantization (SQ8) of the embedding column — the third
+    compression tier alongside PQ codes and raw vectors: per-DIMENSION
+    min/max over the corpus, each component rounded to an 8-bit level,
+    then reconstructed.  Emits per-vector reconstruction error stats,
+    all deterministic arithmetic, so the oracle hash-checks the whole
+    quantize->dequantize round trip (unlike PQ, whose k-means codebooks
+    are seeded).  Error contract on the same row: max |err| must not
+    exceed half a quantization step of the widest dimension.
+
+    Scale shape: the 64x2 min/max table is one partial-aggregated
+    shuffle and broadcasts back; quantization is a per-row projection.
+    At 100 TB you'd train bounds on a sample — same plan with a filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    pos = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("d", "v")
+    ).select("vec_id", "d", F.col("v").cast("double").alias("v"))
+    bounds = pos.groupBy("d").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    q = (
+        pos.join(F.broadcast(bounds), "d")
+        .withColumn("span", F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)))
+        .withColumn(
+            "code",
+            F.round((F.col("v") - F.col("lo")) / F.col("span") * 255).cast("int"),
+        )
+        .withColumn(
+            "recon", F.col("lo") + F.col("code") * F.col("span") / F.lit(255.0)
+        )
+        .withColumn("err", F.abs(F.col("recon") - F.col("v")))
+    )
+    max_step = bounds.agg(
+        F.max(F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12))).alias("mx")
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.round(F.max("err"), 6).alias("max_err"),
+            F.round(
+                F.sum(F.col("err").cast("decimal(27,18)")).cast("double") / dim, 6
+            ).alias("mean_err"),
+        )
+        .crossJoin(F.broadcast(max_step))
+        .select(
+            "vec_id",
+            "max_err",
+            "mean_err",
+            (F.col("max_err") <= F.col("mx") / 255.0 / 2.0 + 1e-9).alias("within_half_step"),
+        )
+    )
+
+
+def build_vocab_ids(spark, sf_dir):
+    """Frequency-ranked vocabulary construction — the tokenizer-prep
+    step that maps each corpus token to a dense integer id (rank by
+    count desc, token asc for determinism), emitting the top 500 with
+    coverage stats.  Scale shape: one token-count shuffle, then a
+    single-partition top-k sort on the (tiny) vocabulary table — the
+    corpus is never globally sorted; at open-vocabulary scale cap with
+    the SpaceSaving sketch first (approx_top_tokens) and rank exactly
+    only the survivors."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokenize(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    total = counts.agg(F.sum("n").alias("corpus_tokens"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .filter(F.col("token_id") <= 500)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token_id",
+            "tok",
+            "n",
+            F.round(F.col("n") / F.col("corpus_tokens"), 6).alias("corpus_frac"),
+        )
+    )
