@@ -62,6 +62,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents_ctx": Q.chunk_documents_ctx,
     "embedding_sq8_roundtrip": Q.embedding_sq8_roundtrip,
     "build_vocab_ids": Q.build_vocab_ids,
+    "zorder_key_events": Q.zorder_key_events,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

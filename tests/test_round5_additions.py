@@ -146,3 +146,28 @@ def test_winnow_arith_fingerprints_contained_in_gram_hashes(spark):
     )
     joined = n_fp.join(lens, "doc_id").filter(F.col("count") > F.col("n_grams"))
     assert joined.count() == 0
+
+
+def test_morton_key_known_values_and_monotonicity(spark):
+    """Interleave spot checks (a=3,b=1 -> 0b111) and per-argument
+    monotonicity at fixed other argument."""
+    from tubes_spark.sources import morton_key
+
+    df = spark.createDataFrame(
+        [(3, 1), (0, 0), (65535, 65535), (1, 0), (0, 1)], "a long, b long"
+    )
+    out = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", morton_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    assert out[(3, 1)] == 0b111
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1 and out[(0, 1)] == 2
+    assert out[(65535, 65535)] == (1 << 32) - 1
+    rows = spark.range(100).select(
+        morton_key(F.col("id"), F.lit(7)).alias("z")
+    ).collect()
+    zs = [r["z"] for r in rows]
+    assert zs == sorted(zs)

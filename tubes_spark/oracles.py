@@ -1650,3 +1650,16 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INTEGER) AS token_id
 FROM counts
 QUALIFY token_id <= 500
 """
+
+
+# Z-order clustering key: user_id x event-hour interleaved 16+16 bits.
+ORACLES["zorder_key_events"] = """
+WITH t AS (
+  SELECT event_id,
+    user_id % 65536 AS u,
+    (epoch_us(ts) // 3600000000) % 65536 AS h
+  FROM events
+)
+SELECT event_id, (((u >> 0) & 1) << 0) | (((h >> 0) & 1) << 1) | (((u >> 1) & 1) << 2) | (((h >> 1) & 1) << 3) | (((u >> 2) & 1) << 4) | (((h >> 2) & 1) << 5) | (((u >> 3) & 1) << 6) | (((h >> 3) & 1) << 7) | (((u >> 4) & 1) << 8) | (((h >> 4) & 1) << 9) | (((u >> 5) & 1) << 10) | (((h >> 5) & 1) << 11) | (((u >> 6) & 1) << 12) | (((h >> 6) & 1) << 13) | (((u >> 7) & 1) << 14) | (((h >> 7) & 1) << 15) | (((u >> 8) & 1) << 16) | (((h >> 8) & 1) << 17) | (((u >> 9) & 1) << 18) | (((h >> 9) & 1) << 19) | (((u >> 10) & 1) << 20) | (((h >> 10) & 1) << 21) | (((u >> 11) & 1) << 22) | (((h >> 11) & 1) << 23) | (((u >> 12) & 1) << 24) | (((h >> 12) & 1) << 25) | (((u >> 13) & 1) << 26) | (((h >> 13) & 1) << 27) | (((u >> 14) & 1) << 28) | (((h >> 14) & 1) << 29) | (((u >> 15) & 1) << 30) | (((h >> 15) & 1) << 31) AS zkey
+FROM t
+"""

@@ -3500,3 +3500,24 @@ def build_vocab_ids(spark, sf_dir):
             F.round(F.col("n") / F.col("corpus_tokens"), 6).alias("corpus_frac"),
         )
     )
+
+
+def zorder_key_events(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, event-hour) —
+    the multi-column layout key behind lakehouse Z-ORDER: feed it to
+    sources.write_sorted_by and parquet footer min/max stats prune
+    scans filtered on EITHER dimension.  Interleaving is pure bit
+    arithmetic (sources.morton_key), so the full 32-bit key is
+    hash-checked by the oracle on every row.
+
+    Scale shape: per-row projection, no shuffle; the clustered WRITE
+    (repartitionByRange on zkey) is the one range exchange a layout
+    rewrite inherently needs."""
+    from tubes_spark.sources import morton_key
+
+    e = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    h = F.expr("unix_micros(ts) DIV 3600000000")
+    return e.select(
+        "event_id", morton_key(u, h, bits=16).alias("zkey")
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -165,3 +165,27 @@ def write_sorted_by(df: DataFrame, path: str, sort_cols: Sequence[str],
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two non-negative integer columns,
+    ``bits`` bits each -> one 2*bits-bit clustering key.
+
+    The multi-column analog of write_sorted_by's single-key range
+    clustering: sorting by the interleaved key co-locates rows that are
+    close in BOTH dimensions, so parquet min/max footer stats prune
+    scans filtered on EITHER column — the standard lakehouse Z-ORDER
+    layout.  Pure bit arithmetic (shift/and/or), whole-stage codegen'd,
+    and — deliberately — reproducible in ANSI SQL for the oracle gate."""
+    from pyspark.sql import functions as F
+
+    a = a.cast("long") % F.lit(1 << bits)
+    b = b.cast("long") % F.lit(1 << bits)
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
