@@ -63,6 +63,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_sq8_roundtrip": Q.embedding_sq8_roundtrip,
     "build_vocab_ids": Q.build_vocab_ids,
     "zorder_key_events": Q.zorder_key_events,
+    "ansi_try_funcs": Q.ansi_try_funcs,
+    "streaming_incremental_rollup": Q.streaming_incremental_rollup,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

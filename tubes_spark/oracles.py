@@ -1663,3 +1663,24 @@ WITH t AS (
 SELECT event_id, (((u >> 0) & 1) << 0) | (((h >> 0) & 1) << 1) | (((u >> 1) & 1) << 2) | (((h >> 1) & 1) << 3) | (((u >> 2) & 1) << 4) | (((h >> 2) & 1) << 5) | (((u >> 3) & 1) << 6) | (((h >> 3) & 1) << 7) | (((u >> 4) & 1) << 8) | (((h >> 4) & 1) << 9) | (((u >> 5) & 1) << 10) | (((h >> 5) & 1) << 11) | (((u >> 6) & 1) << 12) | (((h >> 6) & 1) << 13) | (((u >> 7) & 1) << 14) | (((h >> 7) & 1) << 15) | (((u >> 8) & 1) << 16) | (((h >> 8) & 1) << 17) | (((u >> 9) & 1) << 18) | (((h >> 9) & 1) << 19) | (((u >> 10) & 1) << 20) | (((h >> 10) & 1) << 21) | (((u >> 11) & 1) << 22) | (((h >> 11) & 1) << 23) | (((u >> 12) & 1) << 24) | (((h >> 12) & 1) << 25) | (((u >> 13) & 1) << 26) | (((h >> 13) & 1) << 27) | (((u >> 14) & 1) << 28) | (((h >> 14) & 1) << 29) | (((u >> 15) & 1) << 30) | (((h >> 15) & 1) << 31) AS zkey
 FROM t
 """
+
+
+# NULL-on-error semantics reproduced with guarded CASE arithmetic; the
+# overflow_add hazard is bigint max + (event_id % 2).
+ORACLES["ansi_try_funcs"] = """
+SELECT event_id,
+  CASE WHEN event_id % 10 = 0 THEN NULL
+       ELSE value / (event_id % 10) END AS div10,
+  CASE WHEN event_id % 2 = 1 THEN NULL
+       ELSE 9223372036854775807 END AS overflow_add,
+  string_split(event_type, '_')[(event_id % 4 + 1)::INTEGER] AS maybe_part,
+  CASE WHEN json_extract_string(props, '$.k') ~ '^[0-9]{1,3}$'
+       THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS k_num
+FROM events
+"""
+
+
+ORACLES["streaming_incremental_rollup"] = """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+FROM events GROUP BY 1
+"""

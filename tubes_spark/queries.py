@@ -3521,3 +3521,110 @@ def zorder_key_events(spark, sf_dir):
     return e.select(
         "event_id", morton_key(u, h, bits=16).alias("zkey")
     )
+
+
+def ansi_try_funcs(spark, sf_dir):
+    """Error-safe expression battery: ``try_divide`` / ``try_add`` /
+    ``try_element_at`` / ``try_to_number`` return NULL where strict ANSI
+    evaluation would raise — the functions a 100 TB pipeline uses so one
+    malformed row poisons a value, not a stage.  Exercised over events
+    with constructed hazards (zero divisors, long-overflow adds,
+    out-of-range indices, non-numeric strings); the oracle reproduces
+    each NULL case with guarded CASE arithmetic.
+
+    Scale shape: per-row projection, no shuffle."""
+    e = _t(spark, sf_dir, "events")
+    toks = F.split(F.col("event_type"), "_")
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), (F.col("event_id") % 10).cast("double")).alias(
+            "div10"
+        ),
+        F.try_add(
+            F.lit(9_223_372_036_854_775_807).cast("long"),
+            (F.col("event_id") % 2).cast("long"),
+        ).alias("overflow_add"),
+        F.try_element_at(toks, (F.col("event_id") % 4 + 1).cast("int")).alias(
+            "maybe_part"
+        ),
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999")
+        ).cast("double").alias("k_num"),
+    )
+
+
+def streaming_incremental_rollup(spark, sf_dir):
+    """Incremental MATERIALIZED-VIEW maintenance through the real
+    engine: each micro-batch's partial hourly counts are foreachBatch-
+    ADDED into an external rollup table (alternating parquet
+    generations) — the additive companion to streaming_upsert_latest's
+    replace-merge, and the maintenance loop behind every warehouse
+    rollup that can't afford full recomputes.  After the four-trigger
+    replay the accumulated table must equal the batch hourly rollup
+    exactly; a lost or double-applied batch surfaces as a count
+    mismatch.
+
+    Scale shape: per batch, one partial-agg shuffle of the BATCH only
+    (state table rows = distinct hours, tiny); the full fact table is
+    never rescanned."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    b = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    sliced = (
+        e.crossJoin(F.broadcast(b))
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("slice", F.expr("(ts_us - mn) * 4 DIV (mx - mn + 1)").cast("int"))
+        .select("event_id", "ts", "slice")
+    )
+    tmp = tempfile.mkdtemp(prefix="tubes_incr_rollup_")
+    state: dict = {"path": None}
+    try:
+        write_ordered_slices(
+            sliced, [F.col("slice") == i for i in range(4)], f"{tmp}/in"
+        )
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, slice int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+
+        def add_batch(batch_df, batch_id):
+            s = batch_df.sparkSession
+            part = batch_df.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour")
+            ).agg(F.count(F.lit(1)).alias("n"))
+            if state["path"] is not None:
+                prev = s.read.parquet(state["path"])
+                part = (
+                    prev.unionByName(part)
+                    .groupBy("hour")
+                    .agg(F.sum("n").alias("n"))
+                )
+            nxt = f"{tmp}/state_{batch_id}"
+            part.write.mode("overwrite").parquet(nxt)
+            state["path"] = nxt
+
+        q = (
+            stream.writeStream.foreachBatch(add_batch)
+            .queryName(f"stream_rollup_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        res = (
+            spark.read.parquet(state["path"])
+            .select("hour", F.col("n").cast("long").alias("n_events"))
+            .cache()
+        )
+        res.count()  # pin rows before tmp cleanup
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
