@@ -113,6 +113,8 @@ HEADLINE = [
     "chunk_documents_ctx",            # context-window chunking (size 64/stride 48)
     "embedding_sq8_roundtrip",        # SQ8 scalar quantization round trip
     "build_vocab_ids",                # frequency-ranked vocabulary build
+    "zorder_key_events",              # Z-order multi-column layout key
+    "ansi_try_funcs",                 # error-safe expression battery
 ]
 
 

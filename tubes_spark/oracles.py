@@ -1684,3 +1684,23 @@ ORACLES["streaming_incremental_rollup"] = """
 SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
 FROM events GROUP BY 1
 """
+
+
+ORACLES["corpus_quality_report"] = rf"""
+WITH per_doc AS (
+  SELECT lang, source,
+    len(string_split_regex(trim(text), '\s+')) AS n_toks,
+    n_chars,
+    CAST(count(*) OVER (PARTITION BY md5({NORM_TEXT})) > 1 AS INTEGER) AS is_dup
+  FROM documents
+)
+SELECT
+  coalesce(lang, 'ALL') AS lang,
+  coalesce(source, 'ALL') AS source,
+  count(*) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+  round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+  round(CAST(sum(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6) AS mean_chars
+FROM per_doc
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""

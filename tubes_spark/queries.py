@@ -3628,3 +3628,39 @@ def streaming_incremental_rollup(spark, sf_dir):
         return res
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def corpus_quality_report(spark, sf_dir):
+    """The curation DASHBOARD query: one GROUPING SETS pass over
+    (lang, source) emitting per-cell and marginal corpus health — doc
+    counts, token volume, exact-duplicate rate, and mean doc length —
+    the report a data team reads before green-lighting a crawl into the
+    training mix.  Composes the battery's primitives (canonical-text
+    md5 dup detection, whitespace token counts) into one plan.
+
+    Scale shape: one pre-aggregation per doc (no text ever grouped —
+    the dup bit rides an md5 window), then a single Expand+shuffle for
+    the grouping sets; output rows = cells + margins, tiny."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(text.normalize(F.col("text"))))
+    per_doc = d.select(
+        "lang",
+        "source",
+        text.token_count(F.col("text")).cast("long").alias("n_toks"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.count(F.lit(1)).over(w) > 1).cast("int").alias("is_dup"),
+    )
+    per_doc.createOrReplaceTempView("__cq_per_doc")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(lang, 'ALL') AS lang,
+          coalesce(source, 'ALL') AS source,
+          count(*) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+          round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+          round(CAST(sum(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6) AS mean_chars
+        FROM __cq_per_doc
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """
+    )
