@@ -36,7 +36,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # prefix of this dict (rounds 1-2 recorded exactly the first 50
     # keys).  Keys are therefore rotated each round so that queries
     # without a driver row yet come right after the flagship — the
-    # union of rounds covers the whole battery (all 131 r4 keys have at
+    # union of rounds covers the whole battery (all 131 r4 keys had at
     # least one driver row across r1-r4; the r5 additions sit at the
     # front for this round's sample).  Every key passes the identical
     # local DuckDB harness (tests/test_oracle_parity.py) regardless of

@@ -1362,7 +1362,7 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 
 ORACLES["connected_components_jaccard"] = f"""
 WITH RECURSIVE sh AS (
-  SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents
+  SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents WHERE doc_id < 1250
 ), sized AS (
   SELECT doc_id, s, len(s) AS n FROM sh
 ), edges AS (

@@ -2764,8 +2764,24 @@ def connected_components_jaccard(spark, sf_dir):
     Scale shape: label propagation is one narrow self-join per round on
     the (tiny) verified-pair set, lineage-truncated each round; the
     oracle's O(closure) CTE is the verification-side luxury, not the
-    production plan."""
-    pairs = jaccard_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    production plan — and because BOTH its edge join (n^2 banded with
+    per-pair list intersections) and the closure are quadratic in
+    DuckDB, the verification slice is capped at doc_id < 1250 so the
+    sf0.1 margin sweep stays tractable.  The Spark operator itself runs
+    uncapped in the dedup_minhash 'components' production path."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1250)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(text.word_shingles(F.col("text"), 3)).alias("sh"),
+    ).withColumn("n", F.size("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb"))
+    cand = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b")) & (F.col("na") <= 2 * F.col("nb")) & (F.col("nb") <= 2 * F.col("na")),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    pairs = cand.select("id_a", "id_b", jac.alias("j")).filter(F.col("j") >= 0.5).select("id_a", "id_b")
     comp = dedup.connected_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), "comp")
 
@@ -3566,7 +3582,11 @@ def streaming_incremental_rollup(spark, sf_dir):
 
     Scale shape: per batch, one partial-agg shuffle of the BATCH only
     (state table rows = distinct hours, tiny); the full fact table is
-    never rescanned."""
+    never rescanned.  Unlike the upsert (whose latest-merge is naturally
+    idempotent), an additive merge double-applies on a retried batch —
+    production guards it by recording the applied batch_id with the
+    state (transactional sink); the bounded AvailableNow replay here
+    runs each batch exactly once."""
     import shutil
     import tempfile
     import uuid
