@@ -3670,9 +3670,12 @@ def corpus_quality_report(spark, sf_dir):
         F.col("n_chars").cast("long").alias("n_chars"),
         (F.count(F.lit(1)).over(w) > 1).cast("int").alias("is_dup"),
     )
-    per_doc.createOrReplaceTempView("__cq_per_doc")
+    import uuid
+
+    view = f"__cq_per_doc_{uuid.uuid4().hex[:8]}"
+    per_doc.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT
           coalesce(lang, 'ALL') AS lang,
           coalesce(source, 'ALL') AS source,
@@ -3680,7 +3683,7 @@ def corpus_quality_report(spark, sf_dir):
           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
           round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
           round(CAST(sum(CAST(n_chars AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6) AS mean_chars
-        FROM __cq_per_doc
+        FROM {view}
         GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
         """
     )
