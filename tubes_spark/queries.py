@@ -3217,10 +3217,19 @@ def ann_recall_contract_check(spark, sf_dir):
     or algorithm change that craters recall becomes a driver-visible
     wrong answer, not just a local test failure.
 
+    The PQ rerank shortlist SCALES WITH THE CORPUS (max(100, |C|/8)):
+    a fixed shortlist covers a shrinking fraction as the corpus grows
+    and recall craters — caught by exactly this check when the sf0.1
+    sweep ran the fixed-100 version against a 10x corpus (0.825 vs the
+    0.95 floor).  Shortlist-per-corpus is the knob a production ANN
+    serves with; the floors stay fixed.
+
     Scale shape: verification-side query — the exact tier is |Q|x|C| by
     definition and |Q|=20; the approx tiers are the production path."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
+    n_corpus = emb.count()
+    rerank = max(100, n_corpus // 8)
     exact = similarity.knn_bruteforce(emb, q, k=10).select(
         "query_id", "neighbor_id"
     )
@@ -3235,7 +3244,9 @@ def ann_recall_contract_check(spark, sf_dir):
         ),
         "pq_rerank": (
             0.95,
-            similarity.knn_pq_adc(emb, q, dim=64, k=10, m=8, n_codes=64, rerank=100),
+            similarity.knn_pq_adc(
+                emb, q, dim=64, k=10, m=8, n_codes=64, rerank=rerank
+            ),
         ),
     }
     n_exact = exact.count()
