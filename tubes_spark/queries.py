@@ -1140,8 +1140,11 @@ def knn_pq_rerank(spark, sf_dir):
     tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
+    # shortlist scales with the corpus (see ann_recall_contract_check:
+    # a fixed shortlist's recall collapses as the corpus grows)
+    rerank = max(50, emb.count() // 8)
     return similarity.knn_pq_adc(
-        emb, q, dim=64, k=10, m=8, n_codes=64, rerank=50
+        emb, q, dim=64, k=10, m=8, n_codes=64, rerank=rerank
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
