@@ -171,3 +171,55 @@ def test_morton_key_known_values_and_monotonicity(spark):
     ).collect()
     zs = [r["z"] for r in rows]
     assert zs == sorted(zs)
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed BPE loop must produce the same merge sequence as
+    a direct single-machine implementation on the same word counts."""
+    from collections import Counter
+
+    from tubes_spark.operators import bpe
+
+    corpus = [
+        ("the cat sat on the mat",),
+        ("the cats eat the fish",),
+        ("a cat and a hat",),
+    ]
+    df = spark.createDataFrame(corpus, "text string")
+    got = bpe.bpe_train(df, n_merges=8)
+
+    # pure-Python reference (Sennrich-style, string-level symbols)
+    vocab = Counter()
+    for (t,) in corpus:
+        for w in t.lower().split():
+            vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+
+    def top_pair():
+        pc = Counter()
+        for w, n in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            return None
+        return sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+    expected = []
+    for _ in range(8):
+        t = top_pair()
+        if t is None:
+            break
+        (a, b), cnt = t
+        expected.append((a, b, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    assert got == expected, f"{got} != {expected}"

@@ -1,0 +1,111 @@
+"""Distributed BPE (byte-pair-encoding) merge training.
+
+The tokenizer-training step of an LLM data pipeline: find the most
+frequent adjacent symbol pair across the corpus, merge it everywhere,
+repeat (Sennrich et al., ACL 2016).  The classic formulation is a
+single-machine loop over a word-count dictionary; the Spark shape here
+keeps exactly that structure but distributes the two heavy pieces:
+
+* the corpus collapses ONCE to a (word, count) vocabulary table — all
+  later iterations touch only the vocabulary, never the corpus;
+* each iteration is one weighted pair-count aggregation (map-side
+  combined, one narrow shuffle) + an ordered take(1) for the winning
+  pair + a codegen'd fold that applies the merge to every word's
+  symbol array.  The winning pair is the only thing that ever reaches
+  the driver.
+
+The vocabulary table is localCheckpointed per iteration: an iterative
+plan otherwise grows its lineage exponentially (same discipline as
+``dedup.connected_components``).
+
+String-level simplification (documented): symbols are represented as
+their surface strings, so a merged symbol is indistinguishable from an
+identical pre-existing symbol — the standard id-tracked implementation
+differs only in bookkeeping; on natural-language corpora the merge
+sequences agree (pinned against a pure-Python reference in
+tests/test_round5_additions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from tubes_spark.operators.text import tokenize
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) corpus word counts — the table BPE iterates on."""
+    toks = df.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"))
+    return toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs (empty for 1-symbol
+    words) — zip_with over two O(n) slices, never element_at-per-index
+    (the O(n^2) codegen trap, see quality_bigram_logprob)."""
+    k = F.greatest(F.size(sym) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(sym, 1, k),
+        F.slice(sym, 2, k),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def pair_counts(vocab_syms: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over a (syms, n) vocabulary: one
+    explode + one map-side-combined shuffle."""
+    ex = vocab_syms.select(
+        F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), F.col("n")
+    )
+    return ex.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("n").alias("cnt")
+    )
+
+
+def _apply_merge(sym: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (a, b) -> a||b,
+    as a single codegen'd fold: append each symbol, and when the last
+    kept symbol is `a` and the incoming one is `b`, replace the last
+    with the concatenation.  Correct for BPE because the merged surface
+    string differs from `a`, so a fresh merge cannot chain onto the
+    symbol it just produced (aaa + (a,a) -> [aa, a])."""
+    la, lb = F.lit(a), F.lit(b)
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(la, lb))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(a, b, count), ...] in
+    merge order.  Ties break deterministically on (count desc, a, b).
+
+    Driver traffic per iteration: ONE row (the winning pair)."""
+    vocab = word_vocab(df, text_col)
+    syms = vocab.select(
+        F.split(F.col("w"), "").alias("syms"), F.col("n")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(syms)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((a, b, int(cnt)))
+        syms = syms.select(
+            _apply_merge(F.col("syms"), a, b).alias("syms"), F.col("n")
+        ).localCheckpoint(eager=True)
+    return merges

@@ -1704,3 +1704,21 @@ SELECT
 FROM per_doc
 GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
 """
+
+
+ORACLES["bpe_first_merges"] = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS n FROM words GROUP BY w
+), pairs AS (
+  SELECT unnest([struct_pack(a := cs[i], b := cs[i+1]) for i in range(1, len(cs))]) AS p, n
+  FROM (SELECT regexp_extract_all(w, '.') AS cs, n FROM vocab)
+), counts AS (
+  SELECT p.a AS a, p.b AS b, sum(n) AS cnt FROM pairs GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS INTEGER) AS rank,
+  a, b, CAST(cnt AS BIGINT) AS cnt
+FROM counts
+QUALIFY rank <= 30
+"""

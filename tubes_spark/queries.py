@@ -3701,3 +3701,28 @@ def corpus_quality_report(spark, sf_dir):
         GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
         """
     )
+
+
+def bpe_first_merges(spark, sf_dir):
+    """The first iteration of distributed BPE training under the oracle
+    gate: weighted adjacent character-pair counts over the lowercased
+    word vocabulary, top 30 by (count desc, pair asc) — the statistic
+    every subsequent merge decision (operators/bpe.py bpe_train, whose
+    full iterative loop is pinned against a pure-Python reference in
+    tests) is computed from.
+
+    Scale shape: the corpus collapses once to (word, count); the pair
+    count is one explode + one map-side-combined shuffle over the
+    (tiny) vocabulary — iteration cost is independent of corpus size."""
+    from tubes_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = bpe.word_vocab(d)
+    syms = vocab.select(F.split(F.col("w"), "").alias("syms"), F.col("n"))
+    counts = bpe.pair_counts(syms)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 30)
+        .select("rank", "a", "b", "cnt")
+    )
