@@ -67,6 +67,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_incremental_rollup": Q.streaming_incremental_rollup,
     "corpus_quality_report": Q.corpus_quality_report,
     "bpe_first_merges": Q.bpe_first_merges,
+    "multimodal_image_ahash": Q.multimodal_image_ahash,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

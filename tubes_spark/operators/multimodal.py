@@ -215,6 +215,32 @@ def bmp_mean_rgb(data: bytes) -> list[float]:
     return [float(x) for x in arr.mean(axis=(0, 1))]
 
 
+def bmp_ahash_hex(data: bytes) -> str:
+    """Perceptual average-hash (aHash) of a 24bpp BMP, as 16 hex chars —
+    THE image near-dup primitive: downsample to an 8x8 grid
+    (nearest-neighbor sample at cell centers), threshold each cell
+    against the grid mean, pack 64 bits.  Near-duplicate images differ
+    in a few bits (hamming distance), so downstream dedup is the same
+    banded-signature machinery as SimHash.
+
+    Exactness discipline: the cell value is the INTEGER r+g+b sum
+    (0..765) and the threshold is total/64.0 — an exact power-of-two
+    division — so the hash is bit-reproducible by independent integer
+    arithmetic (no float summation order anywhere)."""
+    arr = decode_bmp(data).astype(int)  # (H, W, 3)
+    h, w = arr.shape[:2]
+    rows = [(2 * i + 1) * h // 16 for i in range(8)]
+    cols = [(2 * j + 1) * w // 16 for j in range(8)]
+    cells = [[int(arr[r, c].sum()) for c in cols] for r in rows]
+    mean = sum(sum(r) for r in cells) / 64.0
+    bits = 0
+    for i in range(8):
+        for j in range(8):
+            if cells[i][j] > mean:
+                bits |= 1 << (8 * i + j)
+    return format(bits, "016x")
+
+
 def real_decode_stub(data: bytes) -> list[float]:
     """The production decoder slot — deliberately unimplemented here
     (no image/audio libraries in this container)."""

@@ -1722,3 +1722,23 @@ SELECT CAST(row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS INTEGER) AS r
 FROM counts
 QUALIFY rank <= 30
 """
+
+
+# aHash over the synthetic BMPs: row i is a constant-color row with
+# integer gray sum v_i; sampled 8x8 grid repeats each row 8 times, so
+# the grid mean is list_sum(v)/8.0 (exact /2^3) and each hash byte is
+# ff/00 by v_i > mean.  BMPs store rows BOTTOM-UP, so decoded row i is
+# file row 7-i: MSB-first packing puts v_0 (file row 0) first.
+ORACLES["multimodal_image_ahash"] = """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+    [((doc_id*3 + i) % 256) + ((n_chars + 2*i) % 256) + ((doc_id + i) % 256)
+     for i in range(0, 8)] AS vs
+  FROM documents
+)
+SELECT media_id,
+  array_to_string(
+    [CASE WHEN vs[k] > list_sum(vs) / 8.0 THEN 'ff' ELSE '00' END
+     for k in range(1, 9)], '') AS ahash
+FROM v
+"""

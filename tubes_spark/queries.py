@@ -1032,25 +1032,11 @@ def multimodal_png_dims(spark, sf_dir):
     return decode_headers(media).select("media_id", "mime", "width", "height")
 
 
-def multimodal_bmp_mean_rgb(spark, sf_dir):
-    """Real PIXEL-derived media features under the ORACLE gate: build a
-    complete 24bpp BMP per doc JVM-side (header + 8 gradient rows whose
-    colors derive from doc fields; width varies per doc so row padding
-    is exercised), decode the pixels with the pure-stdlib BMP decoder
-    (operators/multimodal.py::decode_bmp) through
-    ``extract_features(decoder=bmp_mean_rgb)``, and check the mean-RGB
-    feature against independent DuckDB arithmetic.  Channel sums are
-    small integers and height is 8, so the float means are exact k/8
-    rationals — bit-equal across engines, no rounding tolerance needed.
-    This flips multimodal features from 'deterministic fake' to real
-    decoded pixel values inside this container.
-
-    Scale shape: two per-row projections (JVM binary construct + one
-    Arrow-batched decode pass) — no shuffle, no driver data; binary
-    stays executor-side."""
-    from tubes_spark.operators.multimodal import bmp_mean_rgb, extract_features
-
-    d = _t(spark, sf_dir, "documents")
+def _synth_bmp_media(d):
+    """Complete 24bpp BMP per doc, built JVM-side (header + 8 gradient
+    rows whose colors derive from doc fields; width varies per doc so
+    row padding is exercised) — shared by the mean-RGB and aHash
+    queries."""
     H = 8
     width = (F.col("n_chars") % 16 + 1).cast("long")
     stride = (F.floor((width * 3 + 3) / 4) * 4).cast("long")
@@ -1092,6 +1078,29 @@ def multimodal_bmp_mean_rgb(spark, sf_dir):
         F.col("doc_id").cast("string").alias("media_id"),
         F.unhex(F.concat(header_hex, pixels_hex)).alias("content"),
     )
+    return media
+
+
+def multimodal_bmp_mean_rgb(spark, sf_dir):
+    """Real PIXEL-derived media features under the ORACLE gate: build a
+    complete 24bpp BMP per doc JVM-side (header + 8 gradient rows whose
+    colors derive from doc fields; width varies per doc so row padding
+    is exercised), decode the pixels with the pure-stdlib BMP decoder
+    (operators/multimodal.py::decode_bmp) through
+    ``extract_features(decoder=bmp_mean_rgb)``, and check the mean-RGB
+    feature against independent DuckDB arithmetic.  Channel sums are
+    small integers and height is 8, so the float means are exact k/8
+    rationals — bit-equal across engines, no rounding tolerance needed.
+    This flips multimodal features from 'deterministic fake' to real
+    decoded pixel values inside this container.
+
+    Scale shape: two per-row projections (JVM binary construct + one
+    Arrow-batched decode pass) — no shuffle, no driver data; binary
+    stays executor-side."""
+    from tubes_spark.operators.multimodal import bmp_mean_rgb, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = _synth_bmp_media(d)
     feats = extract_features(media, decoder=bmp_mean_rgb)
     return feats.select(
         "media_id",
@@ -3726,3 +3735,30 @@ def bpe_first_merges(spark, sf_dir):
         .filter(F.col("rank") <= 30)
         .select("rank", "a", "b", "cnt")
     )
+
+
+def multimodal_image_ahash(spark, sf_dir):
+    """Perceptual average-hash over REAL decoded pixels, under the
+    oracle gate: the same per-doc synthetic BMPs as
+    multimodal_bmp_mean_rgb are decoded executor-side
+    (operators/multimodal.py::bmp_ahash_hex — 8x8 nearest-neighbor
+    grid, integer gray sums, exact /64 threshold) and every 64-bit hash
+    is reproduced by DuckDB from the pixel formulas.  aHash is the
+    image near-dup primitive: near-duplicates differ in a few bits, so
+    dedup over it is the SimHash banding machinery applied to images.
+
+    Scale shape: one JVM binary-construction projection + one
+    Arrow-batched decode/hash pass; binary never leaves executors."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tubes_spark.operators.multimodal import bmp_ahash_hex
+
+    d = _t(spark, sf_dir, "documents")
+    media = _synth_bmp_media(d)
+
+    # no annotation form: `from __future__ import annotations` turns
+    # hints into strings pyspark's typehint resolver rejects
+    ahash = pandas_udf(lambda content: content.map(bmp_ahash_hex), "string")
+
+    return media.select("media_id", ahash(F.col("content")).alias("ahash"))
