@@ -241,6 +241,45 @@ def bmp_ahash_hex(data: bytes) -> str:
     return format(bits, "016x")
 
 
+def decode_wav_pcm16(data: bytes):
+    """Pure-stdlib 16-bit mono PCM WAV decoder -> np.int32 samples.
+    Walks RIFF chunks to the `data` chunk; rejects non-PCM/stereo/
+    non-16-bit forms loudly rather than mis-decoding."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt_ok = 12, False
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels = struct.unpack("<HH", body[:4])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})")
+            fmt_ok = True
+        elif cid == b"data":
+            if not fmt_ok:
+                raise ValueError("WAV data chunk before fmt")
+            return np.frombuffer(body[: size - size % 2], dtype="<i2").astype(np.int32)
+        pos += 8 + size + (size % 2)
+    raise ValueError("WAV data chunk missing")
+
+
+def wav_energy_windows(data: bytes, window: int = 256) -> list[int]:
+    """Sum-of-squares energy per fixed-size sample window over decoded
+    PCM — the audio feature-extraction analog of bmp_ahash_hex, with
+    the same exactness discipline: int16 squares summed as integers,
+    no floats anywhere, so an independent engine reproduces every
+    window bit-for-bit."""
+    s = decode_wav_pcm16(data)
+    n = (len(s) // window) * window
+    return [int((s[i : i + window].astype("int64") ** 2).sum()) for i in range(0, n, window)]
+
+
 def real_decode_stub(data: bytes) -> list[float]:
     """The production decoder slot — deliberately unimplemented here
     (no image/audio libraries in this container)."""

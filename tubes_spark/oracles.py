@@ -1742,3 +1742,20 @@ SELECT media_id,
      for k in range(1, 9)], '') AS ahash
 FROM v
 """
+
+
+# 1024 samples per doc: the stored 16-bit word is (doc_id*7 + t*13) %
+# 65536, decoded as two's-complement int16; 4 windows of 256; integer
+# sum of squares.
+ORACLES["multimodal_audio_energy"] = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id, unnest(range(0, 4)) AS win
+  FROM documents
+)
+SELECT media_id, CAST(win AS INTEGER) AS win,
+  CAST(list_sum(list_transform(
+    [((doc_id*7 + (win*256 + k)*13) % 65536 + 32768) % 65536 - 32768
+     for k in range(0, 256)],
+    v -> v * v)) AS BIGINT) AS sumsq
+FROM t
+"""

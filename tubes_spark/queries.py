@@ -3762,3 +3762,59 @@ def multimodal_image_ahash(spark, sf_dir):
     ahash = pandas_udf(lambda content: content.map(bmp_ahash_hex), "string")
 
     return media.select("media_id", ahash(F.col("content")).alias("ahash"))
+
+
+def multimodal_audio_energy(spark, sf_dir):
+    """REAL decoded AUDIO under the oracle gate, completing the
+    multimodal triad (image pixels: multimodal_image_ahash; video frame
+    plan: multimodal_frame_sample): a complete 16-bit mono PCM WAV is
+    built per doc JVM-side (44-byte RIFF header + 1024 deterministic
+    samples), decoded executor-side by the pure-stdlib PCM parser
+    (operators/multimodal.py::decode_wav_pcm16), and the per-window
+    sum-of-squares energies — integers end to end — are reproduced by
+    DuckDB from the sample formula.
+
+    Scale shape: one JVM binary-construction projection + one
+    Arrow-batched decode pass + a 4-row explode per doc; no shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from tubes_spark.operators.multimodal import wav_energy_windows
+
+    d = _t(spark, sf_dir, "documents")
+    n_samples = 1024
+    data_size = n_samples * 2
+    # RIFF/WAVE header for PCM16 mono 8kHz: sizes little-endian
+    def le4(v: int) -> str:
+        return "".join(f"{(v >> (8 * i)) & 255:02X}" for i in range(4))
+
+    header_hex = (
+        "52494646" + le4(36 + data_size) + "57415645"          # RIFF size WAVE
+        "666D7420" + le4(16) + "0100" + "0100"                 # fmt, PCM, mono
+        + le4(8000) + le4(16000) + "0200" + "1000"             # rate, byterate, align, bits
+        + "64617461" + le4(data_size)                           # data chunk
+    )
+    # sample t: stored word = (doc_id*7 + t*13) % 65536, int16 LE (two's complement)
+    pcm = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_samples - 1)),
+                lambda t: F.concat(
+                    F.lpad(F.hex(((F.col("doc_id") * 7 + t * 13) % 65536) % 256), 2, "0"),
+                    F.lpad(F.hex(F.floor(((F.col("doc_id") * 7 + t * 13) % 65536) / 256)), 2, "0"),
+                ),
+            ),
+            "",
+        ).alias("pcm_hex"),
+    )
+    media = pcm.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(F.concat(F.lit(header_hex), F.col("pcm_hex"))).alias("content"),
+    )
+    energies = pandas_udf(
+        lambda content: content.map(wav_energy_windows), "array<long>"
+    )
+    return media.select(
+        "media_id", F.posexplode(energies(F.col("content"))).alias("win", "sumsq")
+    ).select("media_id", F.col("win").cast("int").alias("win"), "sumsq")
