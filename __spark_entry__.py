@@ -69,6 +69,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_first_merges": Q.bpe_first_merges,
     "multimodal_image_ahash": Q.multimodal_image_ahash,
     "multimodal_audio_energy": Q.multimodal_audio_energy,
+    "dedup_images_ahash": Q.dedup_images_ahash,
+    "export_manifest_shards": Q.export_manifest_shards,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

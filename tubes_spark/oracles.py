@@ -1759,3 +1759,43 @@ SELECT media_id, CAST(win AS INTEGER) AS win,
     v -> v * v)) AS BIGINT) AS sumsq
 FROM t
 """
+
+
+ORACLES["dedup_images_ahash"] = """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+    [((doc_id*3 + i) % 256) + ((n_chars + 2*i) % 256) + ((doc_id + i) % 256)
+     for i in range(0, 8)] AS vs
+  FROM documents
+), h AS (
+  SELECT media_id,
+    array_to_string(
+      [CASE WHEN vs[k] > list_sum(vs) / 8.0 THEN 'ff' ELSE '00' END
+       for k in range(1, 9)], '') AS ahash
+  FROM v
+)
+SELECT media_id, ahash FROM h
+QUALIFY row_number() OVER (PARTITION BY ahash ORDER BY media_id) = 1
+"""
+
+
+ORACLES["export_manifest_shards"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+), w AS (
+  SELECT doc_id, tk,
+    unnest(range(0, greatest(CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT), 0) + 1)) AS w
+  FROM t
+), chunks AS (
+  SELECT doc_id,
+    len(list_slice(tk, w*48 + 1, w*48 + 64)) AS n_tokens,
+    md5(array_to_string(list_slice(tk, w*48 + 1, w*48 + 64), ' ')) AS chunk_md5
+  FROM w
+)
+SELECT CAST(doc_id % 8 AS INTEGER) AS shard,
+  count(*) AS n_chunks,
+  count(DISTINCT doc_id) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  min(chunk_md5) AS content_digest
+FROM chunks GROUP BY 1
+"""

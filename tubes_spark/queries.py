@@ -3818,3 +3818,47 @@ def multimodal_audio_energy(spark, sf_dir):
     return media.select(
         "media_id", F.posexplode(energies(F.col("content"))).alias("win", "sumsq")
     ).select("media_id", F.col("win").cast("int").alias("win"), "sumsq")
+
+
+def dedup_images_ahash(spark, sf_dir):
+    """IMAGE near-dedup end to end: decode pixels -> perceptual aHash
+    (multimodal_image_ahash) -> keep the lowest media_id per hash —
+    exact-signature image dedup, the radius-0 case of the SimHash
+    banding machinery applied to a binary modality.  Fully oracle-gated
+    because the synthetic pixels are deterministic.
+
+    Scale shape: decode is a per-row Arrow pass; the survivor pick is
+    ONE narrow shuffle on the 64-bit hash — text never moves, pixels
+    never move, only (hash, id) pairs."""
+    hashes = multimodal_image_ahash(spark, sf_dir)
+    w = Window.partitionBy("ahash").orderBy(F.col("media_id").asc())
+    return (
+        hashes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("media_id", "ahash")
+    )
+
+
+def export_manifest_shards(spark, sf_dir):
+    """The END of the pipeline: a training-data export manifest.
+    Context-window chunks (chunk_documents_ctx) are assigned to 8
+    shards by doc hash, and the manifest reports per shard the chunk
+    count, distinct source documents, total tokens, and a content
+    digest (min chunk md5 — order-insensitive, so it is stable across
+    engines) — what a downstream trainer reads to plan its data
+    loader.
+
+    Scale shape: chunking is shuffle-free; the manifest is one
+    partial-aggregated shuffle on the 8 shard keys."""
+    chunks = chunk_documents_ctx(spark, sf_dir)
+    shard = (F.col("doc_id") % 8).cast("int")
+    return (
+        chunks.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("chunk_md5").alias("content_digest"),
+        )
+    )
