@@ -115,6 +115,10 @@ HEADLINE = [
     "build_vocab_ids",                # frequency-ranked vocabulary build
     "zorder_key_events",              # Z-order multi-column layout key
     "ansi_try_funcs",                 # error-safe expression battery
+    "bpe_first_merges",               # distributed BPE pair statistics
+    "multimodal_image_ahash",         # perceptual hash over decoded pixels
+    "multimodal_audio_energy",        # PCM decode + windowed energy
+    "export_manifest_shards",         # chunk -> shard manifest rollup
 ]
 
 
