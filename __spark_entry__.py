@@ -71,6 +71,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_energy": Q.multimodal_audio_energy,
     "dedup_images_ahash": Q.dedup_images_ahash,
     "export_manifest_shards": Q.export_manifest_shards,
+    "full_outer_user_reconciliation": Q.full_outer_user_reconciliation,
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,

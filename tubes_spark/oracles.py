@@ -1799,3 +1799,14 @@ SELECT CAST(doc_id % 8 AS INTEGER) AS shard,
   min(chunk_md5) AS content_digest
 FROM chunks GROUP BY 1
 """
+
+
+ORACLES["full_outer_user_reconciliation"] = """
+WITH ev AS (SELECT user_id AS eu, count(*) AS n_events FROM events GROUP BY 1),
+od AS (SELECT o_custkey AS ou, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT coalesce(eu, ou) AS user_id, n_events, n_orders,
+  CASE WHEN eu IS NULL THEN 'orders_only'
+       WHEN ou IS NULL THEN 'events_only'
+       ELSE 'both' END AS status
+FROM ev FULL OUTER JOIN od ON eu = ou
+"""

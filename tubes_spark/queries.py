@@ -3862,3 +3862,34 @@ def export_manifest_shards(spark, sf_dir):
             F.min("chunk_md5").alias("content_digest"),
         )
     )
+
+
+def full_outer_user_reconciliation(spark, sf_dir):
+    """FULL OUTER join — the one join flavor the battery lacked:
+    reconcile per-user event activity against order activity, keeping
+    users present on either side only (the data-quality join every
+    warehouse runs to find dangling keys).  Null-side handling is the
+    point: the key is coalesced across sides and the status column
+    makes dropped-row bugs a visible wrong answer.
+
+    Scale shape: two partial-aggregated count shuffles collapse each
+    side to one row per user BEFORE the join, so the full-outer
+    exchange moves (user, count) pairs, never raw facts."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    ev = e.groupBy(F.col("user_id").alias("eu")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    od = o.groupBy(F.col("o_custkey").alias("ou")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = ev.join(od, ev["eu"] == od["ou"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("eu"), F.col("ou")).alias("user_id"),
+        "n_events",
+        "n_orders",
+        F.when(F.col("eu").isNull(), F.lit("orders_only"))
+        .when(F.col("ou").isNull(), F.lit("events_only"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+    )
