@@ -75,6 +75,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
     "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
     "streaming_late_data": Q.streaming_late_data,
+    # ewma gained its recursive-CTE oracle this round (was rows-only in
+    # r1-r4): keep it inside the sampled prefix for its first hash pass
+    "ewma_user_values": Q.ewma_user_values,
+    # round-5b additions (this session): curation depth + layout + ranges
+    "gopher_quality_flags": Q.gopher_quality_flags,
+    "boilerplate_shingle_flags": Q.boilerplate_shingle_flags,
+    "vocab_oov_rate": Q.vocab_oov_rate,
+    "ngram_cosine_top_pairs": Q.ngram_cosine_top_pairs,
+    "closest_pair_levenshtein": Q.closest_pair_levenshtein,
+    "contiguous_global_ids": Q.contiguous_global_ids,
+    "shuffle_shards_manifest": Q.shuffle_shards_manifest,
+    "binned_interval_counts": Q.binned_interval_counts,
     # --- never driver-sampled in r1-r3: prefix them (r4 rotation) ---
     # registered this round (were orphaned in the r3 snapshot)
     "quality_bigram_logprob": Q.quality_bigram_logprob,
@@ -93,7 +105,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_rerank": Q.knn_pq_rerank,
     "grouping_sets_priority_flag": Q.grouping_sets_priority_flag,
     "orders_price_percentile": Q.orders_price_percentile,
-    "ewma_user_values": Q.ewma_user_values,
     "multimodal_png_dims": Q.multimodal_png_dims,
     "multimodal_frame_sample": Q.multimodal_frame_sample,
     # sat below position 50 in r3's dict

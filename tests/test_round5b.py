@@ -1,0 +1,150 @@
+"""Round-5b additions: physical layout (contiguous ids, shuffle
+manifest), binned no-equi-key range join, and the curation-depth
+queries.  Exact-value correctness is covered by test_oracle_parity
+(DuckDB twins); these tests pin the properties the oracle cannot see:
+determinism under repartitioning, plan shape, and pairwise-join
+equivalence.
+"""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tubes_spark import queries as Q
+from tubes_spark.operators import joins, layout
+from tubes_spark.plans import plan_of
+
+
+# --------------------------------------------------------------------------
+# layout.assign_contiguous_ids
+# --------------------------------------------------------------------------
+
+def test_contiguous_ids_dense_and_ordered(spark):
+    df = spark.range(1000).select((F.col("id") * 7 % 1000).alias("k"))
+    out = layout.assign_contiguous_ids(df, "k", n_parts=8).orderBy("k")
+    rows = out.collect()
+    assert [r.global_id for r in rows] == list(range(1000))
+    assert [r.k for r in rows] == sorted(r.k for r in rows)
+
+
+def test_contiguous_ids_partition_count_invariant(spark):
+    """Ids depend only on the key's total order, not on the incoming
+    partitioning or the chosen n_parts."""
+    df = spark.range(500).select((F.col("id") * 13 % 500).alias("k"))
+    a = layout.assign_contiguous_ids(df.repartition(3), "k", n_parts=4)
+    b = layout.assign_contiguous_ids(df.repartition(17), "k", n_parts=9)
+    assert a.orderBy("k").collect() == b.orderBy("k").collect()
+
+
+def test_contiguous_ids_single_partition_only_for_offsets(spark):
+    """The data path must not pass through Exchange SinglePartition —
+    only the n_parts-row offsets table may (bounded by the partition
+    count, not the data)."""
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    p = plan_of(layout.assign_contiguous_ids(df, "k", n_parts=16))
+    assert p.count("SinglePartition") <= 1
+
+
+# --------------------------------------------------------------------------
+# layout.shuffle_manifest
+# --------------------------------------------------------------------------
+
+def test_shuffle_manifest_reproducible_and_dense(spark):
+    df = spark.range(400).select(F.col("id").alias("k"))
+    a = layout.shuffle_manifest(df, "k", n_shards=8).collect()
+    b = layout.shuffle_manifest(df.repartition(13), "k", n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} not dense"
+
+
+def test_shuffle_manifest_seed_changes_order(spark):
+    df = spark.range(400).select(F.col("id").alias("k"))
+    a = layout.shuffle_manifest(df, "k", n_shards=8, seed="42").collect()
+    b = layout.shuffle_manifest(df, "k", n_shards=8, seed="43").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, b))
+
+
+# --------------------------------------------------------------------------
+# joins.binned_range_join
+# --------------------------------------------------------------------------
+
+def _mk_intervals(spark, n=32):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("win_id"),
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(hours=F.col("id") * 5, mins=F.lit(11))
+            ).alias("ws"),
+        )
+        .withColumn("we", F.col("ws") + F.make_interval(hours=F.lit(9)))
+    )
+
+
+def test_binned_range_join_equals_theta_join(spark):
+    from tubes_spark.catalog import load_table
+
+    e = load_table(spark, "events", SF_SMALL).select("event_id", "ts")
+    iv = _mk_intervals(spark)
+    binned = joins.binned_range_join(e, iv, "ts", "ws", "we", bin_seconds=3600)
+    naive = joins.range_join(e, iv, F.col("ts"), F.col("ws"), F.col("we"))
+    got = sorted((r.event_id, r.win_id) for r in binned.collect())
+    want = sorted((r.event_id, r.win_id) for r in naive.collect())
+    assert got == want and len(got) > 0
+
+
+def test_binned_range_join_no_duplicate_pairs(spark):
+    from tubes_spark.catalog import load_table
+
+    e = load_table(spark, "events", SF_SMALL).select("event_id", "ts")
+    iv = _mk_intervals(spark)
+    out = joins.binned_range_join(e, iv, "ts", "ws", "we", bin_seconds=3600)
+    n = out.count()
+    nd = out.select("event_id", "win_id").distinct().count()
+    assert n == nd
+
+
+def test_binned_range_join_plans_hash_join(spark):
+    from tubes_spark.catalog import load_table
+
+    e = load_table(spark, "events", SF_SMALL).select("event_id", "ts")
+    iv = _mk_intervals(spark)
+    p = plan_of(joins.binned_range_join(e, iv, "ts", "ws", "we", bin_seconds=3600))
+    assert "NestedLoop" not in p
+    assert any(k in p for k in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
+
+
+# --------------------------------------------------------------------------
+# curation queries: properties beyond the oracle
+# --------------------------------------------------------------------------
+
+def test_gopher_flags_split_the_corpus(spark):
+    out = Q.gopher_quality_flags(spark, SF_SMALL).select("keep").collect()
+    kept = sum(1 for r in out if r.keep)
+    assert 0 < kept < len(out), "thresholds must discriminate, not rubber-stamp"
+
+
+def test_vocab_oov_rate_bounds(spark):
+    rows = Q.vocab_oov_rate(spark, SF_SMALL).collect()
+    assert all(0.0 <= r.oov_rate <= 1.0 for r in rows)
+    assert any(r.n_oov > 0 for r in rows), "top-20 vocab must leave some OOV"
+
+
+def test_ngram_cosine_pairs_bounded_and_sorted(spark):
+    rows = Q.ngram_cosine_top_pairs(spark, SF_SMALL).collect()
+    assert len(rows) == 50
+    assert all(-1.0 <= r.cosine <= 1.0 + 1e-9 for r in rows)
+    sims = [r.cosine for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_closest_pair_levenshtein_blocks_unique(spark):
+    rows = Q.closest_pair_levenshtein(spark, SF_SMALL).collect()
+    blocks = [(r.lang, r.tok1, r.band) for r in rows]
+    assert len(blocks) == len(set(blocks)), "one winner per block"
+    assert all(r.doc_a < r.doc_b and r.lev >= 0 for r in rows)

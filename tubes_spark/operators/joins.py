@@ -110,8 +110,53 @@ def range_join(
 ) -> DataFrame:
     """Interval join: left.point in [right.lo, right.hi).  Declared as a
     plain theta join so Catalyst can use the range-join strategies; for
-    heavy skew pre-bucket the point column (see dedup.salting note)."""
+    heavy skew pre-bucket the point column (see dedup.salting note).
+
+    With an equi ``by`` carrier this stays a hash join; WITHOUT one it
+    degenerates to BroadcastNestedLoopJoin — use ``binned_range_join``
+    for that case at scale."""
     cond = (left_point >= right_lo) & (left_point < right_hi)
     if by is not None:
         cond = cond & by
     return left.join(right, on=cond)
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo_ts: str,
+    hi_ts: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """No-equi-key interval join that stays a HASH join: manufacture the
+    equi key by quantizing time into fixed bins.
+
+    Each interval [lo, hi) is exploded into every ``bin_seconds`` bin it
+    overlaps; each point lands in exactly ONE bin; joining on the bin is
+    an ordinary shuffled/broadcast hash join, and the residual exact
+    predicate filters bin-edge false positives.  Per (point, interval)
+    match the pair appears exactly once (the point's single bin), so no
+    dedup pass is needed.
+
+    Cost model at 100 TB: interval expansion factor is
+    ceil(len/bin_seconds)+1 — pick bins near the median interval length
+    so the blowup is ~2-3x on the SMALL side while the big point side
+    never replicates.  The nested-loop alternative is O(|P| * |I|).
+    """
+    binned_iv = intervals.withColumn(
+        "__bin__",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo_ts)) / bin_seconds),
+                F.floor((F.unix_timestamp(F.col(hi_ts)) - 1) / bin_seconds),
+            )
+        ),
+    )
+    binned_pt = points.withColumn(
+        "__bin__", F.floor(F.unix_timestamp(F.col(point_ts)) / bin_seconds)
+    )
+    out = binned_pt.join(binned_iv, "__bin__").filter(
+        (F.col(point_ts) >= F.col(lo_ts)) & (F.col(point_ts) < F.col(hi_ts))
+    )
+    return out.drop("__bin__")

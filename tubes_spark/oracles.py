@@ -1810,3 +1810,164 @@ SELECT coalesce(eu, ou) AS user_id, n_events, n_orders,
        ELSE 'both' END AS status
 FROM ev FULL OUTER JOIN od ON eu = ou
 """
+
+
+# --- Round 5b: corpus curation depth + physical layout + binned ranges ---
+
+ORACLES["gopher_quality_flags"] = r"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS BIGINT) AS n,
+    CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE) AS sum_len,
+    CAST(len(list_intersect(toks, ['the','a','of','to','and','is','in'])) AS DOUBLE) AS stop_hits,
+    CAST(len(list_filter(toks, x -> len(x) >= 3)) AS DOUBLE) AS n_long
+  FROM t
+)
+SELECT doc_id, lang, n AS n_toks,
+  round(sum_len / n, 6) AS mean_word_len,
+  round(stop_hits / 7.0, 6) AS stop_hit_frac,
+  round(n_long / n, 6) AS long_word_frac,
+  (n >= 50 AND n <= 100000) AS ok_n_toks,
+  (sum_len / n >= 3.0 AND sum_len / n <= 10.0) AS ok_mean_len,
+  (stop_hits / 7.0 >= 2.0 / 7.0) AS ok_stopwords,
+  (n_long / n >= 0.6) AS ok_alpha,
+  ((n >= 50 AND n <= 100000) AND (sum_len / n >= 3.0 AND sum_len / n <= 10.0)
+   AND (stop_hits / 7.0 >= 2.0 / 7.0) AND (n_long / n >= 0.6)) AS keep
+FROM m
+"""
+
+
+ORACLES["boilerplate_shingle_flags"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) AS u(i)
+), boiler AS (
+  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df FROM s GROUP BY sh)
+  WHERE df >= 3
+), j AS (
+  SELECT s.doc_id, CASE WHEN boiler.sh IS NULL THEN 0 ELSE 1 END AS b
+  FROM s LEFT JOIN boiler ON s.sh = boiler.sh
+)
+SELECT doc_id,
+  count(*) AS n_shingles,
+  CAST(sum(b) AS BIGINT) AS n_boiler,
+  round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS boiler_frac,
+  (CAST(sum(b) AS DOUBLE) / count(*) > 0.05) AS flag_boiler
+FROM j GROUP BY doc_id
+"""
+
+
+ORACLES["vocab_oov_rate"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n,
+      row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS r
+    FROM tok GROUP BY tok
+  ) WHERE r <= 20
+), j AS (
+  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT doc_id, count(*) AS n_toks, CAST(sum(oov) AS BIGINT) AS n_oov,
+  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM j GROUP BY doc_id
+"""
+
+
+ORACLES["ngram_cosine_top_pairs"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS term
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(i)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM s GROUP BY doc_id, term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+dfk AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+  HAVING count(*) >= 2
+     AND count(*) <= (SELECT greatest(2, CAST(floor(n_docs * 0.05) AS BIGINT)) FROM n)
+), w AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(round(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / dfk.df), 6)
+         AS DECIMAL(18,6)) AS w
+  FROM tf JOIN dfk ON tf.term = dfk.term
+), norms AS (
+  SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON dots.doc_a = na.doc_id
+JOIN norms nb ON dots.doc_b = nb.doc_id
+ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+LIMIT 50
+"""
+
+
+ORACLES["closest_pair_levenshtein"] = r"""
+WITH blocked AS (
+  SELECT doc_id, lang, text,
+    string_split_regex(trim(text), '\s+')[1] AS tok1,
+    n_chars // 64 AS band
+  FROM documents
+), pairs AS (
+  SELECT a.lang, a.tok1, a.band,
+    a.doc_id AS doc_a, b.doc_id AS doc_b,
+    levenshtein(a.text, b.text) AS lev
+  FROM blocked a JOIN blocked b
+    ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.band = b.band
+   AND a.doc_id < b.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang, tok1, band ORDER BY lev, doc_a, doc_b) AS rn
+  FROM pairs
+)
+SELECT lang, tok1, band, doc_a, doc_b, lev FROM ranked WHERE rn = 1
+"""
+
+
+ORACLES["contiguous_global_ids"] = """
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+FROM documents
+"""
+
+
+ORACLES["shuffle_shards_manifest"] = """
+WITH h AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS hx FROM documents
+)
+SELECT doc_id,
+  CAST(CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) % 8 AS INTEGER) AS shard,
+  CAST(row_number() OVER (
+    PARTITION BY CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) % 8
+    ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+ORACLES["binned_interval_counts"] = f"""
+WITH iv AS (
+  SELECT CAST(r.range AS BIGINT) AS win_id,
+    TIMESTAMP '2024-01-01' + r.range * INTERVAL 6 HOUR + INTERVAL 17 MINUTE AS ws,
+    TIMESTAMP '2024-01-01' + r.range * INTERVAL 6 HOUR + INTERVAL 17 MINUTE
+      + INTERVAL 11 HOUR + INTERVAL 30 MINUTE AS we
+  FROM range(64) r
+)
+SELECT win_id, count(*) AS n_events,
+  {DSUM.format(x='e.value')} AS sum_value
+FROM events e JOIN iv ON e.ts >= iv.ws AND e.ts < iv.we
+GROUP BY win_id
+"""

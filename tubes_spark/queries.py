@@ -3893,3 +3893,261 @@ def full_outer_user_reconciliation(spark, sf_dir):
         .otherwise(F.lit("both"))
         .alias("status"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 5b: corpus curation depth + physical layout + no-equi-key ranges
+# --------------------------------------------------------------------------
+
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    shape): token count bounds, mean word length band, stop-word
+    presence, and alphabetic-word fraction, each emitted as its own
+    flag plus the combined keep decision — the standard pretraining
+    pre-filter.  All JVM Column exprs over one materialized token
+    array (no UDF, no shuffle: pure per-row projection)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    d = d.select("doc_id", "lang", toks.alias("toks"))
+    n = F.size("toks")
+    sum_len = F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_len = sum_len / n
+    stops = F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and", "is", "in")])
+    stop_frac = F.size(F.array_intersect("toks", stops)) / F.lit(7.0)
+    long_frac = F.size(F.filter("toks", lambda x: F.length(x) >= 3)) / n
+    ok_n = (n >= 50) & (n <= 100000)
+    ok_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_stop = stop_frac >= (2.0 / 7.0)
+    ok_alpha = long_frac >= 0.6
+    return d.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_toks"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(stop_frac, 6).alias("stop_hit_frac"),
+        F.round(long_frac, 6).alias("long_word_frac"),
+        ok_n.alias("ok_n_toks"),
+        ok_len.alias("ok_mean_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_n & ok_len & ok_stop & ok_alpha).alias("keep"),
+    )
+
+
+def boilerplate_shingle_flags(spark, sf_dir):
+    """Boilerplate detection, C4/RefinedWeb style: a 5-gram that recurs
+    across >=3 DISTINCT documents is template text; documents whose
+    shingle mass is >5% boilerplate get flagged for removal.
+
+    Scale shape: explode to (doc, shingle) — one partial-aggregated
+    shuffle keyed on the shingle for the cross-corpus df, one broadcast-
+    able join of the (small) boilerplate set back onto the shingle
+    stream, one shuffle back to doc_id.  At 100 TB the shingle string
+    is replaced by xxhash64(shingle) so the df shuffle moves 8-byte
+    keys; kept as text here for the DuckDB twin."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    sh = d.select(
+        "doc_id", F.explode(text.word_shingles_from_tokens(toks, 5)).alias("sh")
+    )
+    boiler = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("sh")
+    )
+    flagged = sh.join(F.broadcast(boiler.withColumn("__b__", F.lit(1))), "sh", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__b__"), F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_frac"),
+            (F.col("n_boiler") / F.col("n_shingles") > 0.05).alias("flag_boiler"),
+        )
+    )
+
+
+def vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage QA: out-of-vocabulary rate per document
+    against the corpus top-20 vocabulary (count desc, token asc —
+    fully deterministic rank).  The vocab is the bounded side: top-K
+    by construction, so it broadcasts; the token stream is never
+    collected.  Reports per-doc token count, OOV count and rate —
+    the go/no-go metric before committing a tokenizer to a corpus."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok"))
+    wv = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__r__", F.row_number().over(wv))
+        .filter(F.col("__r__") <= 20)
+        .select("tok", F.lit(1).alias("__inv__"))
+    )
+    joined = tok.join(F.broadcast(vocab), "tok", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("__inv__").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_toks"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def ngram_cosine_top_pairs(spark, sf_dir):
+    """Near-duplicate scoring via the INVERTED INDEX: docs as TF-IDF
+    vectors over word 3-gram shingles, pairwise cosine computed by
+    self-joining postings on the shared term — the sparse-similarity
+    plan that never goes all-pairs.  Top-50 pairs by (rounded) cosine
+    with a total deterministic order.
+
+    Scale shape: posting lists are bounded by the df cutoff (terms in
+    >5% of docs are dropped — they are stop-terms and would quadratically
+    dominate the join); the pair aggregation shuffles on (doc_a, doc_b);
+    the final top-50 is TakeOrderedAndProject, not a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar for idf; one lightweight count job
+    toks = text.tokenize(F.col("text"))
+    tf = (
+        d.select(
+            "doc_id", F.explode(text.word_shingles_from_tokens(toks, 3)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_keep = df_t.filter((F.col("df") <= F.lit(max(2, int(n_docs * 0.05)))) & (F.col("df") >= 2))
+    # weights quantized to DECIMAL(18,6) so every downstream SUM is
+    # exact and order-independent (partial aggregation reorders addends;
+    # see the module float-discipline note)
+    w = tf.join(df_keep, "term").withColumn(
+        "w",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    sim = dots.join(na, "doc_a").join(nb, "doc_b").select(
+        "doc_a", "doc_b", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine")
+    )
+    return sim.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(50)
+
+
+def closest_pair_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup: within each blocking bucket
+    (lang, first token, length band of 64 chars) emit the single
+    closest pair by levenshtein distance (ties broken by ids).
+    Blocking is the scale story — candidate pairs exist only inside a
+    bucket, never across the corpus, so the quadratic stays bounded by
+    the bucket size; the per-bucket argmin is a partitioned window.
+    Spark evaluates levenshtein JVM-side (no UDF); the same function
+    exists verbatim in DuckDB for the oracle twin."""
+    d = _t(spark, sf_dir, "documents")
+    blocked = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.element_at(text.tokenize(F.col("text")), 1).alias("tok1"),
+        F.floor(F.col("n_chars") / 64).cast("long").alias("band"),
+    )
+    a = blocked.select(
+        F.col("lang"), F.col("tok1"), F.col("band"),
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"),
+    )
+    b = blocked.select(
+        F.col("lang"), F.col("tok1"), F.col("band"),
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
+    )
+    pairs = a.join(b, ["lang", "tok1", "band"]).filter(F.col("doc_a") < F.col("doc_b"))
+    scored = pairs.select(
+        "lang", "tok1", "band", "doc_a", "doc_b",
+        F.levenshtein("ta", "tb").cast("long").alias("lev"),
+    )
+    w = Window.partitionBy("lang", "tok1", "band").orderBy("lev", "doc_a", "doc_b")
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("lang", "tok1", "band", "doc_a", "doc_b", "lev")
+    )
+
+
+def contiguous_global_ids(spark, sf_dir):
+    """Dense ids 0..N-1 in doc_id order WITHOUT the Exchange
+    SinglePartition that row_number() OVER (ORDER BY ...) plans —
+    layout.assign_contiguous_ids does the two-pass range-partition +
+    per-partition rank + bounded offset table (see its docstring for
+    the 100 TB argument).  The oracle is the naive global window, so
+    the hash pass certifies the distributed form computes EXACTLY the
+    single-node answer."""
+    from tubes_spark.operators import layout
+
+    d = _t(spark, sf_dir, "documents")
+    out = layout.assign_contiguous_ids(d.select("doc_id"), "doc_id", n_parts=16)
+    return out.select("doc_id", "global_id")
+
+
+def shuffle_shards_manifest(spark, sf_dir):
+    """Reproducible training-order shuffle: every document gets a
+    (shard, position) from md5(doc_id:seed) — layout.shuffle_manifest.
+    Position is ranked inside the shard only (partitioned window), so
+    there is no global sort anywhere; re-running on different cluster
+    shapes yields byte-identical shard files, which is the property
+    training reproducibility actually needs."""
+    from tubes_spark.operators import layout
+
+    d = _t(spark, sf_dir, "documents")
+    out = layout.shuffle_manifest(d.select("doc_id"), "doc_id", n_shards=8, seed="42")
+    return out.select("doc_id", "shard", "pos")
+
+
+def binned_interval_counts(spark, sf_dir):
+    """Interval aggregation with NO equi-key: 64 overlapping 11.5-hour
+    maintenance windows (deliberately NOT bin-aligned: offset by 17
+    minutes) against the event stream, via joins.binned_range_join —
+    intervals explode into 6-hour bins, events land in exactly one
+    bin, the join is a plain hash join on the bin and the residual
+    containment predicate does the exact check.  The naive form is a
+    BroadcastNestedLoopJoin; this one survives both sides being huge.
+    Returns per-window event count + value sum."""
+    e = _t(spark, sf_dir, "events")
+    iv = (
+        spark.range(64)
+        .select(
+            F.col("id").alias("win_id"),
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(hours=F.col("id") * 6, mins=F.lit(17))
+            ).alias("ws"),
+        )
+        .withColumn("we", F.col("ws") + F.make_interval(hours=F.lit(11), mins=F.lit(30)))
+    )
+    j = joins.binned_range_join(e, iv, "ts", "ws", "we", bin_seconds=21600)
+    return (
+        j.groupBy("win_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select("win_id", "n_events", "sum_value")
+    )
