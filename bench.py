@@ -119,6 +119,16 @@ HEADLINE = [
     "multimodal_image_ahash",         # perceptual hash over decoded pixels
     "multimodal_audio_energy",        # PCM decode + windowed energy
     "export_manifest_shards",         # chunk -> shard manifest rollup
+    # round 5b: curation depth + physical layout + binned ranges
+    "gopher_quality_flags",           # Gopher pre-filter rule battery
+    "boilerplate_shingle_flags",      # cross-corpus frequent-5-gram flags
+    "vocab_oov_rate",                 # tokenizer coverage QA
+    "ngram_cosine_top_pairs",         # inverted-index sparse cosine
+    "closest_pair_levenshtein",       # banded edit-distance argmin
+    "contiguous_global_ids",          # dense ids w/o global-sort exchange
+    "shuffle_shards_manifest",        # reproducible training shuffle
+    "binned_interval_counts",         # no-equi-key range join via bins
+    "bpe_encode_corpus",              # BPE train (20 iters) + encode chain
 ]
 
 

@@ -148,3 +148,34 @@ def test_closest_pair_levenshtein_blocks_unique(spark):
     blocks = [(r.lang, r.tok1, r.band) for r in rows]
     assert len(blocks) == len(set(blocks)), "one winner per block"
     assert all(r.doc_a < r.doc_b and r.lev >= 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# BPE encode (the oracle certifies train+encode end to end; these pin
+# the encoder expression against the pure-Python reference)
+# --------------------------------------------------------------------------
+
+def test_bpe_encode_expr_matches_python_reference(spark):
+    from tubes_spark.operators import bpe
+
+    merges = [("a", "b"), ("ab", "c"), ("d", "d"), ("x", "abc")]
+    words = ["abc", "abcabc", "dddd", "xabc", "aab", "abb", "zzz", "a", ""]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    enc = bpe.encode_doc_expr(F.col("w"), merges)
+    out = df.select(
+        F.col("w"), bpe.token_count_from_encoded(enc).alias("n")
+    ).collect()
+    for r in out:
+        assert r.n == len(bpe.encode_tokens_py(r.w, merges)), r.w
+
+
+def test_bpe_encode_word_boundaries_respected(spark):
+    """A merge never crosses a space: 'a b' stays two symbols even with
+    merge (a, b)."""
+    from tubes_spark.operators import bpe
+
+    df = spark.createDataFrame([("a b ab",)], "w string")
+    enc = bpe.encode_doc_expr(F.col("w"), [("a", "b")])
+    n = df.select(bpe.token_count_from_encoded(enc).alias("n")).collect()[0].n
+    # "a b ab" -> symbols: [a], [b], [ab merged] = 3
+    assert n == 3

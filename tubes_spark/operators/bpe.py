@@ -109,3 +109,63 @@ def bpe_train(
             _apply_merge(F.col("syms"), a, b).alias("syms"), F.col("n")
         ).localCheckpoint(eager=True)
     return merges
+
+
+# --------------------------------------------------------------------------
+# Encoding (applying trained merges)
+# --------------------------------------------------------------------------
+
+SEP = "\x1f"  # unit separator: cannot occur in tokenized text
+
+
+def encode_doc_expr(text: Column, merges) -> Column:
+    """Apply a trained merge list to a whole document as ONE codegen'd
+    string expression — no explode, no UDF, no per-word loop.
+
+    Representation: every non-space char is wrapped in unit separators
+    (``a`` -> ``\\x1fa\\x1f``), so symbol boundaries are ``SEP SEP`` and
+    word boundaries are the untouched spaces.  Applying merge (a, b) is
+    then a literal ``replace(SEP a SEP SEP b SEP -> SEP ab SEP)``:
+    left-to-right and non-overlapping, which is exactly the
+    ``_apply_merge`` fold semantics (a match consumes its trailing
+    separator, so a fresh merge cannot chain onto the symbol it just
+    produced), and the wrapping separators stop a pattern from matching
+    a SUFFIX of a longer symbol.  The same chain runs verbatim in any
+    engine with ``replace`` — which is what makes the full BPE pipeline
+    oracle-checkable (see ORACLES["bpe_encode_corpus"]).
+
+    Scale shape: a chain of k literal replaces over each doc is
+    O(k * doc_len) per row, embarrassingly parallel, zero shuffles.
+    """
+    e = F.regexp_replace(F.lower(text), "([^ ])", SEP + "$1" + SEP)
+    for m in merges:
+        a, b = m[0], m[1]
+        e = F.replace(e, F.lit(SEP + a + SEP + SEP + b + SEP), F.lit(SEP + a + b + SEP))
+    return e
+
+
+def token_count_from_encoded(enc: Column) -> Column:
+    """Symbol count of an encoded doc: each symbol carries exactly two
+    separators, so count(SEP) / 2."""
+    n_sep = F.length(enc) - F.length(F.replace(enc, F.lit(SEP), F.lit("")))
+    return (n_sep / 2).cast("long")
+
+
+def encode_tokens_py(word: str, merges) -> list[str]:
+    """Pure-Python reference encoder (tests pin the Column expression
+    against this): greedy left-to-right application of each merge in
+    rank order over the char sequence."""
+    syms = list(word)
+    for m in merges:
+        a, b = m[0], m[1]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

@@ -1971,3 +1971,263 @@ SELECT win_id, count(*) AS n_events,
 FROM events e JOIN iv ON e.ts >= iv.ws AND e.ts < iv.we
 GROUP BY win_id
 """
+
+
+# Full BPE pipeline twin: the 20 training iterations unrolled as
+# materialized CTEs (pair stats + (cnt desc, a, b) tie-break identical
+# to bpe.bpe_train), then the same separator-string replace chain the
+# Spark encoder uses (bpe.encode_doc_expr docstring has the argument
+# for replace == left-to-right non-overlapping merge).  Generated by
+# scripts/gen_bpe_oracle logic inlined here as a literal for auditability.
+ORACLES["bpe_encode_corpus"] = r"""
+WITH w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(.)', '\1', 'g') AS s, n
+  FROM (SELECT tok AS w, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents) GROUP BY tok)
+),
+p1 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w0) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w1 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p1),
+                    (SELECT '' || a || b || '' FROM p1)) AS s, n
+  FROM w0
+),
+p2 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w1) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w2 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p2),
+                    (SELECT '' || a || b || '' FROM p2)) AS s, n
+  FROM w1
+),
+p3 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w2) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w3 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p3),
+                    (SELECT '' || a || b || '' FROM p3)) AS s, n
+  FROM w2
+),
+p4 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w3) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w4 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p4),
+                    (SELECT '' || a || b || '' FROM p4)) AS s, n
+  FROM w3
+),
+p5 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w4) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w5 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p5),
+                    (SELECT '' || a || b || '' FROM p5)) AS s, n
+  FROM w4
+),
+p6 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w5) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w6 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p6),
+                    (SELECT '' || a || b || '' FROM p6)) AS s, n
+  FROM w5
+),
+p7 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w6) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w7 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p7),
+                    (SELECT '' || a || b || '' FROM p7)) AS s, n
+  FROM w6
+),
+p8 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w7) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w8 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p8),
+                    (SELECT '' || a || b || '' FROM p8)) AS s, n
+  FROM w7
+),
+p9 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w8) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w9 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p9),
+                    (SELECT '' || a || b || '' FROM p9)) AS s, n
+  FROM w8
+),
+p10 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w9) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w10 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p10),
+                    (SELECT '' || a || b || '' FROM p10)) AS s, n
+  FROM w9
+),
+p11 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w10) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w11 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p11),
+                    (SELECT '' || a || b || '' FROM p11)) AS s, n
+  FROM w10
+),
+p12 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w11) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w12 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p12),
+                    (SELECT '' || a || b || '' FROM p12)) AS s, n
+  FROM w11
+),
+p13 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w12) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w13 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p13),
+                    (SELECT '' || a || b || '' FROM p13)) AS s, n
+  FROM w12
+),
+p14 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w13) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w14 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p14),
+                    (SELECT '' || a || b || '' FROM p14)) AS s, n
+  FROM w13
+),
+p15 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w14) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w15 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p15),
+                    (SELECT '' || a || b || '' FROM p15)) AS s, n
+  FROM w14
+),
+p16 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w15) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w16 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p16),
+                    (SELECT '' || a || b || '' FROM p16)) AS s, n
+  FROM w15
+),
+p17 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w16) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w17 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p17),
+                    (SELECT '' || a || b || '' FROM p17)) AS s, n
+  FROM w16
+),
+p18 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w17) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w18 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p18),
+                    (SELECT '' || a || b || '' FROM p18)) AS s, n
+  FROM w17
+),
+p19 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w18) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w19 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p19),
+                    (SELECT '' || a || b || '' FROM p19)) AS s, n
+  FROM w18
+),
+p20 AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, ''), '') AS syms, n FROM w19) t,
+       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+w20 AS MATERIALIZED (
+  SELECT replace(s, (SELECT '' || a || '' || b || '' FROM p20),
+                    (SELECT '' || a || b || '' FROM p20)) AS s, n
+  FROM w19
+)
+SELECT doc_id,
+  CAST((len(e) - len(replace(e, '', ''))) // 2 AS BIGINT) AS n_bpe_tokens,
+  md5(e) AS enc_md5
+FROM (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(regexp_replace(lower(text), '([^ ])', '\1', 'g'),
+    (SELECT '' || a || '' || b || '' FROM p1), (SELECT '' || a || b || '' FROM p1)),
+    (SELECT '' || a || '' || b || '' FROM p2), (SELECT '' || a || b || '' FROM p2)),
+    (SELECT '' || a || '' || b || '' FROM p3), (SELECT '' || a || b || '' FROM p3)),
+    (SELECT '' || a || '' || b || '' FROM p4), (SELECT '' || a || b || '' FROM p4)),
+    (SELECT '' || a || '' || b || '' FROM p5), (SELECT '' || a || b || '' FROM p5)),
+    (SELECT '' || a || '' || b || '' FROM p6), (SELECT '' || a || b || '' FROM p6)),
+    (SELECT '' || a || '' || b || '' FROM p7), (SELECT '' || a || b || '' FROM p7)),
+    (SELECT '' || a || '' || b || '' FROM p8), (SELECT '' || a || b || '' FROM p8)),
+    (SELECT '' || a || '' || b || '' FROM p9), (SELECT '' || a || b || '' FROM p9)),
+    (SELECT '' || a || '' || b || '' FROM p10), (SELECT '' || a || b || '' FROM p10)),
+    (SELECT '' || a || '' || b || '' FROM p11), (SELECT '' || a || b || '' FROM p11)),
+    (SELECT '' || a || '' || b || '' FROM p12), (SELECT '' || a || b || '' FROM p12)),
+    (SELECT '' || a || '' || b || '' FROM p13), (SELECT '' || a || b || '' FROM p13)),
+    (SELECT '' || a || '' || b || '' FROM p14), (SELECT '' || a || b || '' FROM p14)),
+    (SELECT '' || a || '' || b || '' FROM p15), (SELECT '' || a || b || '' FROM p15)),
+    (SELECT '' || a || '' || b || '' FROM p16), (SELECT '' || a || b || '' FROM p16)),
+    (SELECT '' || a || '' || b || '' FROM p17), (SELECT '' || a || b || '' FROM p17)),
+    (SELECT '' || a || '' || b || '' FROM p18), (SELECT '' || a || b || '' FROM p18)),
+    (SELECT '' || a || '' || b || '' FROM p19), (SELECT '' || a || b || '' FROM p19)),
+    (SELECT '' || a || '' || b || '' FROM p20), (SELECT '' || a || b || '' FROM p20)) AS e FROM documents) q
+"""

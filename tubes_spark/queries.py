@@ -4151,3 +4151,29 @@ def binned_interval_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
         .select("win_id", "n_events", "sum_value")
     )
+
+
+def bpe_encode_corpus(spark, sf_dir):
+    """The full tokenizer pipeline, end to end and ORACLE-GATED: train
+    20 BPE merges on the corpus word vocabulary (bpe.bpe_train — the
+    distributed iteration whose only driver traffic is the winning
+    pair), then encode every document with the learned merges as one
+    codegen'd replace chain (bpe.encode_doc_expr) and emit per-doc
+    token count + an md5 digest of the encoded symbol stream.
+
+    The DuckDB twin re-derives the SAME 20 merges by unrolling the
+    training loop into materialized CTEs (identical pair statistics and
+    (count desc, a, b) tie-break) and applies the same replace chain —
+    so the driver hash pass certifies training AND encoding, not just
+    plumbing.  Scale shape: training iterates on the collapsed (word,
+    count) vocabulary only; encoding is a per-row projection."""
+    from tubes_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(d, n_merges=20)
+    enc = bpe.encode_doc_expr(F.col("text"), merges)
+    return d.select(
+        "doc_id",
+        bpe.token_count_from_encoded(enc).alias("n_bpe_tokens"),
+        F.md5(enc).alias("enc_md5"),
+    )
