@@ -88,6 +88,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards_manifest": Q.shuffle_shards_manifest,
     "binned_interval_counts": Q.binned_interval_counts,
     "bpe_encode_corpus": Q.bpe_encode_corpus,
+    "ivf_assign_cells": Q.ivf_assign_cells,
+    "curriculum_phases": Q.curriculum_phases,
     # --- never driver-sampled in r1-r3: prefix them (r4 rotation) ---
     # registered this round (were orphaned in the r3 snapshot)
     "quality_bigram_logprob": Q.quality_bigram_logprob,

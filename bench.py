@@ -129,6 +129,8 @@ HEADLINE = [
     "shuffle_shards_manifest",        # reproducible training shuffle
     "binned_interval_counts",         # no-equi-key range join via bins
     "bpe_encode_corpus",              # BPE train (20 iters) + encode chain
+    "ivf_assign_cells",               # ANN index maintenance (cell assign)
+    "curriculum_phases",              # percentile-boundary curriculum split
 ]
 
 

@@ -179,3 +179,28 @@ def test_bpe_encode_word_boundaries_respected(spark):
     n = df.select(bpe.token_count_from_encoded(enc).alias("n")).collect()[0].n
     # "a b ab" -> symbols: [a], [b], [ab merged] = 3
     assert n == 3
+
+
+# --------------------------------------------------------------------------
+# IVF assignment + curriculum (oracle covers values; pin invariants)
+# --------------------------------------------------------------------------
+
+def test_ivf_assign_covers_every_vector_once(spark):
+    from tubes_spark.catalog import load_table
+
+    out = Q.ivf_assign_cells(spark, SF_SMALL)
+    n_vec = load_table(spark, "embeddings", SF_SMALL).count()
+    assert out.count() == n_vec
+    assert out.select("vec_id").distinct().count() == n_vec
+    assert all(r.dist2 >= 0 for r in out.collect())
+
+
+def test_curriculum_phases_are_balanced_terciles(spark):
+    rows = Q.curriculum_phases(spark, SF_SMALL).collect()
+    from collections import Counter
+
+    c = Counter(r.phase for r in rows)
+    assert set(c) == {0, 1, 2}
+    n = len(rows)
+    # exact-percentile boundaries with ties: each phase within 2x of n/3
+    assert all(n / 6 <= c[p] <= 2 * n / 3 for p in c), c

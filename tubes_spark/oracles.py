@@ -1925,7 +1925,7 @@ WITH blocked AS (
 ), pairs AS (
   SELECT a.lang, a.tok1, a.band,
     a.doc_id AS doc_a, b.doc_id AS doc_b,
-    levenshtein(a.text, b.text) AS lev
+    levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256)) AS lev
   FROM blocked a JOIN blocked b
     ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.band = b.band
    AND a.doc_id < b.doc_id
@@ -2230,4 +2230,44 @@ FROM (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(rep
     (SELECT '' || a || '' || b || '' FROM p18), (SELECT '' || a || b || '' FROM p18)),
     (SELECT '' || a || '' || b || '' FROM p19), (SELECT '' || a || b || '' FROM p19)),
     (SELECT '' || a || '' || b || '' FROM p20), (SELECT '' || a || b || '' FROM p20)) AS e FROM documents) q
+"""
+
+
+ORACLES["ivf_assign_cells"] = """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+    CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY 1, 2
+), dists AS (
+  SELECT ex.vec_id, cent.label,
+    SUM(CAST((ex.x - cent.c) * (ex.x - cent.c) AS DECIMAL(27,12))) AS d2
+  FROM ex JOIN cent ON ex.pos = cent.pos
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT vec_id, label, d2,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+  FROM dists
+)
+SELECT vec_id, label AS cell, round(CAST(d2 AS DOUBLE), 6) AS dist2
+FROM ranked WHERE rn = 1
+"""
+
+
+ORACLES["curriculum_phases"] = r"""
+WITH scored AS (
+  SELECT doc_id,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+      / len(string_split_regex(trim(text), '\s+')) AS score
+  FROM documents
+), bounds AS (
+  SELECT quantile_cont(score, 1.0/3) AS b1, quantile_cont(score, 2.0/3) AS b2
+  FROM scored
+)
+SELECT doc_id, round(score, 6) AS score,
+  CAST(CASE WHEN score <= b1 THEN 0 WHEN score <= b2 THEN 1 ELSE 2 END AS INTEGER) AS phase
+FROM scored, bounds
 """

