@@ -37,6 +37,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+
+
+def _fan(df: DataFrame, key: str = "doc_id", n: int = 32) -> DataFrame:
+    """Fan a small-file scan out to ``n`` tasks before CPU-heavy per-row
+    work.  A single-file parquet table with one row group scans as ONE
+    task regardless of maxPartitionBytes, so a codegen-heavy projection
+    (per-char md5, sample synthesis, shingle explode) runs serially;
+    one exchange of the raw rows fixes that.  On a many-file production
+    corpus the scan is already parallel and this exchange is dominated
+    by the downstream work it feeds — the call sites note which."""
+    return df.repartition(n, key)
+
+
+
+
 def LI_SEQ() -> Column:
     """Unique lineitem position: l_linenumber <= 7 so *8 is injective."""
     return F.col("l_orderkey") * 8 + F.col("l_linenumber")
@@ -3283,8 +3298,8 @@ def text_winnow_arith_fingerprints(spark, sf_dir):
 
     Emitted exploded as (doc_id, fp) rows so the compare is dtype-exact
     (array columns stringify differently across engines).  Scale shape:
-    one codegen'd projection + explode, no shuffle."""
-    d = _t(spark, sf_dir, "documents")
+    one fan-out exchange (_fan) + one codegen'd projection + explode."""
+    d = _fan(_t(spark, sf_dir, "documents"))  # ~500 md5/doc: see _fan
     k, w = 8, 4
     norm = text.normalize(F.col("text"))
     base = d.select("doc_id", norm.alias("nrm"))
@@ -3774,14 +3789,16 @@ def multimodal_audio_energy(spark, sf_dir):
     sum-of-squares energies — integers end to end — are reproduced by
     DuckDB from the sample formula.
 
-    Scale shape: one JVM binary-construction projection + one
-    Arrow-batched decode pass + a 4-row explode per doc; no shuffle."""
+    Scale shape: one fan-out exchange of the raw rows (_fan: the
+    sample-synthesis projection is CPU-bound), one JVM binary-
+    construction projection, one Arrow-batched decode pass, a 4-row
+    explode per doc."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from tubes_spark.operators.multimodal import wav_energy_windows
 
-    d = _t(spark, sf_dir, "documents")
+    d = _fan(_t(spark, sf_dir, "documents"))  # 1024-sample hex build/doc
     n_samples = 1024
     data_size = n_samples * 2
     # RIFF/WAVE header for PCM16 mono 8kHz: sizes little-endian
@@ -3945,7 +3962,7 @@ def boilerplate_shingle_flags(spark, sf_dir):
     stream, one shuffle back to doc_id.  At 100 TB the shingle string
     is replaced by xxhash64(shingle) so the df shuffle moves 8-byte
     keys; kept as text here for the DuckDB twin."""
-    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    d = _fan(_t(spark, sf_dir, "documents"))  # parallelize the explode
     toks = text.tokenize(F.col("text"))
     sh = d.select(
         "doc_id", F.explode(text.word_shingles_from_tokens(toks, 5)).alias("sh")
@@ -4019,10 +4036,7 @@ def ngram_cosine_top_pairs(spark, sf_dir):
     the final top-50 is TakeOrderedAndProject, not a global sort."""
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()  # scalar for idf; one lightweight count job
-    # single-file tables scan as ONE task; fan the rows out before the
-    # shingle explode so tokenization parallelizes (cost: one exchange
-    # of the raw doc rows, trivially smaller than the posting stream)
-    d = d.repartition(32, "doc_id")
+    d = _fan(d)  # parallelize the shingle explode (see _fan)
     toks = text.tokenize(F.col("text"))
     tf = (
         d.select(
