@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Empirical scale probe: does each headline operator family scale
+~linearly when the fact tables grow 10x?
+
+Builds a synthetic sf1.0-equivalent dataset by replicating the sf0.1
+fact tables with key offsets (dimension tables and key relationships
+preserved so joins stay valid):
+
+* lineitem/orders: orderkeys offset per replica (custkey/partkey/
+  suppkey unchanged -> dimension joins still resolve);
+* events: event_id offset, SAME time window (10x per-hour density —
+  the realistic way traffic grows);
+* documents: doc_id offset, a per-replica suffix token appended (so
+  replicas are NEAR-dups, not byte-dups — dedup structures see
+  realistic banding pressure rather than a degenerate 10-deep bucket
+  of identical texts — while token statistics stay ~identical);
+* embeddings: vec_id offset, one per-replica dimension nudged so
+  vectors are near-dup clusters.
+
+The output dir contains MULTI-file parquet (one file per replica),
+so scans parallelize the way a real corpus does — no _fan needed.
+
+Prints one JSON line per query: sf0.1 best-of-2, synth best-of-2, and
+the time ratio to compare against the 10x data ratio.  Writes
+SCALE_PROBE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from tubes_spark.session import get_spark
+from tubes_spark import queries as Q
+from tubes_spark.catalog import TABLES, load_table
+
+SF_BASE = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+# operator families with an expected ~linear scaling shape; the
+# superlinear-by-construction families (inverted-index cosine: work ~
+# sum(df^2); brute-force knn pair stream) are probed separately below
+LINEAR_QUERIES = [
+    "flagship_pricing_summary",
+    "q3_shipping_priority",
+    "tumbling_hourly",
+    "dedup_exact_docs",
+    "dedup_minhash_survivors",
+    "gopher_quality_flags",
+    "contiguous_global_ids",
+    "shuffle_shards_manifest",
+    "binned_interval_counts",
+    "bpe_encode_corpus",
+]
+SUPERLINEAR_QUERIES = [
+    # documented quadratic-in-df / pair-stream families — reported, not
+    # held to the linear bar
+    "ngram_cosine_top_pairs",
+    "knn_bruteforce",
+]
+
+
+def build_synth(spark, out_dir: str) -> None:
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    base = {t: load_table(spark, t, SF_BASE) for t in TABLES}
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        base[t].write.parquet(f"{out_dir}/{t}.parquet")
+
+    def amplified(t, fn):
+        parts = [fn(base[t], r) for r in range(REPLICAS)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        # one file per replica: multi-file scans parallelize naturally
+        df.repartition(REPLICAS * 4).write.parquet(f"{out_dir}/{t}.parquet")
+
+    OK = 10_000_000_000
+    amplified("orders", lambda d, r: d.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(r * OK)))
+    amplified("lineitem", lambda d, r: d.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(r * OK)))
+    amplified("events", lambda d, r: d.withColumn(
+        "event_id", F.col("event_id") + F.lit(r * OK)))
+    amplified("documents", lambda d, r: d
+              .withColumn("doc_id", F.col("doc_id") + F.lit(r * OK))
+              .withColumn("text", F.concat(F.col("text"), F.lit(f" rep{r}")))
+              .withColumn("n_chars", F.col("n_chars") + F.lit(len(f" rep{r}"))))
+    amplified("embeddings", lambda d, r: d
+              .withColumn("vec_id", F.col("vec_id") + F.lit(r * OK))
+              .withColumn("embedding", F.transform(
+                  "embedding",
+                  lambda x, i: F.when(i == r % 64, x + F.lit(0.25)).otherwise(x))))
+
+
+def best_of(fn, spark, sf_dir, n=2) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    out_dir = os.environ.get("SCALE_PROBE_DIR", "/tmp/tubes_scale_probe")
+    spark = get_spark("tubes_scale_probe", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    build_synth(spark, out_dir)
+    print(f"# synth build: {time.time()-t0:.1f}s", file=sys.stderr)
+    for t in TABLES:
+        load_table(spark, t, out_dir).count()  # warm listing
+
+    results = {}
+    for name in LINEAR_QUERIES + SUPERLINEAR_QUERIES:
+        fn = getattr(Q, name)
+        small = best_of(fn, spark, SF_BASE)
+        big = best_of(fn, spark, out_dir)
+        ratio = round(big / small, 2) if small > 0 else None
+        results[name] = {
+            "sf0_1_sec": small,
+            "x10_sec": big,
+            "time_ratio": ratio,
+            "expected": "linear(<=10x)" if name in LINEAR_QUERIES else "superlinear-by-construction",
+        }
+        print(json.dumps({"query": name, **results[name]}))
+
+    payload = {"replicas": REPLICAS, "base": SF_BASE, "results": results}
+    Path(__file__).resolve().parent.parent.joinpath("SCALE_PROBE.json").write_text(
+        json.dumps(payload, indent=1) + "\n"
+    )
+    spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
