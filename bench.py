@@ -131,6 +131,8 @@ HEADLINE = [
     "bpe_encode_corpus",              # BPE train (20 iters) + encode chain
     "ivf_assign_cells",               # ANN index maintenance (cell assign)
     "curriculum_phases",              # percentile-boundary curriculum split
+    "cms_token_frequencies",          # Count-Min sketch + overcount bound
+    "bloom_decontaminate_check",      # Bloom membership + FN guarantee
 ]
 
 

@@ -204,3 +204,29 @@ def test_curriculum_phases_are_balanced_terciles(spark):
     n = len(rows)
     # exact-percentile boundaries with ties: each phase within 2x of n/3
     assert all(n / 6 <= c[p] <= 2 * n / 3 for p in c), c
+
+
+# --------------------------------------------------------------------------
+# CMS / Bloom hard guarantees (the oracle certifies the values; these
+# pin the structural guarantees as loud failures)
+# --------------------------------------------------------------------------
+
+def test_cms_never_undercounts_and_collides(spark):
+    rows = Q.cms_token_frequencies(spark, SF_SMALL).collect()
+    assert all(r.no_undercount for r in rows), "CMS must never undercount"
+    assert any(r.overcount > 0 for r in rows), (
+        "w=16 is sized to force collisions; all-zero overcounts means the "
+        "probe stopped exercising the estimate path"
+    )
+
+
+def test_bloom_no_false_negatives_and_some_fps(spark):
+    rows = Q.bloom_decontaminate_check(spark, SF_SMALL).collect()
+    assert all(r.no_false_negative for r in rows), "Bloom must never drop a member"
+    assert any(r.false_positive for r in rows), (
+        "m=16384 over the trigram member set is sized so the FP path is "
+        "actually exercised"
+    )
+    assert any(not r.in_exact and not r.in_bloom for r in rows), (
+        "true negatives must exist or the filter rejects nothing"
+    )

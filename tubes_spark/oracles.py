@@ -2271,3 +2271,67 @@ SELECT doc_id, round(score, 6) AS score,
   CAST(CASE WHEN score <= b1 THEN 0 WHEN score <= b2 THEN 1 ELSE 2 END AS INTEGER) AS phase
 FROM scored, bounds
 """
+
+
+# CMS / Bloom twins: coefficients baked from arith_hash_family(4, seed=5)
+# and (3, seed=11) — same md5-arith universal family as the MinHash twin.
+ORACLES["cms_token_frequencies"] = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), hx AS (
+  SELECT tok, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 2147483647 AS x FROM toks
+), rb AS (
+  SELECT tok, u.* FROM hx, LATERAL (VALUES
+    (0, (314222*x + 1299786) % 2147483647 % 16),
+    (1, (523680*x + 2599507) % 2147483647 % 16),
+    (2, (733138*x + 3899228) % 2147483647 % 16),
+    (3, (942596*x + 5198949) % 2147483647 % 16)) AS u(row_i, bucket)
+), cells AS (
+  SELECT row_i, bucket, count(*) AS c FROM rb GROUP BY 1, 2
+), exact AS (
+  SELECT tok, count(*) AS exact_n FROM toks GROUP BY 1
+), probes AS (
+  SELECT DISTINCT rb.tok, rb.row_i, rb.bucket FROM rb
+), est AS (
+  SELECT p.tok, min(cells.c) AS cms_est
+  FROM probes p JOIN cells ON p.row_i = cells.row_i AND p.bucket = cells.bucket
+  GROUP BY 1
+)
+SELECT e.tok, e.exact_n, est.cms_est,
+  (est.cms_est >= e.exact_n) AS no_undercount,
+  (est.cms_est - e.exact_n) AS overcount
+FROM exact e JOIN est ON e.tok = est.tok
+"""
+
+ORACLES["bloom_decontaminate_check"] = r"""
+WITH w AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents
+), toks AS (
+  SELECT source, array_to_string(w[i:i+2], ' ') AS tok
+  FROM w, LATERAL unnest(generate_series(1, len(w) - 2)) AS u(i)
+), dt AS (
+  SELECT DISTINCT tok FROM toks
+), hx AS (
+  SELECT tok, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 2147483647 AS x FROM dt
+), bits AS (
+  SELECT tok, u.bit FROM hx, LATERAL (VALUES
+    ((314264*x + 1299864) % 2147483647 % 16384),
+    ((523722*x + 2599585) % 2147483647 % 16384),
+    ((733180*x + 3899306) % 2147483647 % 16384)) AS u(bit)
+), members AS (
+  SELECT DISTINCT tok FROM toks WHERE source IN ('src0', 'src1')
+), bloom_set AS (
+  SELECT DISTINCT b.bit FROM bits b JOIN members m ON b.tok = m.tok
+), verdict AS (
+  SELECT bits.tok,
+    (count(*) = sum(CASE WHEN bs.bit IS NULL THEN 0 ELSE 1 END)) AS in_bloom
+  FROM bits LEFT JOIN bloom_set bs ON bits.bit = bs.bit
+  GROUP BY 1
+)
+SELECT v.tok,
+  (m.tok IS NOT NULL) AS in_exact,
+  v.in_bloom,
+  (m.tok IS NULL OR v.in_bloom) AS no_false_negative,
+  (v.in_bloom AND m.tok IS NULL) AS false_positive
+FROM verdict v LEFT JOIN members m ON v.tok = m.tok
+"""

@@ -4290,3 +4290,118 @@ def curriculum_phases(spark, sf_dir):
     return j.select(
         "doc_id", F.round(F.col("score"), 6).alias("score"), phase.cast("int").alias("phase")
     )
+
+
+def cms_token_frequencies(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) under the FULL
+    oracle gate, completing the sketch family (HLL distinct ✓,
+    SpaceSaving top-k ✓, KLL-style quantiles ✓): d=4 rows x w=256
+    buckets of counters over the token stream, estimates read back as
+    the row-wise minimum, checked per token against the exact count.
+    The md5-arith universal hash family (dedup.arith_hash_family) is
+    what makes every counter — and hence every estimate —
+    reproducible in DuckDB.
+
+    Emits the CMS hard guarantee as data: ``no_undercount`` must be
+    true for every token (est >= exact, always), and ``overcount`` is
+    the per-token bias the d x w sizing bounds in expectation.
+
+    Scale shape: the sketch build is one partial-aggregated shuffle on
+    (row, bucket) — at most d*w = 1024 cells regardless of corpus
+    size; that mergeability (cells add across partitions/days) is the
+    whole point of CMS at 100 TB."""
+    from tubes_spark.operators.dedup import ARITH_P, arith_hash_family, arith_shingle_hash
+
+    # w=16 deliberately undersized for the ~31-token vocabulary so
+    # collisions (hence visible overcounts) actually occur — the
+    # guarantee being exercised is est >= exact UNDER collision
+    D, W = 4, 16
+    fam = arith_hash_family(D, seed=5)
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokenize(F.col("text"))).alias("tok"))
+    x = arith_shingle_hash(F.col("tok"))
+    buckets = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            ((F.lit(a) * x + F.lit(b)) % ARITH_P % W).cast("int").alias("bucket"),
+        )
+        for i, (a, b) in enumerate(fam)
+    ])
+    cells = (
+        toks.select(F.explode(buckets).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.select("tok", "exact_n", F.explode(buckets).alias("rb"))
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("rb.row") == F.col("row")) & (F.col("rb.bucket") == F.col("bucket")),
+        )
+        .groupBy("tok", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("no_undercount"),
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+def bloom_decontaminate_check(spark, sf_dir):
+    """Bloom-filter membership (k=3 hashes into m=4096 bits) as the
+    scale form of eval-set decontamination: the exact distinct-shingle
+    broadcast in decontaminate_ngram becomes an m/8-byte bit set when
+    the eval suite outgrows a broadcast hash set.  Built here over the
+    src0/src1 token vocabulary and probed with every corpus token;
+    emits per token the exact membership, the bloom verdict, the hard
+    ``no_false_negative`` guarantee (must be all-true — a member whose
+    bits are not all set is a wrong answer), and the false-positive
+    flag whose corpus rate the m/k sizing bounds.
+
+    Scale shape: the bit set is at most m rows (bounded by the FILTER
+    size, not the corpus); probing is a broadcast join + one grouped
+    all-bits-present check per token."""
+    from tubes_spark.operators.dedup import ARITH_P, arith_hash_family, arith_shingle_hash
+
+    K, M = 3, 16384
+    fam = arith_hash_family(K, seed=11)
+    d = _t(spark, sf_dir, "documents")
+    # membership over word TRIGRAMS: the unigram vocabulary is fully
+    # shared across sources (no discrimination), while the src0/src1
+    # trigram set is a strict subset of the corpus trigram space — so
+    # both bloom verdicts and real false positives occur
+    w = d.select("source", text.tokenize(F.col("text")).alias("w"))
+    toks = w.select(
+        "source", F.explode(text.word_shingles_from_tokens(F.col("w"), 3)).alias("tok")
+    )
+    x = arith_shingle_hash(F.col("tok"))
+    bits = F.array(*[
+        ((F.lit(a) * x + F.lit(b)) % ARITH_P % M).cast("int").alias(f"b{i}")
+        for i, (a, b) in enumerate(fam)
+    ])
+    members = toks.filter(F.col("source").isin("src0", "src1")).select("tok").distinct()
+    bloom_bits = (
+        members.select(F.explode(bits).alias("bit")).distinct()
+    )
+    probe = toks.select("tok").distinct()
+    probed = probe.select("tok", F.explode(bits).alias("bit")).join(
+        F.broadcast(bloom_bits.withColumn("__set__", F.lit(1))), "bit", "left"
+    )
+    verdict = probed.groupBy("tok").agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__set__"), F.lit(0)))).alias("in_bloom")
+    )
+    exact = probe.join(
+        members.withColumn("__m__", F.lit(1)), "tok", "left"
+    ).select("tok", (F.col("__m__") == 1).alias("in_exact"))
+    j = verdict.join(exact, "tok")
+    return j.select(
+        "tok",
+        F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+        "in_bloom",
+        (~F.coalesce("in_exact", F.lit(False)) | F.col("in_bloom")).alias("no_false_negative"),
+        (F.col("in_bloom") & ~F.coalesce("in_exact", F.lit(False))).alias("false_positive"),
+    )
