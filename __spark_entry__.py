@@ -92,6 +92,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_phases": Q.curriculum_phases,
     "cms_token_frequencies": Q.cms_token_frequencies,
     "bloom_decontaminate_check": Q.bloom_decontaminate_check,
+    "doc_centrality_pagerank": Q.doc_centrality_pagerank,
     # --- never driver-sampled in r1-r3: prefix them (r4 rotation) ---
     # registered this round (were orphaned in the r3 snapshot)
     "quality_bigram_logprob": Q.quality_bigram_logprob,

@@ -133,6 +133,7 @@ HEADLINE = [
     "curriculum_phases",              # percentile-boundary curriculum split
     "cms_token_frequencies",          # Count-Min sketch + overcount bound
     "bloom_decontaminate_check",      # Bloom membership + FN guarantee
+    "doc_centrality_pagerank",        # 6-iteration PageRank on sim graph
 ]
 
 

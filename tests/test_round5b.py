@@ -230,3 +230,15 @@ def test_bloom_no_false_negatives_and_some_fps(spark):
     assert any(not r.in_exact and not r.in_bloom for r in rows), (
         "true negatives must exist or the filter rejects nothing"
     )
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    """With no dangling nodes (every graph node has >=1 edge by
+    construction), total rank must stay ~1 through the iterations;
+    every node keeps at least the teleport floor."""
+    rows = Q.doc_centrality_pagerank(spark, SF_SMALL).collect()
+    n = len(rows)
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-6, total
+    floor = (1.0 - 0.85) / n
+    assert all(r.rank >= floor - 1e-9 for r in rows)

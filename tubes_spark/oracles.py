@@ -2335,3 +2335,98 @@ SELECT v.tok,
   (v.in_bloom AND m.tok IS NULL) AS false_positive
 FROM verdict v LEFT JOIN members m ON v.tok = m.tok
 """
+
+
+# PageRank twin: six power iterations unrolled as materialized CTEs
+# over the trigram-cosine similarity graph; per-iteration contributions
+# quantized to DECIMAL(27,12) pre-sum, exactly as doc_centrality_pagerank.
+ORACLES["doc_centrality_pagerank"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS term
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(i)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM s GROUP BY doc_id, term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+dfk AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+  HAVING count(*) >= 2
+     AND count(*) <= (SELECT greatest(2, CAST(floor(n_docs * 0.05) AS BIGINT)) FROM n)
+), w AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(round(tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / dfk.df), 6)
+         AS DECIMAL(18,6)) AS w
+  FROM tf JOIN dfk ON tf.term = dfk.term
+), norms AS (
+  SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sim AS MATERIALIZED (
+  SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms na ON dots.doc_a = na.doc_id
+  JOIN norms nb ON dots.doc_b = nb.doc_id
+), e0 AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM sim WHERE cosine >= 0.05
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM sim WHERE cosine >= 0.05
+), deg AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM e0 GROUP BY src
+), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT src, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+),
+c1 AS MATERIALIZED (
+  SELECT e.dst, CAST(sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(27,12))) AS DOUBLE) AS inflow
+  FROM e0 e JOIN r0 r ON e.src = r.src GROUP BY e.dst
+), r1 AS MATERIALIZED (
+  SELECT d.src, d.deg,
+    ((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.inflow, 0.0)) AS rank
+  FROM deg d LEFT JOIN c1 c ON d.src = c.dst
+),
+c2 AS MATERIALIZED (
+  SELECT e.dst, CAST(sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(27,12))) AS DOUBLE) AS inflow
+  FROM e0 e JOIN r1 r ON e.src = r.src GROUP BY e.dst
+), r2 AS MATERIALIZED (
+  SELECT d.src, d.deg,
+    ((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.inflow, 0.0)) AS rank
+  FROM deg d LEFT JOIN c2 c ON d.src = c.dst
+),
+c3 AS MATERIALIZED (
+  SELECT e.dst, CAST(sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(27,12))) AS DOUBLE) AS inflow
+  FROM e0 e JOIN r2 r ON e.src = r.src GROUP BY e.dst
+), r3 AS MATERIALIZED (
+  SELECT d.src, d.deg,
+    ((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.inflow, 0.0)) AS rank
+  FROM deg d LEFT JOIN c3 c ON d.src = c.dst
+),
+c4 AS MATERIALIZED (
+  SELECT e.dst, CAST(sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(27,12))) AS DOUBLE) AS inflow
+  FROM e0 e JOIN r3 r ON e.src = r.src GROUP BY e.dst
+), r4 AS MATERIALIZED (
+  SELECT d.src, d.deg,
+    ((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.inflow, 0.0)) AS rank
+  FROM deg d LEFT JOIN c4 c ON d.src = c.dst
+),
+c5 AS MATERIALIZED (
+  SELECT e.dst, CAST(sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(27,12))) AS DOUBLE) AS inflow
+  FROM e0 e JOIN r4 r ON e.src = r.src GROUP BY e.dst
+), r5 AS MATERIALIZED (
+  SELECT d.src, d.deg,
+    ((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.inflow, 0.0)) AS rank
+  FROM deg d LEFT JOIN c5 c ON d.src = c.dst
+),
+c6 AS MATERIALIZED (
+  SELECT e.dst, CAST(sum(CAST(round(r.rank / r.deg, 12) AS DECIMAL(27,12))) AS DOUBLE) AS inflow
+  FROM e0 e JOIN r5 r ON e.src = r.src GROUP BY e.dst
+), r6 AS MATERIALIZED (
+  SELECT d.src, d.deg,
+    ((1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.inflow, 0.0)) AS rank
+  FROM deg d LEFT JOIN c6 c ON d.src = c.dst
+)
+SELECT src AS doc_id, deg, round(rank, 9) AS rank FROM r6
+"""

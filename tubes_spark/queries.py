@@ -4023,7 +4023,7 @@ def vocab_oov_rate(spark, sf_dir):
     )
 
 
-def ngram_cosine_top_pairs(spark, sf_dir):
+def _trigram_tfidf_sim(spark, sf_dir):
     """Near-duplicate scoring via the INVERTED INDEX: docs as TF-IDF
     vectors over word 3-gram shingles, pairwise cosine computed by
     self-joining postings on the shared term — the sparse-similarity
@@ -4085,6 +4085,14 @@ def ngram_cosine_top_pairs(spark, sf_dir):
     sim = dots.join(na, "doc_a").join(nb, "doc_b").select(
         "doc_a", "doc_b", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine")
     )
+    return sim
+
+
+def ngram_cosine_top_pairs(spark, sf_dir):
+    """Top-50 pairs from the inverted-index trigram cosine pipeline
+    (_trigram_tfidf_sim has the full plan + scale commentary); the
+    final top-50 is TakeOrderedAndProject, not a global sort."""
+    sim = _trigram_tfidf_sim(spark, sf_dir)
     return sim.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(50)
 
 
@@ -4404,4 +4412,60 @@ def bloom_decontaminate_check(spark, sf_dir):
         "in_bloom",
         (~F.coalesce("in_exact", F.lit(False)) | F.col("in_bloom")).alias("no_false_negative"),
         (F.col("in_bloom") & ~F.coalesce("in_exact", F.lit(False))).alias("false_positive"),
+    )
+
+
+def doc_centrality_pagerank(spark, sf_dir):
+    """PageRank centrality over the document near-dup similarity graph
+    (edges: trigram-cosine >= 0.05, undirected) — the curation move
+    that picks the most REPRESENTATIVE member of each near-dup
+    neighborhood rather than the lowest id.  Six power iterations with
+    damping 0.85 over the subgraph of connected documents.
+
+    Determinism across engines (the reason this is oracle-checkable at
+    all): each iteration quantizes the outgoing contribution
+    round(rank/deg, 12) -> DECIMAL(27,12) BEFORE the neighbor sum, so
+    the aggregation is exact and order-independent; the damping blend
+    is then plain IEEE double on identical inputs.  The DuckDB twin
+    unrolls the same six iterations as materialized CTEs.
+
+    Scale shape: rank state is one row per node; each iteration is one
+    broadcast-or-shuffle join onto the edge list + one partial-
+    aggregated shuffle on dst — the textbook distributed PageRank, with
+    lineage cut per iteration (localCheckpoint, same discipline as
+    bpe_train/connected_components)."""
+    sim = _trigram_tfidf_sim(spark, sf_dir).filter(F.col("cosine") >= 0.05)
+    edges = (
+        sim.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(sim.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()  # bounded scalar: node count of the subgraph
+    damping = 0.85
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select("src", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(6):
+        contrib = (
+            edges.join(ranks, "src")
+            .select(
+                F.col("dst"),
+                F.round(F.col("rank") / F.col("deg"), 12)
+                .cast("decimal(27,12)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("inflow"))
+        )
+        ranks = (
+            deg.join(contrib, deg["src"] == contrib["dst"], "left")
+            .select(
+                "src",
+                "deg",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("src").alias("doc_id"), "deg", F.round(F.col("rank"), 9).alias("rank")
     )
