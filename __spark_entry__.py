@@ -93,6 +93,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_token_frequencies": Q.cms_token_frequencies,
     "bloom_decontaminate_check": Q.bloom_decontaminate_check,
     "doc_centrality_pagerank": Q.doc_centrality_pagerank,
+    "streaming_left_outer_join": Q.streaming_left_outer_join,
     # --- never driver-sampled in r1-r3: prefix them (r4 rotation) ---
     # registered this round (were orphaned in the r3 snapshot)
     "quality_bigram_logprob": Q.quality_bigram_logprob,

@@ -2430,3 +2430,21 @@ c6 AS MATERIALIZED (
 )
 SELECT src AS doc_id, deg, round(rank, 9) AS rank FROM r6
 """
+
+
+# Left-outer stream-stream join: thanks to the sentinel-slice watermark
+# flush (see the query docstring) the drained stream equals the PLAIN
+# batch left join — no cutoff carve-outs.
+ORACLES["streaming_left_outer_join"] = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS ts_v FROM events
+  WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS up, ts AS ts_p, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT view_id, v.user_id, purchase_id, purchase_value,
+  (purchase_id IS NOT NULL) AS matched
+FROM v LEFT JOIN p
+  ON v.user_id = p.up AND p.ts_p >= v.ts_v AND p.ts_p <= v.ts_v + INTERVAL 1 HOUR
+"""

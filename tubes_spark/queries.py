@@ -4469,3 +4469,109 @@ def doc_centrality_pagerank(spark, sf_dir):
     return ranks.select(
         F.col("src").alias("doc_id"), "deg", F.round(F.col("rank"), 9).alias("rank")
     )
+
+
+def streaming_left_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join — the join semantic the streaming
+    battery lacked: unmatched views must emit their null-padded row,
+    which Structured Streaming only does once the watermark passes the
+    row's join window (state eviction), unlike the inner join
+    (streaming_interval_join) which emits on match.
+
+    The subtlety this query pins down: with AvailableNow over a
+    bounded replay, views near the end of the timeline would sit in
+    state forever (the watermark never passes them) and the drained
+    result would NOT equal the batch left join.  Two sentinel slices
+    (user_id -1, Feb 10 / Feb 15 — far past the Jan data) are appended
+    to BOTH streams so the global watermark finishes well beyond every
+    real view's window: every unmatched view flushes, the sentinels
+    themselves stay unflushed/unmatched by construction, and the
+    drained output hash-matches the plain batch LEFT JOIN oracle with
+    no cutoff carve-outs.
+
+    Scale shape: both sides shuffle on user_id once; join state is
+    watermark-bounded (8 days here — must exceed the replay slice
+    disorder, and does: slices are time-ordered)."""
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source, write_ordered_slices
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_loj_")
+    # state-partition sizing: a stream-stream join keeps TWO keyed
+    # state stores, each sharded into spark.sql.shuffle.partitions
+    # tasks PER MICRO-BATCH — under a vanilla 200-partition session the
+    # 4-trigger drain pays ~1200 stateful task launches for KBs of
+    # state (measured 79 s -> ~15 s at 8 partitions).  Sizing state
+    # partitions to the state volume is the standard streaming
+    # deployment knob; restored in the finally so no other query sees
+    # the setting.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        v_real = e.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("ts_v")
+        )
+        p_real = e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), F.col("user_id").alias("user_id_p"),
+            F.col("ts").alias("ts_p"), F.col("value").alias("purchase_value"),
+        )
+        sent_v = spark.createDataFrame(
+            [(-1, -1, datetime(2024, 2, 10)), (-2, -1, datetime(2024, 2, 15))],
+            "view_id long, user_id long, ts_v timestamp",
+        )
+        sent_p = spark.createDataFrame(
+            [(-1, -1, datetime(2024, 2, 10), 0.0), (-2, -1, datetime(2024, 2, 15), 0.0)],
+            "purchase_id long, user_id_p long, ts_p timestamp, purchase_value double",
+        )
+        # time-ordered contiguous slices tolerate ANY watermark delay
+        # (slice k+1's min >= slice k's max), so two real slices keep
+        # the cross-batch state exercise while saving trigger overhead
+        wk = [F.lit("2024-01-16").cast("timestamp"),
+              F.lit("2024-02-01").cast("timestamp"), F.lit("2024-02-12").cast("timestamp")]
+
+        def slices(ts_col):
+            return [
+                F.col(ts_col) < wk[0],
+                (F.col(ts_col) >= wk[0]) & (F.col(ts_col) < wk[1]),
+                (F.col(ts_col) >= wk[1]) & (F.col(ts_col) < wk[2]),
+                F.col(ts_col) >= wk[2],
+            ]
+
+        write_ordered_slices(v_real.unionByName(sent_v), slices("ts_v"), f"{tmp}/v")
+        write_ordered_slices(p_real.unionByName(sent_p), slices("ts_p"), f"{tmp}/p")
+        v = file_replay_source(
+            spark, f"{tmp}/v", spark.read.parquet(f"{tmp}/v").schema, max_files_per_trigger=1
+        ).withWatermark("ts_v", "8 days")
+        p = file_replay_source(
+            spark, f"{tmp}/p", spark.read.parquet(f"{tmp}/p").schema, max_files_per_trigger=1
+        ).withWatermark("ts_p", "8 days")
+        # NOTE: no sentinel filter inside the streaming plan — a
+        # user_id >= 0 predicate here gets pushed below the watermark
+        # node to the scan, parquet row-group stats (min=max=-1) skip
+        # the sentinel files entirely, and the watermark never advances
+        # past the real data (debugged empirically: 0 input rows on the
+        # sentinel triggers).  The sentinels cannot reach the output
+        # anyway: their join windows never close before the final
+        # watermark, so they stay in state; the post-drain filter is
+        # only documentation of that contract.
+        j = v.join(
+            p,
+            (F.col("user_id") == F.col("user_id_p"))
+            & (F.col("ts_p") >= F.col("ts_v"))
+            & (F.col("ts_p") <= F.col("ts_v") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        ).select(
+            "view_id", "user_id", "purchase_id", "purchase_value",
+            F.col("purchase_id").isNotNull().alias("matched"),
+        )
+        out = drain_to_df(j, f"stream_loj_{uuid.uuid4().hex[:8]}", output_mode="append")
+        out = out.filter(F.col("user_id") >= 0).cache()
+        out.count()  # pin rows before the input files are removed
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
