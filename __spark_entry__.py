@@ -94,6 +94,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontaminate_check": Q.bloom_decontaminate_check,
     "doc_centrality_pagerank": Q.doc_centrality_pagerank,
     "streaming_left_outer_join": Q.streaming_left_outer_join,
+    # positions 51-52: past this round's 50-key sample — rotate these
+    # to the front of the round-6 prefix for their first driver rows
+    # (local parity + sf0.1 sweep cover them meanwhile)
+    "jaccard_exact_prefix_join": Q.jaccard_exact_prefix_join,
+    "funnel_3step_batch": Q.funnel_3step_batch,
     # --- never driver-sampled in r1-r3: prefix them (r4 rotation) ---
     # registered this round (were orphaned in the r3 snapshot)
     "quality_bigram_logprob": Q.quality_bigram_logprob,

@@ -242,3 +242,33 @@ def test_pagerank_mass_conserved_and_positive(spark):
     assert abs(total - 1.0) < 1e-6, total
     floor = (1.0 - 0.85) / n
     assert all(r.rank >= floor - 1e-9 for r in rows)
+
+
+def test_prefix_join_equals_bruteforce(spark):
+    """The prefix filter must not lose any pair >= the threshold:
+    compare against a no-prefix brute-force shingle join."""
+    from tubes_spark.catalog import load_table
+    from tubes_spark.operators import text as T
+
+    d = load_table(spark, "documents", SF_SMALL)
+    toks = T.tokenize(F.col("text"))
+    s = d.select("doc_id", F.explode(T.word_shingles_from_tokens(toks, 5)).alias("sh")).distinct()
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = s.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b")).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
+    na = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    brute = inter.join(na, "doc_a").join(nb, "doc_b").filter(
+        F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6) >= 0.8
+    )
+    want = sorted((r.doc_a, r.doc_b) for r in brute.collect())
+    got = sorted((r.doc_a, r.doc_b) for r in Q.jaccard_exact_prefix_join(spark, SF_SMALL).collect())
+    assert got == want and len(got) > 0
+
+
+def test_funnel_3step_triples_ordered(spark):
+    rows = Q.funnel_3step_batch(spark, SF_SMALL).collect()
+    assert all(r.micros_to_convert > 0 and r.micros_to_convert <= 6 * 3600 * 1_000_000 for r in rows)
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users)), "one earliest funnel per user"

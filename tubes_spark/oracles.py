@@ -2448,3 +2448,52 @@ SELECT view_id, v.user_id, purchase_id, purchase_value,
 FROM v LEFT JOIN p
   ON v.user_id = p.up AND p.ts_p >= v.ts_v AND p.ts_p <= v.ts_v + INTERVAL 1 HOUR
 """
+
+
+# Exact prefix-filtered similarity join: the oracle skips the prefix
+# optimization (it only affects WHICH candidates are examined, never
+# the result) and computes the exact Jaccard join directly.
+ORACLES["jaccard_exact_prefix_join"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) AS u(i)
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+  CAST(sa.n + sb.n - i AS BIGINT) AS u,
+  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON inter.doc_a = sa.doc_id
+JOIN sz sb ON inter.doc_b = sb.doc_id
+WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8
+"""
+
+
+ORACLES["funnel_3step_batch"] = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS ts_v FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS ts_c FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS ts_p FROM events WHERE event_type = 'purchase'
+), vcp AS (
+  SELECT v.user_id, view_id, click_id, purchase_id, ts_v, ts_c, ts_p,
+    row_number() OVER (PARTITION BY v.user_id
+      ORDER BY ts_v, view_id, ts_c, click_id, ts_p, purchase_id) AS rn
+  FROM v
+  JOIN c ON v.user_id = c.user_id
+        AND c.ts_c > v.ts_v AND c.ts_c < v.ts_v + INTERVAL 6 HOUR
+  JOIN p ON v.user_id = p.user_id
+        AND p.ts_p > ts_c AND p.ts_p <= v.ts_v + INTERVAL 6 HOUR
+)
+SELECT user_id, view_id, click_id, purchase_id,
+  epoch_us(ts_p) - epoch_us(ts_v) AS micros_to_convert
+FROM vcp WHERE rn = 1
+"""

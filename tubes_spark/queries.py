@@ -4575,3 +4575,103 @@ def streaming_left_outer_join(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def jaccard_exact_prefix_join(spark, sf_dir):
+    """EXACT set-similarity join with PPJoin-style prefix filtering
+    (Xiao et al., WWW 2008) — the exact-verification complement to the
+    MinHash tier: every emitted pair carries its TRUE Jaccard, and the
+    prefix lemma guarantees no pair >= the threshold is missed.
+
+    Plan: 5-gram shingle sets per doc; shingles ordered rarest-first by
+    the global (frequency, shingle) total order; each doc exposes only
+    its first n - floor(t*n) + 1 shingles (the safe long form of the
+    prefix bound, identical across engines) as join keys.  Two docs
+    with Jaccard >= t=0.8 MUST collide on at least one prefix shingle,
+    so candidate generation is the rare-token posting join, never
+    all-pairs; the exact intersection is then computed for candidate
+    pairs only.
+
+    Scale shape: prefix postings are ~20% of the shingle stream and
+    skew-bounded (rarest-first ordering puts the heavy shingles LAST,
+    outside prefixes); verification joins touch candidates only.  Per-
+    doc ordering is a doc-partitioned window — no global rank table."""
+    d = _fan(_t(spark, sf_dir, "documents"))
+    toks = text.tokenize(F.col("text"))
+    s = d.select(
+        "doc_id", F.explode(text.word_shingles_from_tokens(toks, 5)).alias("sh")
+    ).distinct().localCheckpoint(eager=True)
+    freq = s.groupBy("sh").agg(F.count(F.lit(1)).alias("fr"))
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ordered = s.join(freq, "sh")
+    w = Window.partitionBy("doc_id").orderBy("fr", "sh")
+    ranked = ordered.withColumn("__r__", F.row_number().over(w)).join(sz, "doc_id")
+    prefix_len = (F.col("n") - F.floor(F.lit(0.8) * F.col("n")) + 1).cast("int")
+    pre = ranked.filter(F.col("__r__") <= prefix_len).select("doc_id", "sh")
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = s.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("u", (F.col("na") + F.col("nb") - F.col("i")).cast("long"))
+        .withColumn("jaccard", F.round(F.col("i") / F.col("u"), 6))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return out.select("doc_a", "doc_b", F.col("i").cast("long").alias("inter"), "u", "jaccard")
+
+
+def funnel_3step_batch(spark, sf_dir):
+    """Batch 3-step pattern match (view -> click -> purchase, strictly
+    ordered, purchase within 6 hours of the view): the batch twin of the
+    streaming funnel's 2-step state machine, extended one stage — the
+    MATCH_RECOGNIZE-shaped query every product-analytics stack runs.
+    Emits each user's EARLIEST completed funnel with the stage event
+    ids and the total conversion time in microseconds (integer-exact).
+
+    Scale shape: two equi-joins on user_id carry the time-range
+    predicates (hash joins, never nested loops — same carrier trick as
+    interval_join_views_purchases); candidate triples are bounded by
+    events-per-user within the hour; the per-user earliest pick is a
+    partitioned window."""
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("ts_v")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("ts_c")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("ts_p")
+    )
+    vc = v.join(c, "user_id").filter(
+        (F.col("ts_c") > F.col("ts_v"))
+        & (F.col("ts_c") < F.col("ts_v") + F.expr("INTERVAL 6 HOUR"))
+    )
+    vcp = vc.join(p, "user_id").filter(
+        (F.col("ts_p") > F.col("ts_c"))
+        & (F.col("ts_p") <= F.col("ts_v") + F.expr("INTERVAL 6 HOUR"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        "ts_v", "view_id", "ts_c", "click_id", "ts_p", "purchase_id"
+    )
+    return (
+        vcp.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "user_id", "view_id", "click_id", "purchase_id",
+            (F.unix_micros(F.col("ts_p")) - F.unix_micros(F.col("ts_v"))).alias("micros_to_convert"),
+        )
+    )
