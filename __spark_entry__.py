@@ -42,6 +42,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # local DuckDB harness (tests/test_oracle_parity.py) regardless of
     # driver sampling.
     "flagship_pricing_summary": Q.flagship_pricing_summary,
+    # --- round-5c additions (this session): newest-first in the prefix ---
+    "pivot_priority_by_year": Q.pivot_priority_by_year,
+    "cube_pricing_lattice": Q.cube_pricing_lattice,
+    "window_funcs_battery": Q.window_funcs_battery,
+    "setops_buyer_cohorts": Q.setops_buyer_cohorts,
+    "anomaly_daily_spikes": Q.anomaly_daily_spikes,
+    "inverted_index_postings": Q.inverted_index_postings,
+    "split_train_val_test": Q.split_train_val_test,
+    "retention_cohorts_weekly": Q.retention_cohorts_weekly,
+    "pii_redaction_scrub": Q.pii_redaction_scrub,
+    "url_domain_blocklist": Q.url_domain_blocklist,
+    "span_scrub_exact_substrings": Q.span_scrub_exact_substrings,
+    "phrase_search_positions": Q.phrase_search_positions,
+    "graph_triangle_rare_shingles": Q.graph_triangle_rare_shingles,
+    "repetition_signals": Q.repetition_signals,
+    "text_formats_roundtrip": Q.text_formats_roundtrip,
     # --- new in round 5: prefix so the driver samples them this round ---
     "dedup_minhash_arith_survivors": Q.dedup_minhash_arith_survivors,
     "connected_components_jaccard": Q.connected_components_jaccard,

@@ -134,6 +134,24 @@ HEADLINE = [
     "cms_token_frequencies",          # Count-Min sketch + overcount bound
     "bloom_decontaminate_check",      # Bloom membership + FN guarantee
     "doc_centrality_pagerank",        # 6-iteration PageRank on sim graph
+    "jaccard_exact_prefix_join",      # PPJoin-style exact set-similarity join
+    "funnel_3step_batch",             # 3-step ordered pattern match
+    # round 5c: relational-surface completers + curation/retrieval depth
+    "pivot_priority_by_year",         # long->wide pivot, pinned value list
+    "cube_pricing_lattice",           # full CUBE lattice + grouping_id
+    "window_funcs_battery",           # lag/lead/ntile/pct_rank/nth_value
+    "setops_buyer_cohorts",           # intersect/except cohort algebra
+    "anomaly_daily_spikes",           # exactness-safe per-key anomaly screen
+    "inverted_index_postings",        # term->postings retrieval index
+    "split_train_val_test",           # deterministic 80/10/10 split
+    "retention_cohorts_weekly",       # cohort retention triangle
+    "pii_redaction_scrub",            # email/phone/IP redaction (map-only)
+    "url_domain_blocklist",           # URL parse + broadcast blocklist
+    "span_scrub_exact_substrings",    # ExactSubstr span removal + reassembly
+    "phrase_search_positions",        # positional-index phrase search
+    "graph_triangle_rare_shingles",   # triangle counting on sparse sim graph
+    "repetition_signals",             # within-doc Gopher repetition metrics
+    "text_formats_roundtrip",         # JSONL/CSV encode-decode reconcile
 ]
 
 

@@ -291,3 +291,54 @@ def test_join_strategy_hints_control_plan(spark):
         li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
     )
     assert "ShuffledHashJoin" in p_shj, p_shj
+
+
+# --- round-5c plan shapes -------------------------------------------------
+
+def test_pivot_is_single_aggregate_no_value_discovery(spark):
+    """Pinned pivot values => ONE aggregate pass over orders, no extra
+    distinct-scan job to discover the pivot column's values."""
+    p = plan_of(Q.pivot_priority_by_year(spark, SF))
+    assert n_nodes(p, "Scan parquet") == 1, p
+    # Spark compiles pivot to a two-phase aggregate ((yr, pri) cells,
+    # then wide rows keyed on yr) — still one scan, two bounded
+    # exchanges whose payload is the tiny cell table
+    assert n_nodes(p, "Exchange") <= 2, p
+    assert n_nodes(p, "HashAggregate") >= 2, p  # partial + final
+
+
+def test_cube_expands_without_extra_scans(spark):
+    """CUBE is one Expand over one scan — never 4 scans unioned."""
+    p = plan_of(Q.cube_pricing_lattice(spark, SF))
+    assert n_nodes(p, "Scan parquet") == 1, p
+    assert n_nodes(p, "Expand") == 1, p
+
+
+def test_window_battery_single_exchange(spark):
+    """All ten window functions share one partition key + sort: exactly
+    one shuffle, one sort."""
+    p = plan_of(Q.window_funcs_battery(spark, SF))
+    assert n_nodes(p, "Exchange") == 1, p
+
+
+def test_url_blocklist_broadcasts(spark):
+    p = plan_of(Q.url_domain_blocklist(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_pii_redaction_is_map_only(spark):
+    """Redaction is a pure projection: no Exchange anywhere."""
+    p = plan_of(Q.pii_redaction_scrub(spark, SF))
+    assert "Exchange" not in p, p
+
+
+def test_span_scrub_boiler_set_broadcasts(spark):
+    p = plan_of(Q.span_scrub_exact_substrings(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_split_assignment_no_shuffle_before_agg(spark):
+    """The md5 bucket is a projection; the only exchange is the final
+    3-group aggregate."""
+    p = plan_of(Q.split_train_val_test(spark, SF))
+    assert n_nodes(p, "Exchange") <= 1, p

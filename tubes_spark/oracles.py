@@ -2497,3 +2497,268 @@ SELECT user_id, view_id, click_id, purchase_id,
   epoch_us(ts_p) - epoch_us(ts_v) AS micros_to_convert
 FROM vcp WHERE rn = 1
 """
+
+
+ORACLES["pivot_priority_by_year"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p_urgent,
+  CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p_high,
+  CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p_medium,
+  CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p_notspec,
+  CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p_low
+FROM orders GROUP BY 1
+"""
+
+
+ORACLES["cube_pricing_lattice"] = f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {_dsum('l_quantity')} AS sum_qty,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+ORACLES["window_funcs_battery"] = """
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  nth_value(o_totalprice, 2) OVER wall AS second_price,
+  first_value(o_totalprice) OVER wall AS first_price,
+  last_value(o_totalprice) OVER wall AS last_price,
+  CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+    AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+ORACLES["setops_buyer_cohorts"] = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+), b AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+)
+SELECT user_id, 'retained' AS cohort FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT user_id, 'churned' AS cohort FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT user_id, 'new' AS cohort FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+"""
+
+
+ORACLES["anomaly_daily_spikes"] = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+    CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(day AS DATE) AS day, day_value,
+  round(CAST(SUM(CAST(day_value AS DECIMAL(27,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+        / count(*) OVER (PARTITION BY user_id), 6) AS mean_day_value,
+  day_value > 3 * (CAST(SUM(CAST(day_value AS DECIMAL(27,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+        / count(*) OVER (PARTITION BY user_id)) AS spike
+FROM daily
+"""
+
+
+ORACLES["inverted_index_postings"] = r"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+  CAST(sum(tf) AS BIGINT) AS total_tf,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+"""
+
+
+ORACLES["split_train_val_test"] = r"""
+WITH s AS (
+  SELECT CASE
+      WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+      WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+      ELSE 'test' END AS split,
+    len(string_split_regex(trim(text), '\s+')) AS n_toks,
+    n_chars
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split
+"""
+
+
+ORACLES["retention_cohorts_weekly"] = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT cohort_week,
+  CAST(date_diff('day', cohort_week, act_week) / 7 AS BIGINT) AS week_offset,
+  CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+FROM act JOIN first ON act.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
+ORACLES["pii_redaction_scrub"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+    'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com phone 555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ' || text AS raw
+  FROM documents
+), red AS (
+  SELECT doc_id, raw,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+      '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+  FROM raw
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(raw, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(raw, '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(length(redacted) AS BIGINT) AS redacted_len,
+  substring(redacted, 1, 80) AS redacted_head
+FROM red
+"""
+
+
+ORACLES["url_domain_blocklist"] = """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '-' || CAST(doc_id % 50 AS VARCHAR)
+      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), bl AS (
+  SELECT ('src' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR) || '.example.com') AS domain
+  FROM (VALUES (3), (7), (11)) s(i), (VALUES (0), (13), (26), (39)) t(j)
+)
+SELECT doc_id, url, regexp_extract(url, 'https?://([^/]+)/', 1) AS domain,
+  (bl.domain IS NOT NULL) AS blocked
+FROM u LEFT JOIN bl ON regexp_extract(url, 'https?://([^/]+)/', 1) = bl.domain
+"""
+
+
+ORACLES["span_scrub_exact_substrings"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), tokpos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) u(i)
+), sh AS (
+  SELECT doc_id, i - 1 AS start, array_to_string(toks[i:i+4], ' ') AS sh
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) u(i)
+), boiler AS (
+  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+  WHERE df >= 3
+), covered AS (
+  SELECT DISTINCT sh.doc_id, sh.start + j.j AS pos
+  FROM sh JOIN boiler USING (sh), LATERAL unnest(generate_series(0, 4)) j(j)
+), kept AS (
+  SELECT tokpos.doc_id, tokpos.pos, tokpos.tok FROM tokpos
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = tokpos.doc_id AND c.pos = tokpos.pos
+  )
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+  md5(coalesce(r.cleaned, '')) AS cleaned_md5
+FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+ORACLES["phrase_search_positions"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, i - 1 AS match_pos, array_to_string(toks[i:i+2], ' ') AS g
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) u(i)
+)
+SELECT doc_id, CAST(match_pos AS BIGINT) AS match_pos
+FROM sh WHERE g = 'the fast query'
+"""
+
+
+ORACLES["graph_triangle_rare_shingles"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) u(i)
+), rare AS (
+  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df FROM s GROUP BY 1)
+  WHERE df = 2
+), edges AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM s a JOIN rare USING (sh) JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri) GROUP BY doc_id
+"""
+
+
+ORACLES["repetition_signals"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), bi AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g, count(*) AS c
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) u(i)
+  GROUP BY 1, 2
+), tri AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g, count(*) AS c
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) u(i)
+  GROUP BY 1, 2
+), bs AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi, CAST(sum(c) AS BIGINT) AS n_bi
+  FROM bi GROUP BY doc_id
+), ts AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tri,
+    CAST(sum(c) AS BIGINT) AS n_tri
+  FROM tri GROUP BY doc_id
+)
+SELECT bs.doc_id, top_bi AS top_bigram_count, n_bi,
+  round(CAST(top_bi AS DOUBLE) / n_bi, 6) AS top_bigram_frac,
+  dup_tri, n_tri,
+  round(CAST(dup_tri AS DOUBLE) / n_tri, 6) AS dup_trigram_frac,
+  (CAST(top_bi AS DOUBLE) / n_bi > 0.18 OR CAST(dup_tri AS DOUBLE) / n_tri > 0.30)
+    AS flag_repetitive
+FROM bs JOIN ts ON bs.doc_id = ts.doc_id
+"""
+
+
+ORACLES["text_formats_roundtrip"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(count(*) AS BIGINT) AS n_identical
+FROM documents GROUP BY lang
+"""

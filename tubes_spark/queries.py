@@ -4675,3 +4675,529 @@ def funnel_3step_batch(spark, sf_dir):
             (F.unix_micros(F.col("ts_p")) - F.unix_micros(F.col("ts_v"))).alias("micros_to_convert"),
         )
     )
+
+# --------------------------------------------------------------------------
+# Round-5c: relational-surface completers (pivot/cube/window/set-ops) and
+# further curation depth.  Reference scope: these generalize the grouped
+# fold family (Tubes/Source.hs:167-174 reduce) the same way the TPC-H
+# battery does — multi-key grouped folds with richer key lattices.
+# --------------------------------------------------------------------------
+
+def pivot_priority_by_year(spark, sf_dir):
+    """PIVOT (long -> wide reshape): order counts per year x priority,
+    one column per priority class — the reshape every BI layer runs.
+    The pivot value list is pinned explicitly so the plan is a single
+    partial-aggregated shuffle on the year key (no extra distinct pass
+    to discover pivot values, which at 100 TB is a full second scan).
+
+    Scale shape: groupBy(year).pivot(values=...) compiles to one
+    hash aggregate with 5 conditional counts — identical cost to the
+    flagship's grouped fold; output is 7 rows."""
+    o = _t(spark, sf_dir, "orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.withColumn("yr", F.year("o_orderdate").cast("long"))
+        .groupBy("yr")
+        .pivot("o_orderpriority", pris)
+        .agg(F.count(F.lit(1)))
+    )
+    names = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+    return wide.select(
+        "yr",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(n)
+            for p, n in zip(pris, names)
+        ],
+    )
+
+
+def cube_pricing_lattice(spark, sf_dir):
+    """CUBE: the full 2^2 grouping lattice over (returnflag, linestatus)
+    in ONE pass — grand total, both marginals, and the cross cells, each
+    row tagged with its grouping_id so NULL-as-subtotal is distinguishable
+    from NULL-in-data.  Extends grouping_sets_priority_flag to the full
+    lattice.
+
+    Scale shape: Spark expands CUBE to a single Expand + hash aggregate
+    (rows x 4 grouping projections, partial-aggregated map-side), so the
+    shuffle carries only the 4x|groups| partial cells, never the data."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(disc).alias("sum_disc_price"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def window_funcs_battery(spark, sf_dir):
+    """The analytic-window surface in one query: lag/lead (neighbor
+    shift), ntile (equal-height quartiles), percent_rank / cume_dist
+    (relative position), and frame-pinned nth_value/first/last over the
+    per-customer order history.  nth_value's frame is explicitly
+    UNBOUNDED..UNBOUNDED on BOTH engines — default frames differ across
+    engines, the classic silent-mismatch trap.
+
+    Scale shape: one shuffle on o_custkey serves every function (all
+    windows share the partition key + sort); no global sort anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_totalprice", 2).over(wall).alias("second_price"),
+        F.first("o_totalprice").over(wall).alias("first_price"),
+        F.last("o_totalprice").over(wall).alias("last_price"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("days_since_prev"),
+    )
+
+
+def setops_buyer_cohorts(spark, sf_dir):
+    """Set algebra over user cohorts: buyers active in BOTH halves of the
+    month (INTERSECT -> retained), first-half-only (EXCEPT -> churned),
+    second-half-only (EXCEPT -> new) — the reference's mappend/empty
+    Alternative algebra (Tubes/Source.hs:118) extended to the full
+    set-op surface Spark exposes.
+
+    Scale shape: each distinct is one partial-aggregated shuffle on
+    user_id; intersect/except compile to aggregate + hash joins on the
+    same key, and AQE picks broadcast sides when a cohort is small."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    a = e.filter(F.col("ts") < cut).select("user_id").distinct()
+    b = e.filter(F.col("ts") >= cut).select("user_id").distinct()
+    return (
+        a.intersect(b).withColumn("cohort", F.lit("retained"))
+        .unionAll(a.subtract(b).withColumn("cohort", F.lit("churned")))
+        .unionAll(b.subtract(a).withColumn("cohort", F.lit("new")))
+    )
+
+
+def anomaly_daily_spikes(spark, sf_dir):
+    """Per-user daily-volume anomaly screen: a user-day whose summed
+    value exceeds 3x that user's mean daily value is a spike — the
+    exactness-safe form of z-scoring (decimal-exact sums and one IEEE
+    division make the flag bit-identical across engines, where a
+    stddev-based score would hash-drift on summation order).
+
+    Scale shape: one shuffle to (user, day) partial-aggregated cells,
+    then a window over user only — cells per user are tiny (<=31)."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum(F.col("value")).alias("day_value"))
+    )
+    w = Window.partitionBy("user_id")
+    mean_day = (
+        F.sum(F.col("day_value").cast("decimal(27,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return daily.select(
+        "user_id",
+        F.col("day").cast("date").alias("day"),
+        "day_value",
+        F.round(mean_day, 6).alias("mean_day_value"),
+        (F.col("day_value") > 3 * mean_day).alias("spike"),
+    )
+
+
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index construction: term -> (document frequency, total
+    term frequency, sorted posting list) — the retrieval-side primitive
+    of every search/RAG stack.  Postings are emitted as a joined string
+    so the cross-engine hash covers the full list content.
+
+    Scale shape: one explode + (term, doc) partial count, one shuffle to
+    the term key for df/tf/postings.  At 100 TB postings become delta-
+    encoded int arrays bucketed by term-hash range (the string join here
+    is the oracle-comparable form); the vocabulary key-space is Zipfian
+    but partial aggregation absorbs the head before the shuffle."""
+    d = _fan(_t(spark, sf_dir, "documents"))
+    toks = text.tokenize(F.col("text"))
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split on a shared md5 hash
+    (reproducible across engines AND across reruns — never rand()), with
+    per-split accounting: doc count, token sum, char sum.  The split
+    assignment every dataset release needs to be able to re-derive.
+
+    Scale shape: pure per-row projection + one 3-group aggregate; the
+    md5 bucket is uniform so splits are balanced without a shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), text.token_count(F.col("text")).alias("n_toks"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_toks").cast("long")).alias("sum_toks"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def retention_cohorts_weekly(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted per subsequent activity week offset — the canonical product-
+    analytics rollup (and the batch twin of the streaming funnel's
+    cross-batch user state).
+
+    Scale shape: first-week is one min-aggregate shuffle on user_id; the
+    activity join stays on the same key (AQE broadcasts the cohort side
+    when small); the final (cohort, offset) aggregate is tiny."""
+    e = _t(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+def pii_redaction_scrub(spark, sf_dir):
+    """PII scrubbing: email / phone / IP detection and redaction with
+    per-doc counts — the compliance pass every pretraining corpus runs
+    before release.  The corpus is word-soup, so each doc is prefixed
+    with a deterministic doc_id-derived contact line (same derivation in
+    the oracle) so the redaction paths are actually exercised; patterns
+    are kept to the Java-regex/RE2 common subset so both engines see
+    identical semantics.
+
+    Scale shape: pure per-row JVM regexp projection — no UDF, no
+    shuffle; at 100 TB this is the textbook map-only pass."""
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 "),
+        F.col("text"),
+    )
+    email = r"[a-z0-9._]+@[a-z0-9.-]+"
+    phone = r"\b555-[0-9]{4}\b"
+    ip = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    d = d.select("doc_id", synth.alias("raw"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        ip,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(email), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(phone), F.lit(0))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(ip), F.lit(0))).cast("long").alias("n_ips"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.substring(red, 1, 80).alias("redacted_head"),
+    )
+
+
+def url_domain_blocklist(spark, sf_dir):
+    """URL parsing + domain blocklist filter: derive each doc's source
+    URL (deterministic doc_id derivation, mirrored in the oracle),
+    extract the registrable domain by regex, and flag docs whose domain
+    is on a blocklist dim — the Common-Crawl-style URL filter.
+
+    Scale shape: the blocklist is broadcast (real blocklists are MBs
+    against a PB corpus); domain extraction is a per-row JVM regexp; no
+    shuffle beyond the broadcast hash join."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    dom = F.regexp_extract(url, r"https?://([^/]+)/", 1)
+    blocked = [f"src{i}-{j}.example.com" for i in (3, 7, 11) for j in (0, 13, 26, 39)]
+    bl = spark.createDataFrame([(b,) for b in blocked], "domain string").withColumn(
+        "__blocked__", F.lit(True)
+    )
+    return (
+        d.select("doc_id", url.alias("url"), dom.alias("domain"))
+        .join(F.broadcast(bl), "domain", "left")
+        .select(
+            "doc_id",
+            "url",
+            "domain",
+            F.coalesce(F.col("__blocked__"), F.lit(False)).alias("blocked"),
+        )
+    )
+
+
+def span_scrub_exact_substrings(spark, sf_dir):
+    """ExactSubstr-style span scrubbing (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any 5-token span that
+    recurs in >=3 DISTINCT documents is template text; every token
+    covered by such a span is REMOVED and the document reassembled from
+    the survivors — the transformation twin of boilerplate_shingle_flags
+    (which only flags).  Emits exact accounting plus md5 of the cleaned
+    text so the hash gate covers full reconstructed content.
+
+    Scale shape: shingle df is one partial-aggregated shuffle; the
+    boiler set joins back broadcast (template spans are a tiny head);
+    covered-position expansion is explode(sequence(s, s+4)) — bounded
+    5x the matched spans, not the corpus; reassembly is one shuffle to
+    doc_id with an in-group sort.  All corpus docs have >=10 tokens so
+    the short-doc degenerate (whole-doc single shingle) never fires;
+    production would pre-filter n<k."""
+    d = _fan(_t(spark, sf_dir, "documents"))
+    toks = text.tokenize(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).localCheckpoint(eager=True)
+    # sh feeds BOTH the df pass and the coverage join: checkpoint it so
+    # the shingle codegen (the expensive projection) runs once
+    sh = base.select(
+        "doc_id", F.posexplode(text.word_shingles_from_tokens(F.col("toks"), 5))
+    ).withColumnsRenamed({"pos": "start", "col": "sh"}).localCheckpoint(eager=True)
+    boiler = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("sh")
+    )
+    covered = (
+        sh.join(F.broadcast(boiler), "sh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + 4)).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = base.select("doc_id", F.posexplode("toks")).withColumnsRenamed(
+        {"pos": "pos", "col": "tok"}
+    )
+    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    n_toks = base.select("doc_id", F.size("toks").cast("long").alias("n_toks"))
+    return (
+        n_toks.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
+def phrase_search_positions(spark, sf_dir):
+    """Positional-index phrase search: every occurrence of the 3-token
+    phrase "the fast query" located by joining token positions (term at
+    p, p+1, p+2) — the retrieval primitive on top of
+    inverted_index_postings.  The oracle finds the same occurrences by
+    the shingle route, so parity cross-checks two different algorithms.
+
+    Scale shape: each term's postings are filtered BEFORE the position
+    joins (three narrow selective scans of the positional index), and
+    the p/p+1/p+2 equi-joins are on (doc_id, pos) — never a string scan
+    of the corpus."""
+    d = _fan(_t(spark, sf_dir, "documents"))
+    toks = text.tokenize(F.col("text"))
+    tp = d.select("doc_id", F.posexplode(toks)).withColumnsRenamed(
+        {"pos": "pos", "col": "tok"}
+    ).localCheckpoint(eager=True)
+    w1, w2, w3 = "the", "fast", "query"
+    t1 = tp.filter(F.col("tok") == w1).select("doc_id", "pos")
+    t2 = tp.filter(F.col("tok") == w2).select("doc_id", F.col("pos").alias("p2"))
+    t3 = tp.filter(F.col("tok") == w3).select("doc_id", F.col("pos").alias("p3"))
+    return (
+        t1.join(t2, "doc_id").filter(F.col("p2") == F.col("pos") + 1)
+        .join(t3, "doc_id").filter(F.col("p3") == F.col("pos") + 2)
+        .select("doc_id", F.col("pos").cast("long").alias("match_pos"))
+    )
+
+
+def graph_triangle_rare_shingles(spark, sf_dir):
+    """Triangle counting over the rare-shingle co-occurrence graph: an
+    edge links two docs sharing a df=2 5-gram (the sparse near-dup
+    candidate graph), and each node's triangle membership count is the
+    classic clustering signal — third graph op after connected
+    components and PageRank, same edge-derivation family.
+
+    Scale shape: node-iterator with ordered edges (a<b<c): two hash
+    joins on the edge list, each bounded by the sparse df=2 edge set;
+    the heavy-hitter guard is structural (df=2 means each shingle emits
+    exactly ONE pair — no quadratic bucket)."""
+    d = _fan(_t(spark, sf_dir, "documents"))
+    toks = text.tokenize(F.col("text"))
+    sh = d.select(
+        "doc_id", F.explode(text.word_shingles_from_tokens(toks, 5)).alias("sh")
+    ).distinct().localCheckpoint(eager=True)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") == 2)
+        .select("sh")
+    )
+    edges = (
+        sh.join(F.broadcast(rare), "sh")
+        .alias("a")
+        .join(sh.join(F.broadcast(rare), "sh").alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+def repetition_signals(spark, sf_dir):
+    """Within-document repetition metrics (the Gopher repetition table:
+    Rae et al. 2021 §A1.2): fraction of the doc occupied by its single
+    most frequent bigram, and the fraction of trigram positions whose
+    trigram repeats within the same doc — the screens that catch
+    keyword-stuffed and template-generated text that cross-doc dedup
+    misses.
+
+    Scale shape: two explode + (doc, gram) partial-count shuffles keyed
+    by doc_id; grams never leave their doc group, so the key-space is
+    doc-bounded (no global Zipf head)."""
+    d = _fan(_t(spark, sf_dir, "documents"))
+    toks = text.tokenize(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).localCheckpoint(eager=True)
+    bi = base.select(
+        "doc_id", F.explode(text.word_shingles_from_tokens(F.col("toks"), 2)).alias("g")
+    )
+    tri = base.select(
+        "doc_id", F.explode(text.word_shingles_from_tokens(F.col("toks"), 3)).alias("g")
+    )
+    bi_cnt = bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    bi_stats = bi_cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_bi"), F.sum("c").cast("long").alias("n_bi")
+    )
+    tri_cnt = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tri_stats = tri_cnt.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).cast("long").alias("dup_tri"),
+        F.sum("c").cast("long").alias("n_tri"),
+    )
+    return (
+        bi_stats.join(tri_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("top_bi").cast("long").alias("top_bigram_count"),
+            "n_bi",
+            F.round(F.col("top_bi") / F.col("n_bi"), 6).alias("top_bigram_frac"),
+            "dup_tri",
+            "n_tri",
+            F.round(F.col("dup_tri") / F.col("n_tri"), 6).alias("dup_trigram_frac"),
+            (
+                (F.col("top_bi") / F.col("n_bi") > 0.18)
+                | (F.col("dup_tri") / F.col("n_tri") > 0.30)
+            ).alias("flag_repetitive"),
+        )
+    )
+
+
+def text_formats_roundtrip(spark, sf_dir):
+    """Text-format IO surface: the corpus round-trips through JSONL and
+    CSV sinks/sources (explicit read schemas — never inference, which
+    drifts across engines and corpus samples) and the two read-backs are
+    reconciled field-by-field; per-lang accounting proves no row or
+    field was lost or mangled by either codec path.
+
+    Scale shape: format encode/decode is per-row JVM work scaling with
+    executors; the reconcile join keys on doc_id (uniform) and the
+    write here is repartitioned to a bounded file count — a production
+    export sizes files to ~1 GB via the same knob.  The tmp write is
+    harness scaffolding; a real pipeline reads its lake directly."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="fmt_io_")
+    try:
+        d = _t(spark, sf_dir, "documents")
+        d.repartition(4).write.mode("overwrite").json(f"{tmp}/jsonl")
+        d.repartition(4).write.mode("overwrite").option("header", True).csv(
+            f"{tmp}/csv"
+        )
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        j = spark.read.schema(schema).json(f"{tmp}/jsonl")
+        c = spark.read.schema(schema).option("header", True).csv(f"{tmp}/csv")
+        joined = j.alias("j").join(c.alias("c"), "doc_id")
+        res = (
+            joined.groupBy(F.col("j.lang").alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("j.n_chars")).cast("long").alias("sum_chars"),
+                F.sum(
+                    F.when(
+                        (F.col("j.text") == F.col("c.text"))
+                        & (F.col("j.source") == F.col("c.source")),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias("n_identical"),
+            )
+        )
+        res = res.cache()
+        res.count()  # pin rows before tmp cleanup
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
