@@ -58,6 +58,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangle_rare_shingles": Q.graph_triangle_rare_shingles,
     "repetition_signals": Q.repetition_signals,
     "text_formats_roundtrip": Q.text_formats_roundtrip,
+    "minhash_estimate_error": Q.minhash_estimate_error,
+    "asof_next_event": Q.asof_next_event,
+    "graph_bfs_hops": Q.graph_bfs_hops,
     # --- new in round 5: prefix so the driver samples them this round ---
     "dedup_minhash_arith_survivors": Q.dedup_minhash_arith_survivors,
     "connected_components_jaccard": Q.connected_components_jaccard,

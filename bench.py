@@ -152,6 +152,9 @@ HEADLINE = [
     "graph_triangle_rare_shingles",   # triangle counting on sparse sim graph
     "repetition_signals",             # within-doc Gopher repetition metrics
     "text_formats_roundtrip",         # JSONL/CSV encode-decode reconcile
+    "minhash_estimate_error",         # sketch-vs-exact accuracy contract
+    "asof_next_event",                # forward as-of via FOLLOWING frame
+    "graph_bfs_hops",                 # frontier BFS on near-dup graph
 ]
 
 

@@ -193,3 +193,75 @@ def test_repetition_signals_match_python(spark):
     assert int(row["top_bigram_count"]) == max(bi.values())
     assert int(row["n_bi"]) == sum(bi.values())
     assert int(row["dup_tri"]) == sum(c for c in tri.values() if c >= 2)
+
+
+def test_minhash_estimate_error_in_sqrt_k_regime(spark):
+    """16 hashes -> std ~ sqrt(J(1-J)/16) <= 0.125; the mean |err| over
+    candidate pairs must sit well inside a few sigma."""
+    out = Q.minhash_estimate_error(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    assert (out["abs_err"] >= 0).all()
+    assert out["abs_err"].mean() < 0.25
+    # estimates are multiples of 1/16
+    assert ((out["est_jaccard"] * 16).round(6) % 1 == 0).all()
+
+
+def test_asof_next_event_against_pandas(spark):
+    out = Q.asof_next_event(spark, SF_SMALL).toPandas()
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    e = e.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    import numpy as np
+
+    got = {int(r.purchase_id): r.micros_to_next_view for r in out.itertuples()}
+    checked = 0
+    for uid, g in e.groupby("user_id"):
+        rows = list(g.itertuples())
+        for i, r in enumerate(rows):
+            if r.event_type != "purchase":
+                continue
+            nxt = next(
+                (x.ts for x in rows[i + 1 :] if x.event_type == "view"), None
+            )
+            expect = None
+            if nxt is not None:
+                micros = (nxt - r.ts).value // 1000
+                if micros <= 3_600_000_000:
+                    expect = micros
+            gv = got[int(r.event_id)]
+            if expect is None:
+                assert gv is None or np.isnan(gv)
+            else:
+                assert int(gv) == expect
+            checked += 1
+    assert checked == len(out)
+
+
+def test_bfs_hops_match_python_bfs(spark):
+    out = Q.graph_bfs_hops(spark, SF_SMALL).toPandas()
+    docs = _docs(spark)
+    from collections import defaultdict, deque
+
+    by_sh = defaultdict(set)
+    for r in docs.itertuples():
+        toks = r.text.split()
+        for i in range(len(toks) - 4):
+            by_sh[" ".join(toks[i : i + 5])].add(int(r.doc_id))
+    adj = defaultdict(set)
+    for v in by_sh.values():
+        if len(v) == 2:
+            a, b = sorted(v)
+            adj[a].add(b)
+            adj[b].add(a)
+    seeds = [int(r.doc_id) for r in docs.itertuples() if r.doc_id % 100 == 0]
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    got = {int(r.doc_id): int(r.dist) for r in out.itertuples()}
+    assert got == dist

@@ -2762,3 +2762,106 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(count(*) AS BIGINT) AS n_identical
 FROM documents GROUP BY lang
 """
+
+
+ORACLES["minhash_estimate_error"] = f"""
+WITH hx AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS x
+  FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM documents)
+), m AS (
+  SELECT doc_id,
+    min((314187*x + 1299721) % 2147483647) AS m0,
+    min((523645*x + 2599442) % 2147483647) AS m1,
+    min((733103*x + 3899163) % 2147483647) AS m2,
+    min((942561*x + 5198884) % 2147483647) AS m3,
+    min((1152019*x + 6498605) % 2147483647) AS m4,
+    min((1361477*x + 7798326) % 2147483647) AS m5,
+    min((1570935*x + 9098047) % 2147483647) AS m6,
+    min((1780393*x + 10397768) % 2147483647) AS m7,
+    min((1989851*x + 11697489) % 2147483647) AS m8,
+    min((2199309*x + 12997210) % 2147483647) AS m9,
+    min((2408767*x + 14296931) % 2147483647) AS m10,
+    min((2618225*x + 15596652) % 2147483647) AS m11,
+    min((2827683*x + 16896373) % 2147483647) AS m12,
+    min((3037141*x + 18196094) % 2147483647) AS m13,
+    min((3246599*x + 19495815) % 2147483647) AS m14,
+    min((3456057*x + 20795536) % 2147483647) AS m15
+  FROM hx GROUP BY doc_id
+), bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, CAST({b} AS VARCHAR) || '_' || CAST(m{2*b} AS VARCHAR)"
+    f" || '_' || CAST(m{2*b+1} AS VARCHAR) AS bk FROM m"
+    for b in range(8)
+  )}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+), est AS (
+  SELECT doc_a, doc_b,
+    ({" + ".join(f"CAST(ma.m{i} = mb.m{i} AS INT)" for i in range(16))}) / 16.0
+      AS est_jaccard
+  FROM cand JOIN m ma ON cand.doc_a = ma.doc_id
+            JOIN m mb ON cand.doc_b = mb.doc_id
+), sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS s FROM documents
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT cand.doc_a, cand.doc_b, count(*) AS i
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.doc_a
+  JOIN sh b ON b.doc_id = cand.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT est.doc_a, est.doc_b,
+  round(est_jaccard, 6) AS est_jaccard,
+  round(CAST(coalesce(i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i, 0)), 6)
+    AS true_jaccard,
+  round(abs(round(est_jaccard, 6)
+    - round(CAST(coalesce(i, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(i, 0)), 6)), 6)
+    AS abs_err
+FROM est
+LEFT JOIN inter ON est.doc_a = inter.doc_a AND est.doc_b = inter.doc_b
+JOIN sz sa ON est.doc_a = sa.doc_id
+JOIN sz sb ON est.doc_b = sb.doc_id
+"""
+
+
+ORACLES["asof_next_event"] = """
+WITH x AS (
+  SELECT user_id, event_id, ts, event_type,
+    min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+  FROM events
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+  CASE WHEN epoch_us(nv) - epoch_us(ts) <= 3600000000 THEN nv END AS next_view_ts,
+  CASE WHEN epoch_us(nv) - epoch_us(ts) <= 3600000000
+       THEN epoch_us(nv) - epoch_us(ts) END AS micros_to_next_view
+FROM x WHERE event_type = 'purchase'
+"""
+
+
+ORACLES["graph_bfs_hops"] = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 4)) u(i)
+), rare AS (
+  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df FROM s GROUP BY 1)
+  WHERE df = 2
+), edges AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM s a JOIN rare USING (sh) JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+), und AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), bfs AS (
+  SELECT doc_id, 0 AS dist FROM documents WHERE doc_id % 100 = 0
+  UNION
+  SELECT und.v AS doc_id, bfs.dist + 1 AS dist
+  FROM bfs JOIN und ON bfs.doc_id = und.u WHERE bfs.dist < 3
+)
+SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY doc_id
+"""

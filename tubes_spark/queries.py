@@ -5201,3 +5201,180 @@ def text_formats_roundtrip(spark, sf_dir):
         return res
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def minhash_estimate_error(spark, sf_dir):
+    """MinHash accuracy contract, oracle-gated per pair: for every LSH
+    candidate pair, the signature-agreement estimate (matching minima /
+    16) is emitted NEXT TO the exact Jaccard it estimates, plus the
+    absolute error — the verification query that tells an operator what
+    the sketch is actually worth on their corpus (test_round5c pins the
+    mean error to the O(1/sqrt(k)) regime).
+
+    Scale shape: signatures are one map-side-combined 16-min aggregate;
+    candidates come from the banded self-join (never all-pairs); the
+    exact-Jaccard verify joins shingle sets for candidates only — the
+    same candidate-bounded pattern as jaccard_exact_prefix_join."""
+    d = _t(spark, sf_dir, "documents")
+    fam = dedup.arith_hash_family(16)
+    toks = d.select(
+        "doc_id", F.split(text.normalize(F.col("text")), " ").alias("toks")
+    ).repartition(32, "doc_id")
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text.word_shingles_from_tokens(F.col("toks"), 3))
+        ).alias("sh"),
+    ).localCheckpoint(eager=True)
+    ex = sh.select("doc_id", dedup.arith_shingle_hash(F.col("sh")).alias("x"))
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(dedup.ARITH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(fam)
+        ]
+    ).localCheckpoint(eager=True)
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(bnd),
+                        F.col(f"m{2 * bnd}").cast("string"),
+                        F.col(f"m{2 * bnd + 1}").cast("string"),
+                    )
+                    for bnd in range(8)
+                ]
+            )
+        ).alias("bk"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "bk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = mins.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)])
+    mb = mins.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(16)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(16)
+    )
+    est = cand.join(ma, "doc_a").join(mb, "doc_b").select(
+        "doc_a", "doc_b", (agree / F.lit(16.0)).alias("est_jaccard")
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    nsz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(nsz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(nsz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("i", F.coalesce(F.col("i"), F.lit(0)))
+        .withColumn(
+            "true_jaccard",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6),
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        "true_jaccard",
+        F.round(F.abs(F.round("est_jaccard", 6) - F.col("true_jaccard")), 6).alias("abs_err"),
+    )
+
+
+def asof_next_event(spark, sf_dir):
+    """FORWARD as-of join: for each purchase, the next view strictly
+    after it (row-frame min over the user's future views), kept when
+    within one hour — completes the as-of surface (asof_purchase is the
+    backward direction).  Expressed as a conditional min over an
+    explicit FOLLOWING frame instead of a join: one shuffle on user_id,
+    no self-join, and ties resolve by the pinned (ts, event_id) sort on
+    both engines.
+
+    Scale shape: identical to every keyed-window query — events
+    shuffle once to user_id; the frame scan is in-partition."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    # gap MUST reference the materialized nv column: re-stating the
+    # window expression after the purchase filter would re-run the min
+    # over purchases only (no views left in frame -> all NULL)
+    gap = F.unix_micros(F.col("nv")) - F.unix_micros(F.col("ts"))
+    return (
+        e.withColumn("nv", next_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.when(gap <= 3_600_000_000, F.col("nv")).alias("next_view_ts"),
+            F.when(gap <= 3_600_000_000, gap).alias("micros_to_next_view"),
+        )
+    )
+
+
+def graph_bfs_hops(spark, sf_dir):
+    """BFS shortest-hop distances (<=3 hops) from a seed set over the
+    rare-shingle near-dup graph — the fourth graph primitive (after
+    connected components, PageRank, triangles), the "how close is this
+    doc to a known-bad seed" contamination query.  Checked against a
+    DuckDB recursive-CTE ground truth.
+
+    Scale shape: classic frontier BFS — each hop is ONE join of the
+    (shrinking) frontier against the edge list plus an anti-join on the
+    visited set; lineage is truncated per hop (localCheckpoint) exactly
+    like the label-propagation loop in operators/dedup.py."""
+    d = _fan(_t(spark, sf_dir, "documents"))
+    toks = text.tokenize(F.col("text"))
+    sh = d.select(
+        "doc_id", F.explode(text.word_shingles_from_tokens(toks, 5)).alias("sh")
+    ).distinct().localCheckpoint(eager=True)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") == 2)
+        .select("sh")
+    )
+    ed = (
+        sh.join(F.broadcast(rare), "sh")
+        .alias("a")
+        .join(sh.join(F.broadcast(rare), "sh").alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .distinct()
+    )
+    und = ed.unionByName(
+        ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    seeds = (
+        d.select("doc_id").filter(F.col("doc_id") % 100 == 0).distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    visited = seeds.localCheckpoint(eager=True)
+    frontier = visited.select("doc_id")
+    for hop in (1, 2, 3):
+        nxt = (
+            frontier.join(und, frontier.doc_id == und.u)
+            .select(F.col("v").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("doc_id")
+    return visited.select("doc_id", F.col("dist").cast("long").alias("dist"))
