@@ -61,6 +61,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_estimate_error": Q.minhash_estimate_error,
     "asof_next_event": Q.asof_next_event,
     "graph_bfs_hops": Q.graph_bfs_hops,
+    "bm25_search_scores": Q.bm25_search_scores,
+    "markov_event_transitions": Q.markov_event_transitions,
+    "near_dup_cluster_stats": Q.near_dup_cluster_stats,
     # --- new in round 5: prefix so the driver samples them this round ---
     "dedup_minhash_arith_survivors": Q.dedup_minhash_arith_survivors,
     "connected_components_jaccard": Q.connected_components_jaccard,

@@ -155,6 +155,8 @@ HEADLINE = [
     "minhash_estimate_error",         # sketch-vs-exact accuracy contract
     "asof_next_event",                # forward as-of via FOLLOWING frame
     "graph_bfs_hops",                 # frontier BFS on near-dup graph
+    "bm25_search_scores",             # BM25 retrieval scoring
+    "markov_event_transitions",       # behavioral transition matrix
 ]
 
 

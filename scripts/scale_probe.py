@@ -59,12 +59,26 @@ LINEAR_QUERIES = [
     "shuffle_shards_manifest",
     "binned_interval_counts",
     "bpe_encode_corpus",
+    # round 5c
+    "span_scrub_exact_substrings",
+    "pii_redaction_scrub",
+    "repetition_signals",
+    "inverted_index_postings",
+    "retention_cohorts_weekly",
+    "window_funcs_battery",
+    "bm25_search_scores",
+    "markov_event_transitions",
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not
     # held to the linear bar
     "ngram_cosine_top_pairs",
     "knn_bruteforce",
+    # candidate pairs grow ~replica^2 within each near-dup clone family
+    # on THIS synth corpus (every doc gains 9 deliberate near-dups), so
+    # the verify stage is quadratic by data design, not by plan
+    "minhash_estimate_error",
+    "jaccard_exact_prefix_join",
 ]
 
 

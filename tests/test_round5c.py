@@ -265,3 +265,54 @@ def test_bfs_hops_match_python_bfs(spark):
                 dq.append(v)
     got = {int(r.doc_id): int(r.dist) for r in out.itertuples()}
     assert got == dist
+
+
+def test_bm25_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    out = Q.bm25_search_scores(spark, SF_SMALL).toPandas()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").toPandas()
+    terms = ["table", "merge", "window"]
+    k1, b = 1.2, 0.75
+    toks = {int(r.doc_id): r.text.split() for r in docs.itertuples()}
+    N = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    expected = {}
+    for did, ts in toks.items():
+        c = Counter(ts)
+        score = 0.0
+        hits = 0
+        for t in terms:
+            if c[t] == 0:
+                continue
+            hits += 1
+            idf = math.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            score += round(
+                idf * (c[t] * (k1 + 1)) / (c[t] + k1 * (1 - b + b * len(ts) / avgdl)),
+                6,
+            )
+        if hits:
+            expected[did] = (hits, round(score, 6))
+    got = {
+        int(r.doc_id): (int(r.n_terms_hit), round(float(r.bm25), 6))
+        for r in out.itertuples()
+    }
+    assert got == expected
+
+
+def test_markov_transitions_probabilities_sum_to_one(spark):
+    out = Q.markov_event_transitions(spark, SF_SMALL).toPandas()
+    sums = out.groupby("from_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    # counts conserve: total transitions = total events - n_users
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    assert int(out["n"].sum()) == len(e) - e["user_id"].nunique()
+
+
+def test_cluster_stats_conserve_docs(spark):
+    comp = Q.connected_components_jaccard(spark, SF_SMALL).toPandas()
+    stats = Q.near_dup_cluster_stats(spark, SF_SMALL).toPandas()
+    assert int((stats["cluster_size"] * stats["n_clusters"]).sum()) == len(comp)
+    assert (stats["cluster_size"] >= 2).all()

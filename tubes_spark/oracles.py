@@ -2865,3 +2865,58 @@ WITH RECURSIVE t AS (
 )
 SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY doc_id
 """
+
+
+ORACLES["bm25_search_scores"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  WHERE term IN ('table', 'merge', 'window') GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), comp AS (
+  SELECT tf.doc_id,
+    round(
+      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * (tf * 2.2)
+      / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))), 6) AS comp
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+  CAST(SUM(CAST(comp AS DECIMAL(27,6))) AS DOUBLE) AS bm25
+FROM comp GROUP BY doc_id
+"""
+
+
+ORACLES["markov_event_transitions"] = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM pairs
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""
+
+
+ORACLES["near_dup_cluster_stats"] = f"""
+WITH base AS ({ORACLES["connected_components_jaccard"]}),
+sizes AS (
+  SELECT comp, count(*) AS cluster_size FROM base GROUP BY comp
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY 1
+"""

@@ -5378,3 +5378,115 @@ def graph_bfs_hops(spark, sf_dir):
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("doc_id")
     return visited.select("doc_id", F.col("dist").cast("long").alias("dist"))
+
+
+def bm25_search_scores(spark, sf_dir):
+    """BM25 ranking (Robertson et al.; the Lucene-form idf) for a fixed
+    3-term query over the corpus — the retrieval scorer on top of
+    inverted_index_postings.  Every doc containing >=1 query term is
+    emitted with its score (no top-k cut: selection by a rounded float
+    would be the one cross-engine instability, so ranking is left to
+    the caller's ORDER BY score, doc_id).  Per-term score components
+    are rounded to 6dp and decimal-summed so the doc score is
+    order-independent — the same float discipline as every dsum.
+
+    Scale shape: the term postings are filtered BEFORE any join (3
+    selective index probes); corpus stats (N, avgdl) are a 1-row
+    broadcast; df comes from a 3-row aggregate.  Nothing touches
+    non-matching docs."""
+    QUERY_TERMS = ["table", "merge", "window"]
+    k1, b = 1.2, 0.75
+    d = _fan(_t(spark, sf_dir, "documents"))
+    toks = text.tokenize(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).localCheckpoint(eager=True)
+    dl = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "comp",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum(F.col("comp").cast("decimal(27,6)")).cast("double").alias("bm25"),
+        )
+    )
+
+
+def markov_event_transitions(spark, sf_dir):
+    """First-order behavioral Markov model: the event-type transition
+    matrix over each user's time-ordered stream — counts and row-
+    normalized probabilities for every (from, to) pair.  The classic
+    product-analytics "what happens after X" rollup and the statistical
+    complement of the funnel queries (which test one specific path).
+
+    Scale shape: one shuffle on user_id for the lead() pairing, then a
+    25-cell aggregate; probabilities come from a window over from_type
+    (25 rows — trivial)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    )
+
+
+def near_dup_cluster_stats(spark, sf_dir):
+    """Dedup-cluster audit: the size distribution of the exact-Jaccard
+    connected components (how much of the corpus sits in 2-doc pairs vs
+    larger duplicate families) plus the implied removable-doc count —
+    the rollup a curation team reads before choosing a survivor policy.
+    Same verified component labels (and the same sweep-tractability
+    doc_id cap) as connected_components_jaccard; the oracle composes
+    that query's SQL and aggregates it.
+
+    Scale shape: two tiny aggregates over the component labels — the
+    cost is the upstream CC pipeline, already plan-audited."""
+    comp = connected_components_jaccard(spark, sf_dir)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+        )
+    )
