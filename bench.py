@@ -157,6 +157,8 @@ HEADLINE = [
     "graph_bfs_hops",                 # frontier BFS on near-dup graph
     "bm25_search_scores",             # BM25 retrieval scoring
     "markov_event_transitions",       # behavioral transition matrix
+    "stats_corr_regression",          # exact-moment corr/OLS per group
+    "schema_evolution_union",         # by-name union across schema gens
 ]
 
 

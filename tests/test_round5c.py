@@ -316,3 +316,26 @@ def test_cluster_stats_conserve_docs(spark):
     stats = Q.near_dup_cluster_stats(spark, SF_SMALL).toPandas()
     assert int((stats["cluster_size"] * stats["n_clusters"]).sum()) == len(comp)
     assert (stats["cluster_size"] >= 2).all()
+
+
+def test_corr_regression_matches_numpy(spark):
+    import numpy as np
+
+    out = Q.stats_corr_regression(spark, SF_SMALL).toPandas()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").toPandas()
+    for r in out.itertuples():
+        g = li[(li.l_returnflag == r.l_returnflag) & (li.l_linestatus == r.l_linestatus)]
+        x, y = g["l_discount"].values, g["l_quantity"].values
+        assert abs(r.pearson_r - np.corrcoef(x, y)[0, 1]) < 1e-4
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r.ols_slope - slope) < 1e-3
+        assert abs(r.ols_intercept - intercept) < 1e-3
+
+
+def test_schema_evolution_union_conserves_orders(spark):
+    out = Q.schema_evolution_union(spark, SF_SMALL).toPandas()
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").toPandas()
+    assert int(out["n_orders"].sum()) == len(o)
+    # the legacy half lands in UNKNOWN
+    unknown = int(out[out.o_orderpriority == "UNKNOWN"]["n_orders"].iloc[0])
+    assert unknown == int((o["o_orderkey"] % 2 == 0).sum())

@@ -2920,3 +2920,38 @@ SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
   CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
 FROM sizes GROUP BY 1
 """
+
+
+ORACLES["stats_corr_regression"] = f"""
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(count(*) AS BIGINT) AS n,
+    {_dsum('l_discount')} AS sx,
+    {_dsum('l_quantity')} AS sy,
+    {_dsum('round(l_discount * l_quantity, 6)')} AS sxy,
+    {_dsum('round(l_discount * l_discount, 6)')} AS sxx,
+    {_dsum('round(l_quantity * l_quantity, 6)')} AS syy
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n,
+  round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+    AS pearson_r,
+  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS ols_slope,
+  round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n), 6)
+    AS ols_intercept
+FROM g
+"""
+
+
+ORACLES["schema_evolution_union"] = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, 'UNKNOWN' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+  {_dsum('o_totalprice')} AS sum_price
+FROM merged GROUP BY 1
+"""

@@ -5490,3 +5490,66 @@ def near_dup_cluster_stats(spark, sf_dir):
             F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
         )
     )
+
+
+def stats_corr_regression(spark, sf_dir):
+    """Correlation / least-squares battery per group, built from EXACT
+    decimal moments instead of the built-in corr()/regr_*() aggregates:
+    sum(x), sum(y), sum(x*y), sum(x^2), sum(y^2) all accumulate as
+    DECIMAL(27,6) (order-independent), and Pearson r / OLS slope +
+    intercept come out as one deterministic IEEE expression each —
+    the float-discipline answer to "moment aggregates don't hash-match
+    across engines".  The feature-screening query of every modeling
+    pipeline (here: does discount predict quantity, per return flag).
+
+    Scale shape: one partial-aggregated shuffle to 6 groups; the moment
+    algebra is constant work per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_discount"), F.col("l_quantity")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(F.round(x * y, 6)).alias("sxy"),
+        dsum(F.round(x * x, 6)).alias("sxx"),
+        dsum(F.round(y * y, 6)).alias("syy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+        F.round(cov / vx, 6).alias("ols_slope"),
+        F.round(F.col("sy") / n - (cov / vx) * (F.col("sx") / n), 6).alias(
+            "ols_intercept"
+        ),
+    )
+
+
+def schema_evolution_union(spark, sf_dir):
+    """Schema-evolution union: two generations of the same feed — an
+    old extract lacking a column and a new extract with it — combine
+    via unionByName(allowMissingColumns) with explicit defaults, then
+    roll up per generation.  The everyday lake problem of reading
+    across a schema migration without rewriting history.
+
+    Scale shape: a by-name union is a zero-shuffle plan concatenation;
+    the default fill is a per-row projection on the legacy branch."""
+    o = _t(spark, sf_dir, "orders")
+    old_gen = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_gen = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    merged = old_gen.unionByName(new_gen, allowMissingColumns=True).withColumn(
+        "o_orderpriority", F.coalesce(F.col("o_orderpriority"), F.lit("UNKNOWN"))
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
