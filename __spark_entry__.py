@@ -66,6 +66,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_cluster_stats": Q.near_dup_cluster_stats,
     "stats_corr_regression": Q.stats_corr_regression,
     "schema_evolution_union": Q.schema_evolution_union,
+    "langid_confusion_matrix": Q.langid_confusion_matrix,
     # --- new in round 5: prefix so the driver samples them this round ---
     "dedup_minhash_arith_survivors": Q.dedup_minhash_arith_survivors,
     "connected_components_jaccard": Q.connected_components_jaccard,

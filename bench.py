@@ -159,6 +159,7 @@ HEADLINE = [
     "markov_event_transitions",       # behavioral transition matrix
     "stats_corr_regression",          # exact-moment corr/OLS per group
     "schema_evolution_union",         # by-name union across schema gens
+    "langid_confusion_matrix",        # langid accuracy audit matrix
 ]
 
 

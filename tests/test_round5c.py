@@ -339,3 +339,15 @@ def test_schema_evolution_union_conserves_orders(spark):
     # the legacy half lands in UNKNOWN
     unknown = int(out[out.o_orderpriority == "UNKNOWN"]["n_orders"].iloc[0])
     assert unknown == int((o["o_orderkey"] % 2 == 0).sum())
+
+
+def test_langid_confusion_exposes_metadata_only_labels(spark):
+    """The synthetic corpus is English-vocab word soup under every
+    declared lang: the matrix must show the detector never confirming
+    a non-en label (the audit finding), and rows must normalize."""
+    out = Q.langid_confusion_matrix(spark, SF_SMALL).toPandas()
+    assert set(out["lang_pred"]) <= {"en", "und"}
+    non_en = out[(out.lang != "en") & out.is_correct]
+    assert len(non_en) == 0
+    sums = out.groupby("lang")["frac_of_declared"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()

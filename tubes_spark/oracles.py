@@ -2955,3 +2955,22 @@ SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
   {_dsum('o_totalprice')} AS sum_price
 FROM merged GROUP BY 1
 """
+
+
+ORACLES["langid_confusion_matrix"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    {_lang_scores}
+  FROM documents
+), m AS (
+  SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best FROM t
+), p AS (
+  SELECT lang, {_lang_case()} AS lang_pred FROM m
+), c AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n,
+  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6) AS frac_of_declared,
+  (lang = lang_pred) AS is_correct
+FROM c
+"""

@@ -5553,3 +5553,28 @@ def schema_evolution_union(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+def langid_confusion_matrix(spark, sf_dir):
+    """Language-ID QA: the confusion matrix of declared label vs the
+    n-gram detector's prediction, with per-declared-language recall —
+    the accuracy audit every langid pre-filter needs before it gates a
+    corpus.  On THIS corpus it surfaces a real data finding: the text
+    is English-vocab word soup for every declared lang, so the matrix
+    shows en/und predictions across all five labels — declared lang is
+    metadata-only, exactly the mismatch this audit exists to catch
+    before a langid gate silently drops 80% of a corpus.
+
+    Scale shape: the detector is a per-row JVM projection; the matrix
+    is a <=25-cell aggregate with a 5-row window for recall."""
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
+    m = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return m.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_declared"),
+        (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
+    )
