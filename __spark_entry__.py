@@ -67,43 +67,52 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_corr_regression": Q.stats_corr_regression,
     "schema_evolution_union": Q.schema_evolution_union,
     "langid_confusion_matrix": Q.langid_confusion_matrix,
-    # --- new in round 5: prefix so the driver samples them this round ---
+    # --- never-driver-sampled r5a/5b keys, highest-priority first: the
+    # round-5 gate samples positions 1-50, so these VERDICT-responsive and
+    # novel-algorithm queries take the remaining slots; the r5a/5b keys
+    # displaced below position 50 rotate to the FRONT of the round-6 prefix
+    # (all are green in the local harness and the sf0.1 sweep meanwhile) ---
     "dedup_minhash_arith_survivors": Q.dedup_minhash_arith_survivors,
+    "dedup_simhash_arith_survivors": Q.dedup_simhash_arith_survivors,
+    "text_winnow_arith_fingerprints": Q.text_winnow_arith_fingerprints,
     "connected_components_jaccard": Q.connected_components_jaccard,
     "streaming_dedup_watermark": Q.streaming_dedup_watermark,
+    "streaming_upsert_latest": Q.streaming_upsert_latest,
+    "streaming_enrich_static": Q.streaming_enrich_static,
+    "streaming_incremental_rollup": Q.streaming_incremental_rollup,
+    "streaming_left_outer_join": Q.streaming_left_outer_join,
+    "rolling_1h_user_value": Q.rolling_1h_user_value,
+    "ann_recall_contract_check": Q.ann_recall_contract_check,
+    "custom_source_arith_events": Q.custom_source_arith_events,
+    "custom_stream_source_drain": Q.custom_stream_source_drain,
+    "ewma_user_values": Q.ewma_user_values,
+    "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
+    "multimodal_image_ahash": Q.multimodal_image_ahash,
+    "multimodal_audio_energy": Q.multimodal_audio_energy,
+    "streaming_late_data": Q.streaming_late_data,
+    "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
+    "bpe_first_merges": Q.bpe_first_merges,
+    "bpe_encode_corpus": Q.bpe_encode_corpus,
+    "doc_centrality_pagerank": Q.doc_centrality_pagerank,
+    "jaccard_exact_prefix_join": Q.jaccard_exact_prefix_join,
+    "funnel_3step_batch": Q.funnel_3step_batch,
+    "cms_token_frequencies": Q.cms_token_frequencies,
+    # --- r5a/5b keys displaced past the 50-key sample by the r5c
+    # rebalance: rotate THESE to the front of the round-6 prefix ---
     "array_hof_doc_stats": Q.array_hof_doc_stats,
     "datetime_funcs_events": Q.datetime_funcs_events,
     "percentile_approx_bound_check": Q.percentile_approx_bound_check,
-    "streaming_enrich_static": Q.streaming_enrich_static,
     "approx_distinct_bound_check": Q.approx_distinct_bound_check,
-    "dedup_simhash_arith_survivors": Q.dedup_simhash_arith_survivors,
-    "rolling_1h_user_value": Q.rolling_1h_user_value,
-    "streaming_upsert_latest": Q.streaming_upsert_latest,
-    "ann_recall_contract_check": Q.ann_recall_contract_check,
-    "text_winnow_arith_fingerprints": Q.text_winnow_arith_fingerprints,
     "dedup_invariant_check": Q.dedup_invariant_check,
-    "custom_source_arith_events": Q.custom_source_arith_events,
-    "custom_stream_source_drain": Q.custom_stream_source_drain,
     "chunk_documents_ctx": Q.chunk_documents_ctx,
     "embedding_sq8_roundtrip": Q.embedding_sq8_roundtrip,
     "build_vocab_ids": Q.build_vocab_ids,
     "zorder_key_events": Q.zorder_key_events,
     "ansi_try_funcs": Q.ansi_try_funcs,
-    "streaming_incremental_rollup": Q.streaming_incremental_rollup,
     "corpus_quality_report": Q.corpus_quality_report,
-    "bpe_first_merges": Q.bpe_first_merges,
-    "multimodal_image_ahash": Q.multimodal_image_ahash,
-    "multimodal_audio_energy": Q.multimodal_audio_energy,
     "dedup_images_ahash": Q.dedup_images_ahash,
     "export_manifest_shards": Q.export_manifest_shards,
     "full_outer_user_reconciliation": Q.full_outer_user_reconciliation,
-    "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
-    "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
-    "streaming_late_data": Q.streaming_late_data,
-    # ewma gained its recursive-CTE oracle this round (was rows-only in
-    # r1-r4): keep it inside the sampled prefix for its first hash pass
-    "ewma_user_values": Q.ewma_user_values,
-    # round-5b additions (this session): curation depth + layout + ranges
     "gopher_quality_flags": Q.gopher_quality_flags,
     "boilerplate_shingle_flags": Q.boilerplate_shingle_flags,
     "vocab_oov_rate": Q.vocab_oov_rate,
@@ -112,20 +121,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contiguous_global_ids": Q.contiguous_global_ids,
     "shuffle_shards_manifest": Q.shuffle_shards_manifest,
     "binned_interval_counts": Q.binned_interval_counts,
-    "bpe_encode_corpus": Q.bpe_encode_corpus,
     "ivf_assign_cells": Q.ivf_assign_cells,
     "curriculum_phases": Q.curriculum_phases,
-    "cms_token_frequencies": Q.cms_token_frequencies,
     "bloom_decontaminate_check": Q.bloom_decontaminate_check,
-    "doc_centrality_pagerank": Q.doc_centrality_pagerank,
-    "streaming_left_outer_join": Q.streaming_left_outer_join,
-    # positions 51-52: past this round's 50-key sample — rotate these
-    # to the front of the round-6 prefix for their first driver rows
-    # (local parity + sf0.1 sweep cover them meanwhile)
-    "jaccard_exact_prefix_join": Q.jaccard_exact_prefix_join,
-    "funnel_3step_batch": Q.funnel_3step_batch,
-    # --- never driver-sampled in r1-r3: prefix them (r4 rotation) ---
-    # registered this round (were orphaned in the r3 snapshot)
+    # --- below here: keys with a driver hash pass in some earlier round ---
     "quality_bigram_logprob": Q.quality_bigram_logprob,
     "mix_sources_token_budget": Q.mix_sources_token_budget,
     "top_bigrams_global": Q.top_bigrams_global,
