@@ -97,6 +97,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_exact_prefix_join": Q.jaccard_exact_prefix_join,
     "funnel_3step_batch": Q.funnel_3step_batch,
     "cms_token_frequencies": Q.cms_token_frequencies,
+    # winsorize/debounce land at 51-52 (their percentile + keyed-lag
+    # machinery already has gate rows via quantiles_by_priority and
+    # rolling_1h_user_value): rotate forward in round 6
+    "winsorize_event_values": Q.winsorize_event_values,
+    "debounce_user_events": Q.debounce_user_events,
     # --- r5a/5b keys displaced past the 50-key sample by the r5c
     # rebalance: rotate THESE to the front of the round-6 prefix ---
     "array_hof_doc_stats": Q.array_hof_doc_stats,

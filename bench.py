@@ -160,6 +160,8 @@ HEADLINE = [
     "stats_corr_regression",          # exact-moment corr/OLS per group
     "schema_evolution_union",         # by-name union across schema gens
     "langid_confusion_matrix",        # langid accuracy audit matrix
+    "winsorize_event_values",         # exact-percentile outlier clipping
+    "debounce_user_events",           # keyed-gap telemetry de-noising
 ]
 
 

@@ -351,3 +351,25 @@ def test_langid_confusion_exposes_metadata_only_labels(spark):
     assert len(non_en) == 0
     sums = out.groupby("lang")["frac_of_declared"].sum()
     assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+def test_winsorize_bounds_and_clip_semantics(spark):
+    out = Q.winsorize_event_values(spark, SF_SMALL).toPandas()
+    assert (out["clipped"] >= out["lo"] - 1e-9).all()
+    assert (out["clipped"] <= out["hi"] + 1e-9).all()
+    inside = out[~out.was_clipped]
+    assert (inside["clipped"] == inside["value"]).all()
+    # ~2% of each type clips (P01/P99 tails), never more than ~6%
+    frac = out.groupby("event_type")["was_clipped"].mean()
+    assert (frac < 0.06).all() and (frac > 0).all()
+
+
+def test_debounce_matches_pandas_lag(spark):
+    out = Q.debounce_user_events(spark, SF_SMALL).toPandas()
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet").toPandas()
+    e = e.sort_values(["user_id", "event_type", "ts", "event_id"])
+    prev = e.groupby(["user_id", "event_type"])["ts"].shift(1)
+    gap_ok = ((e["ts"] - prev).dt.total_seconds() >= 300) | prev.isna()
+    expected = dict(zip(e["event_id"].astype(int), gap_ok))
+    got = dict(zip(out["event_id"].astype(int), out["kept"]))
+    assert got == expected

@@ -2974,3 +2974,27 @@ SELECT lang, lang_pred, n,
   (lang = lang_pred) AS is_correct
 FROM c
 """
+
+
+ORACLES["winsorize_event_values"] = """
+WITH b AS (
+  SELECT event_type,
+    round(quantile_cont(value, 0.01), 6) AS lo,
+    round(quantile_cont(value, 0.99), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value, lo, hi,
+  least(greatest(value, lo), hi) AS clipped,
+  (value < lo OR value > hi) AS was_clipped
+FROM events e JOIN b ON e.event_type = b.event_type
+"""
+
+
+ORACLES["debounce_user_events"] = """
+SELECT event_id, user_id, event_type, ts,
+  coalesce(
+    epoch_us(ts) - epoch_us(lag(ts) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id)) >= 300000000,
+    TRUE) AS kept
+FROM events
+"""

@@ -5578,3 +5578,58 @@ def langid_confusion_matrix(spark, sf_dir):
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_declared"),
         (F.col("lang") == F.col("lang_pred")).alias("is_correct"),
     )
+
+
+def winsorize_event_values(spark, sf_dir):
+    """Winsorization (outlier clipping) of event values at the exact
+    per-type P01/P99 — the robust-scaling step run before any numeric
+    column feeds a training pipeline.  Bounds use exact interpolated
+    percentiles (the same cross-engine-stable machinery
+    quantiles_by_priority gates) and are rounded to 6dp so the clip
+    decision is bit-identical in both engines.
+
+    Scale shape: one per-type percentile aggregate (5 rows) broadcast
+    back onto the stream; the clip is a per-row projection."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "lo",
+            "hi",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+                "clipped"
+            ),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+                "was_clipped"
+            ),
+        )
+    )
+
+
+def debounce_user_events(spark, sf_dir):
+    """Gap-based event debouncing: an event is dropped when the SAME
+    user emitted the SAME event type less than 5 minutes earlier — the
+    standard telemetry de-noising pass (the windowed-gap variant: the
+    reference point is the previous raw event, not the previous kept
+    one, which is what dropDuplicatesWithinWatermark implements on the
+    streaming side and what one lag() expresses in batch).
+
+    Scale shape: one shuffle on (user_id, event_type) + an in-partition
+    lag; no self-join."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.coalesce(gap >= 300_000_000, F.lit(True)).alias("kept"),
+    )
