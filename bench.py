@@ -162,6 +162,7 @@ HEADLINE = [
     "langid_confusion_matrix",        # langid accuracy audit matrix
     "winsorize_event_values",         # exact-percentile outlier clipping
     "debounce_user_events",           # keyed-gap telemetry de-noising
+    "embedding_outlier_screen",       # cosine-to-centroid quality gate
 ]
 
 

@@ -373,3 +373,21 @@ def test_debounce_matches_pandas_lag(spark):
     expected = dict(zip(e["event_id"].astype(int), gap_ok))
     got = dict(zip(out["event_id"].astype(int), out["kept"]))
     assert got == expected
+
+
+def test_embedding_outlier_cosine_matches_numpy(spark):
+    import numpy as np
+
+    out = Q.embedding_outlier_screen(spark, SF_SMALL).toPandas()
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    labels = {int(r.vec_id): int(r.label) for r in emb.itertuples()}
+    cents = {}
+    for lbl in set(labels.values()):
+        m = np.stack([v for k, v in vecs.items() if labels[k] == lbl])
+        cents[lbl] = m.mean(axis=0)
+    for r in out.itertuples():
+        v, c = vecs[int(r.vec_id)], cents[int(r.label)]
+        cos = float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        assert abs(r.cos_to_centroid - cos) < 1e-3
+    assert len(out) == len(emb)

@@ -2998,3 +2998,27 @@ SELECT event_id, user_id, event_type, ts,
     TRUE) AS kept
 FROM events
 """
+
+
+ORACLES["embedding_outlier_screen"] = """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+    CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+    CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, pos
+), j AS (
+  SELECT ex.vec_id, ex.label,
+    CAST(SUM(CAST(round(x * c, 6) AS DECIMAL(27,6))) AS DOUBLE) AS dot,
+    CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(27,6))) AS DOUBLE) AS v2,
+    CAST(SUM(CAST(round(c * c, 6) AS DECIMAL(27,6))) AS DOUBLE) AS c2
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY 1, 2
+)
+SELECT vec_id, label,
+  round(dot / (sqrt(v2) * sqrt(c2)), 6) AS cos_to_centroid,
+  (dot / (sqrt(v2) * sqrt(c2)) < 0.5) AS flag_outlier
+FROM j
+"""

@@ -5633,3 +5633,53 @@ def debounce_user_events(spark, sf_dir):
         "ts",
         F.coalesce(gap >= 300_000_000, F.lit(True)).alias("kept"),
     )
+
+
+def embedding_outlier_screen(spark, sf_dir):
+    """Embedding-quality outlier screen: each vector's cosine to its own
+    label centroid, flagged when it falls under 0.5 — the mislabeled/
+    corrupted-vector gate run before embeddings feed contrastive
+    training or ANN index builds.  Every sum (centroid means, dot, both
+    norms) is a DECIMAL(27,6) accumulation of 6dp-rounded per-dimension
+    products, so the cosine is order-independent — no reliance on
+    ordered float reduction.
+
+    Scale shape: centroids are a (labels x dims) aggregate broadcast
+    back onto the exploded vectors; per-vector sums shuffle on vec_id.
+    At 100 TB the explode trades memory for the broadcast-join
+    locality; a fused Pandas-UDF kernel is the alternative when dims
+    are large (documented in operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos"),
+        F.col("col").cast("double").alias("x"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    j = ex.join(F.broadcast(cent), ["label", "pos"])
+    per_vec = j.groupBy("vec_id", "label").agg(
+        F.sum(F.round(F.col("x") * F.col("c"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("v2"),
+        F.sum(F.round(F.col("c") * F.col("c"), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("c2"),
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("v2")) * F.sqrt(F.col("c2")))
+    return per_vec.select(
+        "vec_id",
+        "label",
+        F.round(cos, 6).alias("cos_to_centroid"),
+        (cos < 0.5).alias("flag_outlier"),
+    )
