@@ -103,6 +103,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_event_values": Q.winsorize_event_values,
     "debounce_user_events": Q.debounce_user_events,
     "embedding_outlier_screen": Q.embedding_outlier_screen,
+    "unicode_nfc_normalize": Q.unicode_nfc_normalize,
     # --- r5a/5b keys displaced past the 50-key sample by the r5c
     # rebalance: rotate THESE to the front of the round-6 prefix ---
     "array_hof_doc_stats": Q.array_hof_doc_stats,

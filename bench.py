@@ -163,6 +163,7 @@ HEADLINE = [
     "winsorize_event_values",         # exact-percentile outlier clipping
     "debounce_user_events",           # keyed-gap telemetry de-noising
     "embedding_outlier_screen",       # cosine-to-centroid quality gate
+    "unicode_nfc_normalize",          # Arrow-batched unicodedata NFC pass
 ]
 
 

@@ -391,3 +391,19 @@ def test_embedding_outlier_cosine_matches_numpy(spark):
         cos = float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
         assert abs(r.cos_to_centroid - cos) < 1e-3
     assert len(out) == len(emb)
+
+
+def test_nfc_normalization_composes_and_changes_length(spark):
+    out = Q.unicode_nfc_normalize(spark, SF_SMALL).toPandas()
+    # every doc carries exactly one decomposed grapheme -> len shrinks by 1
+    assert (out["len_raw"] - out["len_nfc"] == 1).all()
+    assert out["changed"].all()
+    import unicodedata
+
+    docs = _docs(spark)
+    r0 = docs.iloc[0]
+    expected = unicodedata.normalize("NFC", "café " + r0.text)
+    import hashlib
+
+    row = out[out.doc_id == r0.doc_id].iloc[0]
+    assert row["nfc_md5"] == hashlib.md5(expected.encode()).hexdigest()

@@ -3022,3 +3022,16 @@ SELECT vec_id, label,
   (dot / (sqrt(v2) * sqrt(c2)) < 0.5) AS flag_outlier
 FROM j
 """
+
+
+ORACLES["unicode_nfc_normalize"] = """
+WITH r AS (
+  SELECT doc_id, 'cafe' || chr(769) || ' ' || text AS raw FROM documents
+)
+SELECT doc_id,
+  CAST(length(raw) AS BIGINT) AS len_raw,
+  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+  md5(nfc_normalize(raw)) AS nfc_md5,
+  (length(raw) != length(nfc_normalize(raw))) AS changed
+FROM r
+"""

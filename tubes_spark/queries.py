@@ -5683,3 +5683,41 @@ def embedding_outlier_screen(spark, sf_dir):
         F.round(cos, 6).alias("cos_to_centroid"),
         (cos < 0.5).alias("flag_outlier"),
     )
+
+
+def unicode_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization — the canonicalization pass a corpus
+    needs before hashing/dedup so that composed and decomposed forms of
+    the same grapheme ('e'+COMBINING ACUTE vs precomposed U+00E9) stop
+    counting as different text.  The corpus is ASCII, so each doc is
+    prefixed with a deterministic decomposed-form token (mirrored in
+    the oracle) to prove the transform actually fires; Spark has no
+    built-in normalizer, so this is an Arrow-batched pandas UDF over
+    stdlib unicodedata — the documented slow-path escape hatch, kept
+    off every other query's hot path.
+
+    Scale shape: map-only (no shuffle); the UDF cost is per-row C
+    library work, Arrow-batched — the same contract as mapM
+    (pipe.py mapm)."""
+    def _nfc_batches(it):
+        import unicodedata
+
+        for pdf in it:
+            pdf["norm"] = pdf["raw"].map(lambda x: unicodedata.normalize("NFC", x))
+            yield pdf
+
+    d = _t(spark, sf_dir, "documents")
+    # NOTE: explicitly the DECOMPOSED form (e + U+0301), matching the
+    # oracle's 'cafe' || chr(769) -- a precomposed source literal would
+    # make the transform a no-op
+    raw = F.concat(F.lit("cafe\u0301 "), F.col("text"))
+    out = d.select("doc_id", raw.alias("raw")).mapInPandas(
+        _nfc_batches, schema="doc_id long, raw string, norm string"
+    )
+    return out.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("len_raw"),
+        F.length("norm").cast("long").alias("len_nfc"),
+        F.md5("norm").alias("nfc_md5"),
+        (F.length("raw") != F.length("norm")).alias("changed"),
+    )
