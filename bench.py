@@ -164,6 +164,10 @@ HEADLINE = [
     "debounce_user_events",           # keyed-gap telemetry de-noising
     "embedding_outlier_screen",       # cosine-to-centroid quality gate
     "unicode_nfc_normalize",          # Arrow-batched unicodedata NFC pass
+    # round 6: last codec stub killed, bucketed-table path, incremental merge
+    "multimodal_png_ahash",           # real PNG encode/decode (all 5 filters)
+    "bucketed_dedup_enrich_join",     # bucketBy write + shuffle-free joins
+    "streaming_merge_interleaved_events",  # incremental reference interleave
 ]
 
 

@@ -116,6 +116,84 @@ def build_synth(spark, out_dir: str) -> None:
                   lambda x, i: F.when(i == r % 64, x + F.lit(0.25)).otherwise(x))))
 
 
+def skew_probe(spark) -> dict:
+    """Deliberately Zipf-skewed JOIN: salted vs unsalted vs AQE-native.
+
+    The uniform-key families above never stress the hot-reducer path,
+    so this builds one that does: a 32M-row fact stream whose key
+    follows a power law (hottest key ~32% of ALL rows), joined to a
+    10k-row dimension with broadcasting disabled — the 100 TB shape
+    where the dim side outgrows executor memory and the join must
+    shuffle on the skewed key.  Three measurements:
+
+    * unsalted, AQE off  — the naive plan: the hot key's rows funnel
+      into one reducer (the straggler bound is the hot-key share);
+    * salted  (operators/skew.py::salted_broadcast_left, 16 salts),
+      AQE off — every (key, salt) bucket is bounded at hot/16;
+    * unsalted, AQE on   — Spark's runtime skew-split, the engine-
+      native mitigation the repo defaults to.
+
+    PASS = the salted time is bounded near the uniform cost while the
+    unsalted AQE-off time shows the straggler.  Measured nuance worth
+    keeping: AQE's skew split only fires when the hot partition tops
+    spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes (256MB
+    default), so at probe scale AQE barely helps — explicit salting is
+    the mitigation that works at every scale, AQE the free one at
+    cluster scale."""
+    from tubes_spark.operators.skew import salted_broadcast_left
+
+    K, N = 10_000, 32_000_000  # hot task ~7M rows vs 500k avg: straggler-bound
+    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+    # inverse-power-law map: P(k=0) = (1/K)^(1/8) ~ 31.6% of all rows
+    fact = (
+        spark.range(N)
+        .select(
+            F.floor(F.pow(u, 8.0) * K).cast("long").alias("k"),
+            (F.col("id") % 997).alias("payload"),
+        )
+        .repartition(64)
+        .localCheckpoint(eager=True)  # pin: measure the JOIN, not the synth
+    )
+    dim = (
+        spark.range(K)
+        .select(F.col("id").alias("k"), (F.col("id") % 31 + 1).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    hot_share = fact.filter(F.col("k") == 0).count() / N
+
+    def run_join(salted: bool, aqe: bool) -> float:
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            best = float("inf")
+            for _ in range(2):
+                j = (
+                    salted_broadcast_left(fact, dim, ["k"], n_salts=16)
+                    if salted
+                    else fact.join(dim, "k")
+                )
+                t0 = time.perf_counter()
+                j.groupBy().agg(F.sum(F.col("payload") * F.col("w"))).collect()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+        finally:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    res = {
+        "rows": N,
+        "keys": K,
+        "hot_key_share": round(hot_share, 4),
+        "unsalted_aqe_off_sec": run_join(salted=False, aqe=False),
+        "salted_aqe_off_sec": run_join(salted=True, aqe=False),
+        "unsalted_aqe_on_sec": run_join(salted=False, aqe=True),
+    }
+    res["salting_speedup_vs_naive"] = round(
+        res["unsalted_aqe_off_sec"] / res["salted_aqe_off_sec"], 2
+    )
+    return res
+
+
 def best_of(fn, spark, sf_dir, n=2) -> float:
     best = float("inf")
     for _ in range(n):
@@ -129,6 +207,17 @@ def main() -> None:
     out_dir = os.environ.get("SCALE_PROBE_DIR", "/tmp/tubes_scale_probe")
     spark = get_spark("tubes_scale_probe", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
+    probe_path = Path(__file__).resolve().parent.parent / "SCALE_PROBE.json"
+
+    if "--skew-only" in sys.argv:
+        # refresh just the skewed-join entry, merging into the file
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        payload["skew_join"] = skew_probe(spark)
+        print(json.dumps({"skew_join": payload["skew_join"]}))
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        return
+
     t0 = time.time()
     build_synth(spark, out_dir)
     print(f"# synth build: {time.time()-t0:.1f}s", file=sys.stderr)
@@ -150,9 +239,9 @@ def main() -> None:
         print(json.dumps({"query": name, **results[name]}))
 
     payload = {"replicas": REPLICAS, "base": SF_BASE, "results": results}
-    Path(__file__).resolve().parent.parent.joinpath("SCALE_PROBE.json").write_text(
-        json.dumps(payload, indent=1) + "\n"
-    )
+    payload["skew_join"] = skew_probe(spark)
+    print(json.dumps({"skew_join": payload["skew_join"]}))
+    probe_path.write_text(json.dumps(payload, indent=1) + "\n")
     spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -109,6 +109,28 @@ def test_binned_range_join_no_duplicate_pairs(spark):
     assert n == nd
 
 
+def test_binned_range_join_subsecond_bounds(spark):
+    # An interval whose hi has fractional seconds must still emit its
+    # final bin: point at 12.25s ∈ [10s, 12.5s) was silently dropped by
+    # whole-second bin math (floor((unix_timestamp(hi)-1)/bin) ends the
+    # expansion one bin early).  Bins now run on microseconds.
+    pt = spark.createDataFrame(
+        [("p1", "2024-01-01 00:00:12.25"), ("p2", "2024-01-01 00:00:12.75")],
+        "pid string, ts_s string",
+    ).select("pid", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("w1", "2024-01-01 00:00:10", "2024-01-01 00:00:12.5")],
+        "win_id string, lo_s string, hi_s string",
+    ).select(
+        "win_id",
+        F.col("lo_s").cast("timestamp").alias("ws"),
+        F.col("hi_s").cast("timestamp").alias("we"),
+    )
+    out = joins.binned_range_join(pt, iv, "ts", "ws", "we", bin_seconds=4)
+    got = sorted((r.pid, r.win_id) for r in out.collect())
+    assert got == [("p1", "w1")]  # p2 is past hi; p1 must NOT be dropped
+
+
 def test_binned_range_join_plans_hash_join(spark):
     from tubes_spark.catalog import load_table
 

@@ -479,6 +479,123 @@ def test_funnel_state_survives_restart(spark, tmpdir):
             for r in seen] == [(7, 100, 200, 900)]
 
 
+def test_funnel_restart_matches_uninterrupted_run(spark, tmpdir):
+    """The VERDICT-r5 bar for keyed *pattern* state: run the same
+    time-sliced replay once uninterrupted and once with a hard
+    stop/restart from checkpoint in the middle — the union of
+    conversions across both lifecycles must equal the uninterrupted
+    run's exactly.  The data plants conversions that straddle the
+    restart boundary (view in the last pre-stop slice, purchase in the
+    first post-restart slice), so equality proves the last-view
+    register is rehydrated from the state store, not recomputed."""
+    from tubes_spark.streaming.funnel import funnel_conversions_stream
+
+    MIN = 60 * 1_000_000
+    schema = "user_id long, ts_us long, event_id long, event_type string"
+    # six time slices; conversions in-slice, cross-slice, and
+    # cross-RESTART (slice 2 view -> slice 3 purchase); u4's gap
+    # exceeds the 30-min window (no emission); u5 purchase precedes
+    # any view (no emission)
+    slices = [
+        [(1, 1 * MIN, 10, "view"), (2, 2 * MIN, 11, "view")],
+        [(1, 5 * MIN, 20, "purchase"), (3, 6 * MIN, 21, "view"),
+         (4, 7 * MIN, 22, "view")],
+        [(2, 12 * MIN, 30, "purchase"), (1, 13 * MIN, 31, "view"),
+         (5, 14 * MIN, 32, "purchase")],
+        # ---- restart happens here in the interrupted run ----
+        [(1, 20 * MIN, 40, "purchase"), (3, 21 * MIN, 41, "purchase")],
+        [(4, 45 * MIN, 50, "purchase"), (5, 46 * MIN, 51, "view")],
+        [(5, 50 * MIN, 60, "purchase"), (1, 51 * MIN, 61, "purchase")],
+    ]
+
+    def write_slice(dest: str, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(dest)
+
+    def drain(src: str, ck: str, seen: list):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        conv = funnel_conversions_stream(stream.groupBy("user_id"), window_us=30 * MIN)
+        q = (
+            conv.writeStream.foreachBatch(
+                lambda bdf, _bid: seen.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    key = lambda r: (r.user_id, r.view_event_id, r.purchase_event_id, r.lag_sec)
+
+    # lifecycle A: everything in one uninterrupted drain
+    full_seen: list = []
+    for s in slices:
+        write_slice(f"{tmpdir}/funnel_full_in", s)
+    drain(f"{tmpdir}/funnel_full_in", f"{tmpdir}/funnel_full_ck", full_seen)
+
+    # lifecycle B: drain 3 slices, STOP, add 3 more, restart same ck
+    part_seen: list = []
+    for s in slices[:3]:
+        write_slice(f"{tmpdir}/funnel_part_in", s)
+    drain(f"{tmpdir}/funnel_part_in", f"{tmpdir}/funnel_part_ck", part_seen)
+    n_pre_stop = len(part_seen)
+    for s in slices[3:]:
+        write_slice(f"{tmpdir}/funnel_part_in", s)
+    drain(f"{tmpdir}/funnel_part_in", f"{tmpdir}/funnel_part_ck", part_seen)
+
+    assert sorted(map(key, part_seen)) == sorted(map(key, full_seen))
+    # the dataset really exercises the boundary: some conversions only
+    # materialize after the restart, from pre-stop view state
+    assert n_pre_stop < len(part_seen)
+    post = [key(r) for r in part_seen[n_pre_stop:]]
+    assert (1, 31, 40, 7 * 60) in post  # slice-2 view -> slice-3 purchase
+    assert len(full_seen) >= 4
+
+
+def test_merge_streams_interleaved_incremental_golden(spark, tmpdir):
+    """The STREAMING-native reference interleave (Tubes/Source.hs:
+    180-193, transcript Tubes.hs:154-178): uneven sides A1..A3 and
+    B1..B4, replayed as time-sliced files across MULTIPLE triggers,
+    must come out A1 B1 A2 B2 A3 B3 B4 — incremental (rn, side)
+    keying, not a post-drain global sort.  Slices split mid-side so
+    the running offsets are genuinely exercised across batches."""
+    from tubes_spark.streaming.run import merge_streams_interleaved
+
+    schema = "seq long, value string"
+    a_slices = [[(1, "A1"), (2, "A2")], [(3, "A3")]]
+    b_slices = [[(1, "B1")], [(2, "B2"), (3, "B3"), (4, "B4")]]
+    for i, s in enumerate(a_slices):
+        spark.createDataFrame(s, schema).coalesce(1).write.mode("append").parquet(
+            f"{tmpdir}/mi_a"
+        )
+    for i, s in enumerate(b_slices):
+        spark.createDataFrame(s, schema).coalesce(1).write.mode("append").parquet(
+            f"{tmpdir}/mi_b"
+        )
+    a = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmpdir}/mi_a")
+    )
+    b = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmpdir}/mi_b")
+    )
+    out = merge_streams_interleaved(
+        a, b, ["seq"], f"{tmpdir}/mi_out", f"{tmpdir}/mi_ck"
+    )
+    assert [r.value for r in out.collect()] == [
+        "A1", "B1", "A2", "B2", "A3", "B3", "B4",
+    ]
+
+
 def test_rate_source_live_unbounded_two_triggers(spark, tmpdir):
     """Drive a LIVE unbounded source (the `prompt` analog, Tubes.hs:
     182-189) — no file replay: start the rate source, consume at least

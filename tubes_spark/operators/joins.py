@@ -143,18 +143,24 @@ def binned_range_join(
     ceil(len/bin_seconds)+1 — pick bins near the median interval length
     so the blowup is ~2-3x on the SMALL side while the big point side
     never replicates.  The nested-loop alternative is O(|P| * |I|).
+
+    Bin math runs on microseconds (``unix_micros``), not whole seconds:
+    an interval whose ``hi`` has fractional seconds (hi = 12.5s) must
+    still emit its final bin, else points with ts in [floor(hi), hi)
+    silently drop and the exactly-once contract breaks.
     """
+    bin_us = bin_seconds * 1_000_000
     binned_iv = intervals.withColumn(
         "__bin__",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(F.col(lo_ts)) / bin_seconds),
-                F.floor((F.unix_timestamp(F.col(hi_ts)) - 1) / bin_seconds),
+                F.floor(F.unix_micros(F.col(lo_ts)) / bin_us),
+                F.floor((F.unix_micros(F.col(hi_ts)) - 1) / bin_us),
             )
         ),
     )
     binned_pt = points.withColumn(
-        "__bin__", F.floor(F.unix_timestamp(F.col(point_ts)) / bin_seconds)
+        "__bin__", F.floor(F.unix_micros(F.col(point_ts)) / bin_us)
     )
     out = binned_pt.join(binned_iv, "__bin__").filter(
         (F.col(point_ts) >= F.col(lo_ts)) & (F.col(point_ts) < F.col(hi_ts))

@@ -3,12 +3,15 @@
 Media ride through the engine as opaque ``binary`` columns + a typed
 metadata struct.  The Spark-side plumbing (schemas, Arrow-batched
 mapInPandas, partition sizing) is real and tested.  Codec status:
-header metadata (PNG/GIF/JPEG dims, WAV duration) and 24bpp BMP PIXEL
-decode (:func:`decode_bmp`) are REAL, pure-stdlib, and oracle-gated;
-compressed-codec decode (JPEG pixels, audio samples) is stubbed behind
-``decoder=`` hooks (pillow/librosa are not in this container) with a
-deterministic fake so the batch shape / schema path is still exercised
-end-to-end.
+header metadata (PNG/GIF/JPEG dims, WAV duration), 24bpp BMP PIXEL
+decode (:func:`decode_bmp`), 16-bit PCM WAV decode
+(:func:`decode_wav_pcm16`) and full PNG PIXEL decode/encode
+(:func:`decode_png` / :func:`encode_png` — stdlib zlib inflate +
+every unfilter path) are REAL, pure-stdlib, and oracle-gated;
+only entropy-coded codecs (JPEG pixels, compressed audio) remain
+stubbed behind ``decoder=`` hooks (pillow/librosa are not in this
+container) with a deterministic fake so the batch shape / schema
+path is still exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -227,18 +230,7 @@ def bmp_ahash_hex(data: bytes) -> str:
     (0..765) and the threshold is total/64.0 — an exact power-of-two
     division — so the hash is bit-reproducible by independent integer
     arithmetic (no float summation order anywhere)."""
-    arr = decode_bmp(data).astype(int)  # (H, W, 3)
-    h, w = arr.shape[:2]
-    rows = [(2 * i + 1) * h // 16 for i in range(8)]
-    cols = [(2 * j + 1) * w // 16 for j in range(8)]
-    cells = [[int(arr[r, c].sum()) for c in cols] for r in rows]
-    mean = sum(sum(r) for r in cells) / 64.0
-    bits = 0
-    for i in range(8):
-        for j in range(8):
-            if cells[i][j] > mean:
-                bits |= 1 << (8 * i + j)
-    return format(bits, "016x")
+    return _ahash_hex_from_array(decode_bmp(data))
 
 
 def decode_wav_pcm16(data: bytes):
@@ -280,12 +272,181 @@ def wav_energy_windows(data: bytes, window: int = 256) -> list[int]:
     return [int((s[i : i + window].astype("int64") ** 2).sum()) for i in range(0, n, window)]
 
 
+def _paeth(left, up, upleft):
+    """Paeth predictor (PNG spec 9.4), vectorized over numpy arrays."""
+    import numpy as np
+
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+
+
+def encode_png(arr, filters=None) -> bytes:
+    """Pure-stdlib PNG writer for (H, W, 3) uint8 RGB arrays: 8-bit
+    color type 2, one zlib-deflated IDAT, correct CRCs.  ``filters``
+    optionally gives a per-row filter type (0=None 1=Sub 2=Up 3=Average
+    4=Paeth, cycled over rows) so decoders can be exercised on every
+    unfilter path; default is filter 0 throughout.  The filter passes
+    are vectorized (the encoder knows the raw bytes, so left/up/upleft
+    are just shifted views)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, ch = a.shape
+    if ch != 3:
+        raise ValueError(f"encode_png wants (H, W, 3) RGB, got {ch} channels")
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for r in range(h):
+        row = a[r].reshape(-1).astype(np.int32)
+        ft = 0 if filters is None else int(filters[r % len(filters)])
+        left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        elif ft == 4:
+            filt = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes):
+    """Pure-stdlib PNG PIXEL decoder -> (H, W, 3) uint8 RGB: chunk walk,
+    multi-IDAT zlib inflate, and full per-scanline unfiltering (None/
+    Sub/Up/Average/Paeth).  Supports the baseline form this engine
+    emits (8-bit, color type 2, no interlace) and rejects other forms
+    loudly rather than mis-decoding — the same contract as decode_bmp.
+
+    The None/Up rows unfilter vectorized; Sub/Average/Paeth carry a
+    left-neighbor dependency, which is inherently sequential within a
+    scanline (a Python loop here).  At corpus scale the decode is still
+    Arrow-batched per task via extract_features; swap in an optimized
+    codec through the same ``decoder=`` hook when available."""
+    import zlib
+
+    import numpy as np
+
+    b = data or b""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w, h, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        tag = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, comp, filt, interlace = body[8:13]
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctype}, "
+                    f"interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if not w or not h or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, 3 * w
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                rec[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, 3)
+
+
+def _ahash_hex_from_array(arr) -> str:
+    """64-bit average-hash of an (H, W, 3) uint8 array as 16 hex chars
+    — the integer-exact 8x8 grid shared by the BMP and PNG paths (see
+    bmp_ahash_hex for the exactness discipline)."""
+    a = arr.astype(int)
+    h, w = a.shape[:2]
+    rows = [(2 * i + 1) * h // 16 for i in range(8)]
+    cols = [(2 * j + 1) * w // 16 for j in range(8)]
+    cells = [[int(a[r, c].sum()) for c in cols] for r in rows]
+    mean = sum(sum(r) for r in cells) / 64.0
+    bits = 0
+    for i in range(8):
+        for j in range(8):
+            if cells[i][j] > mean:
+                bits |= 1 << (8 * i + j)
+    return format(bits, "016x")
+
+
+def png_ahash_hex(data: bytes) -> str:
+    """Perceptual average-hash of a PNG payload (real inflate + unfilter
+    + 8x8 integer grid) — the PNG sibling of bmp_ahash_hex; identical
+    pixels produce identical hashes across the two codecs."""
+    return _ahash_hex_from_array(decode_png(data))
+
+
 def real_decode_stub(data: bytes) -> list[float]:
-    """The production decoder slot — deliberately unimplemented here
-    (no image/audio libraries in this container)."""
+    """The production decoder slot for entropy-coded codecs —
+    deliberately unimplemented here (JPEG/audio-codec bitstream decode
+    needs PIL/librosa/ffmpeg, not in this container).  BMP, PCM WAV and
+    PNG decode are REAL above."""
     raise NotImplementedError(
-        "real media decoding needs PIL/librosa/ffmpeg; wire your codec into "
-        "extract_features(decoder=...)"
+        "JPEG/compressed-audio decoding needs PIL/librosa/ffmpeg; wire your "
+        "codec into extract_features(decoder=...)"
     )
 
 

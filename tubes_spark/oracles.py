@@ -723,6 +723,27 @@ ORACLES["streaming_distinct_users"] = """
 SELECT DISTINCT user_id FROM events
 """
 
+# Verifies the INCREMENTAL interleave positionally: the streaming side
+# assigns (rn, side) across three triggers per side with running
+# offsets; two plain row_number windows must reproduce every key.
+ORACLES["streaming_merge_interleaved_events"] = """
+WITH a AS (
+  SELECT event_id,
+    CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn,
+    0 AS side
+  FROM events WHERE event_type = 'view' AND user_id % 7 = 0
+), b AS (
+  SELECT event_id,
+    CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn,
+    1 AS side
+  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0
+)
+SELECT event_id, CAST(side AS INTEGER) AS side, rn FROM a
+UNION ALL
+SELECT event_id, CAST(side AS INTEGER) AS side, rn FROM b
+"""
+
+
 ORACLES["streaming_merge_union"] = """
 SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 2 = 0
 UNION ALL
@@ -953,6 +974,30 @@ WITH t AS (
 SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM t GROUP BY shard
 """
+
+# The Spark side routes through a bucketed saveAsTable + two catalog
+# reads, so a hash match here verifies the bucketed write/read
+# round-trip byte-for-byte, not just the join logic.
+ORACLES["bucketed_dedup_enrich_join"] = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+    CAST(floor(n_chars / 10) AS BIGINT) AS len_band,
+    CAST(('0x' || substring(md5(text), 1, 1)) AS BIGINT) AS band
+  FROM documents
+), cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM b x JOIN b y ON x.len_band = y.len_band AND x.band = y.band
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+  p.n_chars AS len_a, q.n_chars AS len_b,
+  round(least(p.n_chars, q.n_chars) * 1.0 / greatest(p.n_chars, q.n_chars), 6)
+    AS len_ratio
+FROM cand c
+JOIN b p ON c.doc_a = p.doc_id
+JOIN b q ON c.doc_b = q.doc_id
+"""
+
 
 ORACLES["partitioned_io_pruned"] = """
 SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -1744,6 +1789,13 @@ FROM v
 """
 
 
+# The PNG query encodes the SAME per-row gradient pixels as the BMP
+# aHash (channel order differs; the hash uses the r+g+b SUM, which is
+# order-free), so the roundtrip contract is: deflate+filter encode then
+# inflate+unfilter decode must reproduce exactly the arithmetic image.
+ORACLES["multimodal_png_ahash"] = ORACLES["multimodal_image_ahash"]
+
+
 # 1024 samples per doc: the stored 16-bit word is (doc_id*7 + t*13) %
 # 65536, decoded as two's-complement int16; 4 windows of 256; integer
 # sum of squares.
@@ -1822,19 +1874,23 @@ WITH t AS (
     CAST(len(toks) AS BIGINT) AS n,
     CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE) AS sum_len,
     CAST(len(list_intersect(toks, ['the','a','of','to','and','is','in'])) AS DOUBLE) AS stop_hits,
-    CAST(len(list_filter(toks, x -> len(x) >= 3)) AS DOUBLE) AS n_long
+    CAST(len(list_filter(toks, x -> len(x) >= 3)) AS DOUBLE) AS n_long,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS n_alpha
   FROM t
 )
 SELECT doc_id, lang, n AS n_toks,
   round(sum_len / n, 6) AS mean_word_len,
   round(stop_hits / 7.0, 6) AS stop_hit_frac,
   round(n_long / n, 6) AS long_word_frac,
+  round(n_alpha / n, 6) AS alpha_word_frac,
   (n >= 50 AND n <= 100000) AS ok_n_toks,
   (sum_len / n >= 3.0 AND sum_len / n <= 10.0) AS ok_mean_len,
   (stop_hits / 7.0 >= 2.0 / 7.0) AS ok_stopwords,
-  (n_long / n >= 0.6) AS ok_alpha,
+  (n_long / n >= 0.6) AS ok_long_words,
+  (n_alpha / n >= 0.8) AS ok_alpha,
   ((n >= 50 AND n <= 100000) AND (sum_len / n >= 3.0 AND sum_len / n <= 10.0)
-   AND (stop_hits / 7.0 >= 2.0 / 7.0) AND (n_long / n >= 0.6)) AS keep
+   AND (stop_hits / 7.0 >= 2.0 / 7.0) AND (n_long / n >= 0.6)
+   AND (n_alpha / n >= 0.8)) AS keep
 FROM m
 """
 

@@ -180,6 +180,88 @@ def merge_streams_event_time(
     return Source.from_df(da, order_by).merge(Source.from_df(db, order_by)).ordered()
 
 
+def merge_streams_interleaved(
+    a: DataFrame,
+    b: DataFrame,
+    order_by: "list[str]",
+    out_dir: str,
+    checkpoint: str,
+    timeout_s: int = 600,
+    keep_keys: bool = False,
+) -> DataFrame:
+    """INCREMENTAL reference interleave (Tubes/Source.hs:180-193) — the
+    streaming-native successor to :func:`merge_streams_event_time`,
+    which drains to a driver memory sink first.  Here every trigger
+    does bounded work and the result accumulates in a parquet sink:
+
+    * tag each side, union the streams;
+    * per batch, rank each side by event time (window partitioned by
+      the side tag — two partitions, batch-bounded) and add the side's
+      RUNNING offset, giving each element its global per-side sequence
+      number ``rn``;
+    * append rows keyed ``(rn, side)`` to the sink.  The interleave is
+      defined by the KEY — element i of A precedes element i of B
+      precedes element i+1 — so no global sort ever runs inside the
+      stream; readers order by (rn, side) at consumption, exactly like
+      any log-ordered table.
+
+    Cross-batch state is two driver-held counters (O(1)); correctness
+    requires per-side in-order delivery across triggers (time-sliced
+    replay files or log offsets), the same contract as the funnel
+    operator.  Counters live in this call, so a NEW call must replay
+    from a fresh checkpoint + sink; production would persist the two
+    offsets alongside the sink commit (e.g. in the foreachBatch txn).
+
+    Returns the interleaved bounded result after an AvailableNow drain,
+    in reference order with the plumbing columns dropped —
+    ``keep_keys=True`` keeps them as (rn, side) instead, so a consumer
+    (or an oracle) can verify the interleave positionally without any
+    global sort."""
+    cols = list(a.columns)
+    u = a.withColumn("__src__", F.lit(0)).unionByName(
+        b.withColumn("__src__", F.lit(1))
+    )
+    offsets = {0: 0, 1: 0}
+
+    def handle(bdf, _bid):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__src__").orderBy(*[F.col(c) for c in order_by])
+        ranked = (
+            bdf.withColumn("__bn__", F.row_number().over(w))
+            .withColumn(
+                "__rn__",
+                F.col("__bn__")
+                + F.when(F.col("__src__") == 0, F.lit(offsets[0])).otherwise(
+                    F.lit(offsets[1])
+                ),
+            )
+            .drop("__bn__")
+        )
+        ranked.write.mode("append").parquet(out_dir)
+        # advance offsets only after the append commits (at-least-once:
+        # a replayed batch rewrites the same (rn, side) keys)
+        for r in bdf.groupBy("__src__").count().collect():
+            offsets[int(r["__src__"])] += int(r["count"])
+
+    q = (
+        u.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    out = a.sparkSession.read.parquet(out_dir)
+    if keep_keys:
+        return out.select(
+            *cols,
+            F.col("__rn__").cast("long").alias("rn"),
+            F.col("__src__").cast("int").alias("side"),
+        )
+    return out.orderBy("__rn__", "__src__").select(*cols)
+
+
 def drain_to_df(df: DataFrame, name: str, output_mode: str = "complete",
                 timeout_s: int = 600) -> DataFrame:
     """Run a bounded streaming plan to completion (AvailableNow) into a
