@@ -12,18 +12,31 @@
 Batch: the incoming DataFrame is persisted once, then each leaf sink
 writes its slice.  Streaming: pass :meth:`Sink.for_each_batch` to
 ``writeStream.foreachBatch`` — the canonical multi-sink pattern.
-Multi-sink writes are at-least-once per sink, not atomic across sinks
-(documented divergence, SURVEY.md §7.4 item 5).
+Plain leaf sinks are at-least-once per sink; ``exactly_once_parquet``
+upgrades a broadcast to effectively-once per sink with convergence
+across sinks after a replay (per-epoch overwrite layout — see its
+docstring for the exact guarantee and the remaining mid-failure
+visibility bound, SURVEY.md §7.4 item 5).
 """
 
 from __future__ import annotations
 
+import contextvars
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WriteFn = Callable[[DataFrame], None]
+
+# Epoch of the micro-batch currently flowing through a sink tree (set by
+# Sink.for_each_batch, None for plain batch calls).  A contextvar lets
+# epoch-aware leaf sinks (exactly_once_parquet) see the batch id through
+# any depth of contramap/divide/choose/broadcast composition without
+# changing the WriteFn signature.
+_CURRENT_EPOCH: contextvars.ContextVar = contextvars.ContextVar(
+    "tubes_sink_epoch", default=None
+)
 
 
 class Sink:
@@ -98,6 +111,57 @@ class Sink:
         return Sink(run)
 
     @staticmethod
+    def exactly_once_parquet(path: str) -> "Sink":
+        """Idempotent per-epoch parquet sink — the effectively-once
+        upgrade for multi-sink broadcast (SURVEY §7.4 item 5).
+
+        Each micro-batch writes with OVERWRITE into its own
+        ``data/epoch=<id>`` directory, so a REPLAYED batch (failure
+        between the two sinks of a broadcast, restart from checkpoint)
+        rewrites the same directory instead of appending duplicates —
+        idempotence comes from the path layout, not from a marker race.
+        A commit marker (written after the data) lets clean replays skip
+        the rewrite entirely.  Structured Streaming re-delivers a failed
+        epoch with identical content for replayable sources, which is
+        what makes the overwrite equivalent to the lost write.
+
+        Cross-sink story: a crash between sink A and sink B of ``sA +
+        sB`` leaves the sinks divergent only until the restart replays
+        the epoch — A's overwrite/skip is a no-op, B fills in, and both
+        converge to identical committed sets.  That is effectively-once
+        per sink and eventual atomicity across sinks; a mid-failure
+        reader can still observe the gap (the honest bound without a
+        cross-system transaction manager).
+
+        Readers load ``<path>/data`` (epoch= directories read as a
+        partition column with recursive discovery).  Batch (non-
+        streaming) calls land in ``epoch=-1`` with plain overwrite.
+        Markers live beside the data, so the protocol works on any
+        shared filesystem the cluster writes to."""
+        from pathlib import Path
+
+        def run(df: DataFrame) -> None:
+            epoch = _CURRENT_EPOCH.get()
+            if epoch is None:
+                df.write.mode("overwrite").parquet(f"{path}/data/epoch=-1")
+                return
+            commit = Path(path) / "_commits" / str(int(epoch))
+            if commit.exists():
+                return  # clean replay: this epoch already committed here
+            df.write.mode("overwrite").parquet(f"{path}/data/epoch={int(epoch)}")
+            commit.parent.mkdir(parents=True, exist_ok=True)
+            commit.write_text("")
+        return Sink(run)
+
+    @staticmethod
+    def read_exactly_once(spark, path: str) -> DataFrame:
+        """Read back an :meth:`exactly_once_parquet` sink's committed
+        data (epoch appears as a partition column)."""
+        return spark.read.option("basePath", f"{path}/data").parquet(
+            f"{path}/data/epoch=*"
+        )
+
+    @staticmethod
     def memory(out: list) -> "Sink":
         """Collect into a driver-side list — ``display`` test double
         (Tubes.hs:193-196)."""
@@ -111,9 +175,14 @@ class Sink:
 
     def for_each_batch(self):
         """Adapter for ``writeStream.foreachBatch`` — runs the whole sink
-        tree once per micro-batch."""
+        tree once per micro-batch, exposing the epoch id to epoch-aware
+        leaf sinks (exactly_once_parquet) via the module contextvar."""
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
-            self.fn(batch_df)
+            token = _CURRENT_EPOCH.set(int(epoch_id))
+            try:
+                self.fn(batch_df)
+            finally:
+                _CURRENT_EPOCH.reset(token)
         return fn
 
 
