@@ -54,7 +54,6 @@ LINEAR_QUERIES = [
     "tumbling_hourly",
     "dedup_exact_docs",
     "dedup_minhash_survivors",
-    "gopher_quality_flags",
     "contiguous_global_ids",
     "shuffle_shards_manifest",
     "binned_interval_counts",
@@ -68,6 +67,10 @@ LINEAR_QUERIES = [
     "window_funcs_battery",
     "bm25_search_scores",
     "markov_event_transitions",
+    # round 6
+    "multimodal_png_ahash",        # per-row encode+decode: pure map
+    "bucketed_dedup_enrich_join",  # bucketed write + banded joins
+    "gopher_quality_flags",        # re-probed: alpha rule added
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not
