@@ -168,6 +168,7 @@ HEADLINE = [
     "multimodal_png_ahash",           # real PNG encode/decode (all 5 filters)
     "bucketed_dedup_enrich_join",     # bucketBy write + shuffle-free joins
     "streaming_merge_interleaved_events",  # incremental reference interleave
+    "tombstone_delete_propagation",   # right-to-be-forgotten + audit
 ]
 
 

@@ -241,7 +241,23 @@ def main() -> None:
         }
         print(json.dumps({"query": name, **results[name]}))
 
-    payload = {"replicas": REPLICAS, "base": SF_BASE, "results": results}
+    payload = {
+        "replicas": REPLICAS,
+        "base": SF_BASE,
+        "results": results,
+        "note": ("graph-family sf0.1 times reflect the session-cached sim "
+                 "graph (best-of-2 hits the materialized edge list); "
+                 "marginal cost by design"),
+    }
+    # persist the query results BEFORE the skew phase: the skew build is
+    # the one stage that has OOM'd under the memory the query loop's
+    # session-cached graphs pin (a 10x-synth rare-shingle edge list plus
+    # a 32M-row checkpoint is too much for one heap) — results must
+    # survive a skew-phase death, and skew gets a FRESH session below
+    probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+    spark.stop()
+    spark = get_spark("tubes_skew_probe", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
     payload["skew_join"] = skew_probe(spark)
     print(json.dumps({"skew_join": payload["skew_join"]}))
     probe_path.write_text(json.dumps(payload, indent=1) + "\n")

@@ -173,6 +173,35 @@ def test_bucketed_enrich_join_docs_side_exchange_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_tombstone_propagation_is_complete(spark):
+    """The compliance property behind the audit numbers: NO tombstoned
+    doc may survive anywhere in the kept chunk store, and the audit's
+    removed mass must equal exactly the tombstoned docs' chunk mass."""
+    from tubes_spark import queries as Q
+    from tubes_spark.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    audit = {r.shard: r for r in Q.tombstone_delete_propagation(spark, sf).collect()}
+    chunks = Q.chunk_documents_ctx(spark, sf)
+    tomb = {
+        r.doc_id
+        for r in load_table(spark, "documents", sf)
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    rows = chunks.select("doc_id", "n_tokens").collect()
+    for shard in range(8):
+        shard_rows = [r for r in rows if r.doc_id % 8 == shard]
+        dead = [r for r in shard_rows if r.doc_id in tomb]
+        a = audit[shard]
+        assert a.chunks_before == len(shard_rows)
+        assert a.chunks_removed == len(dead)
+        assert a.chunks_after == len(shard_rows) - len(dead)
+        assert a.tokens_before - a.tokens_after == sum(r.n_tokens for r in dead)
+        assert a.docs_removed == len({r.doc_id for r in dead})
+
+
 def test_png_ahash_query_deterministic(spark):
     from tubes_spark import queries as Q
 

@@ -1658,6 +1658,37 @@ FROM w
 """
 
 
+# Composes the chunk-store closure: the audit is only trustworthy if the
+# derived artifact itself is the hash-verified one.
+ORACLES["tombstone_delete_propagation"] = f"""
+WITH chunks AS ({ORACLES['chunk_documents_ctx']}), sh AS (
+  SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INTEGER) AS shard FROM chunks
+), tomb AS (
+  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+), pre AS (
+  SELECT shard, COUNT(*) AS chunks_before,
+    CAST(SUM(n_tokens) AS BIGINT) AS tokens_before
+  FROM sh GROUP BY shard
+), post AS (
+  SELECT shard, COUNT(*) AS chunks_after,
+    CAST(SUM(n_tokens) AS BIGINT) AS tokens_after
+  FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM tomb) GROUP BY shard
+), rm AS (
+  SELECT shard, COUNT(DISTINCT doc_id) AS docs_removed
+  FROM sh WHERE doc_id IN (SELECT doc_id FROM tomb) GROUP BY shard
+)
+SELECT b.shard, b.chunks_before,
+  COALESCE(a.chunks_after, 0) AS chunks_after,
+  b.chunks_before - COALESCE(a.chunks_after, 0) AS chunks_removed,
+  b.tokens_before,
+  COALESCE(a.tokens_after, 0) AS tokens_after,
+  CAST(COALESCE(r.docs_removed, 0) AS BIGINT) AS docs_removed
+FROM pre b
+LEFT JOIN post a USING (shard)
+LEFT JOIN rm r USING (shard)
+"""
+
+
 ORACLES["embedding_sq8_roundtrip"] = """
 WITH pos AS (
   SELECT vec_id, d - 1 AS d, embedding[d]::DOUBLE AS v

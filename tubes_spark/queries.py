@@ -4048,6 +4048,60 @@ def dedup_images_ahash(spark, sf_dir):
     )
 
 
+def tombstone_delete_propagation(spark, sf_dir):
+    """Right-to-be-forgotten propagation with an audit trail — the
+    compliance op every 100 TB corpus eventually runs: a tombstone set
+    (deterministic ~1% of doc_ids here) must cascade from the source
+    table into every derived artifact, and the deletion has to be
+    PROVABLE, not just performed.  The context-window chunk store is
+    the derived artifact; the result is a per-shard audit: chunks and
+    token mass before, after, and removed, plus how many tombstoned
+    docs actually had material in the shard.
+
+    Scale shape: the tombstone set is the broadcast side of one
+    LEFT ANTI join against the chunk stream (the corpus never
+    re-shuffles to find its deletions); the before/after audits are
+    two partial-aggregated shuffles onto 8 shard keys.  At the real
+    scale the same anti-join runs per shard file and the audit is the
+    retention evidence."""
+    chunks = chunk_documents_ctx(spark, sf_dir).withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    tomb = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id")
+    )
+    before = chunks.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("chunks_before"),
+        F.sum("n_tokens").alias("tokens_before"),
+    )
+    kept = chunks.join(F.broadcast(tomb), "doc_id", "left_anti")
+    after = kept.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("chunks_after"),
+        F.sum("n_tokens").alias("tokens_after"),
+    )
+    removed_docs = (
+        chunks.join(F.broadcast(tomb), "doc_id")
+        .groupBy("shard")
+        .agg(F.countDistinct("doc_id").alias("docs_removed"))
+    )
+    return (
+        before.join(after, "shard", "left")
+        .join(removed_docs, "shard", "left")
+        .select(
+            "shard",
+            "chunks_before",
+            F.coalesce("chunks_after", F.lit(0)).alias("chunks_after"),
+            (F.col("chunks_before") - F.coalesce("chunks_after", F.lit(0)))
+            .alias("chunks_removed"),
+            "tokens_before",
+            F.coalesce("tokens_after", F.lit(0)).alias("tokens_after"),
+            F.coalesce("docs_removed", F.lit(0)).cast("long").alias("docs_removed"),
+        )
+    )
+
+
 def export_manifest_shards(spark, sf_dir):
     """The END of the pipeline: a training-data export manifest.
     Context-window chunks (chunk_documents_ctx) are assigned to 8
