@@ -36,8 +36,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # keys of this dict each round.  Keys rotate per round so the union
     # of rounds covers the whole battery.  Round-6 prefix = flagship +
     # the 29 keys with no driver row yet after rounds 1-5 (completing
-    # cross-round driver coverage of the whole r5 battery) + the 4 new
-    # round-6 queries + 16 regression canaries spanning every family
+    # cross-round driver coverage of the whole r5 battery) + the new
+    # round-6 queries + 15 regression canaries spanning every family
     # verified in earlier rounds (TPC-H joins, streaming drains incl.
     # the keyed funnel state, dedup, ANN, text, rollups/interval/as-of,
     # source algebra, folds).  Every key passes the identical local
@@ -80,6 +80,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_dedup_enrich_join": Q.bucketed_dedup_enrich_join,
     "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     "tombstone_delete_propagation": Q.tombstone_delete_propagation,
+    "custom_sink_manifest_roundtrip": Q.custom_sink_manifest_roundtrip,
     # --- regression canaries: previously driver-green families ---
     "q3_shipping_priority": Q.q3_shipping_priority,
     "q6_forecast_revenue": Q.q6_forecast_revenue,
@@ -96,8 +97,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join_views_purchases": Q.interval_join_views_purchases,
     "asof_purchase": Q.asof_purchase,
     "merge_interleave": Q.merge_interleave,
-    "running_user_sum": Q.running_user_sum,
     # --- below position 50: driver-green in at least one earlier round ---
+    "running_user_sum": Q.running_user_sum,
     "map_net_price": Q.map_net_price,
     "pivot_priority_by_year": Q.pivot_priority_by_year,
     "bm25_search_scores": Q.bm25_search_scores,

@@ -169,6 +169,7 @@ HEADLINE = [
     "bucketed_dedup_enrich_join",     # bucketBy write + shuffle-free joins
     "streaming_merge_interleaved_events",  # incremental reference interleave
     "tombstone_delete_propagation",   # right-to-be-forgotten + audit
+    "custom_sink_manifest_roundtrip", # write-side connector 2-phase commit
 ]
 
 

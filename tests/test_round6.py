@@ -173,6 +173,71 @@ def test_bucketed_enrich_join_docs_side_exchange_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+# --------------------------------------------------------------------------
+# write-side Python DataSource: manifest two-phase commit
+# --------------------------------------------------------------------------
+
+
+def test_manifest_jsonl_writer_roundtrip(spark, tmp_path):
+    """The write-side connector publishes exactly the rows written, the
+    manifest is consistent (counts + md5 per file), and nothing outside
+    the manifest is visible."""
+    import hashlib
+    import json
+
+    from tubes_spark import datasource
+
+    datasource.register(spark)
+    df = spark.range(100).selectExpr("id AS k", "id * 3 AS v").repartition(7)
+    out = str(tmp_path / "sink")
+    df.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    manifest = json.loads((tmp_path / "sink" / "manifest.json").read_text())
+    assert manifest["total_rows"] == 100
+    assert len(manifest["files"]) == 7
+    got = []
+    for e in manifest["files"]:
+        raw = (tmp_path / "sink" / "data" / e["file"]).read_bytes()
+        assert hashlib.md5(raw).hexdigest() == e["md5"]
+        rows = [json.loads(line) for line in raw.splitlines()]
+        assert len(rows) == e["n_rows"]
+        got.extend((r["k"], r["v"]) for r in rows)
+    assert sorted(got) == [(i, i * 3) for i in range(100)]
+    # no stray temp files survive the commit
+    assert not list((tmp_path / "sink" / "_tmp").glob("*")) or not (
+        tmp_path / "sink" / "_tmp"
+    ).exists()
+
+
+def test_manifest_jsonl_writer_abort_publishes_nothing(spark, tmp_path):
+    """A failing task must leave the target unpublished: no manifest, no
+    data files — the manifest IS the commit point."""
+    import pyspark
+
+    from tubes_spark import datasource
+
+    datasource.register(spark)
+    out = str(tmp_path / "sink_fail")
+
+    def boom(v):
+        raise RuntimeError("injected write failure")
+
+    from pyspark.sql import functions as SF
+
+    bad = spark.range(10).select(
+        SF.udf(boom, "long")(SF.col("id")).alias("k")
+    )
+    try:
+        bad.write.format("manifest_jsonl").option("path", out).mode(
+            "append"
+        ).save()
+        raise AssertionError("write should have failed")
+    except Exception as ex:
+        assert not isinstance(ex, AssertionError)
+    assert not (tmp_path / "sink_fail" / "manifest.json").exists()
+    assert not list((tmp_path / "sink_fail").glob("data/*"))
+
+
 def test_tombstone_propagation_is_complete(spark):
     """The compliance property behind the audit numbers: NO tombstoned
     doc may survive anywhere in the kept chunk store, and the audit's

@@ -28,7 +28,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 # value formula shared by rows and oracles: cents in [0, 100.00)
@@ -107,6 +109,98 @@ class _ArithStreamReader(DataSourceStreamReader):
         pass
 
 
+class _ManifestCommit(WriterCommitMessage):
+    """Per-task commit message: which temp file the task produced and
+    its row count + content digest (what the driver-side commit needs to
+    publish the manifest)."""
+
+    def __init__(self, filename: str, n_rows: int, md5: str):
+        self.filename = filename
+        self.n_rows = n_rows
+        self.md5 = md5
+
+
+class _ManifestJsonlWriter(DataSourceWriter):
+    """WRITE side of the connector surface, with a REAL two-phase
+    commit — the protocol every exactly-once sink at 100 TB uses:
+
+    * executor ``write``: each task streams its rows to a uniquely
+      named JSONL file under ``<path>/_tmp/`` (never the final
+      location) and returns (filename, rows, md5) as its commit
+      message.  A re-attempted task writes a NEW uuid file; the loser's
+      orphan stays in _tmp, invisible forever.
+    * driver ``commit``: move the winners into ``<path>/data/`` and
+      write ``manifest.json`` LAST — the manifest is the commit point;
+      readers trust only files it lists, so a crash anywhere before the
+      manifest write publishes nothing.
+    * driver ``abort``: remove the temp files; the target is untouched.
+
+    Rows are written in sorted-key JSON with ``separators`` pinned, so
+    file digests are deterministic for deterministic input partitions."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_jsonl writer requires a path option")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import hashlib
+        import json as _json
+        import os
+        import uuid
+
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        h = hashlib.md5()
+        n = 0
+        with open(os.path.join(tmp_dir, name), "wb") as fh:
+            for row in iterator:
+                line = _json.dumps(
+                    {k: row[k] for k in self.fields},
+                    sort_keys=True,
+                    separators=(",", ":"),
+                    default=str,
+                ).encode() + b"\n"
+                fh.write(line)
+                h.update(line)
+                n += 1
+        return _ManifestCommit(name, n, h.hexdigest())
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        entries = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, "_tmp", m.filename),
+                os.path.join(data_dir, m.filename),
+            )
+            entries.append(
+                {"file": m.filename, "n_rows": m.n_rows, "md5": m.md5}
+            )
+        manifest = {
+            "files": sorted(entries, key=lambda e: e["file"]),
+            "total_rows": sum(e["n_rows"] for e in entries),
+        }
+        tmp_manifest = os.path.join(self.path, "manifest.json.tmp")
+        with open(tmp_manifest, "w") as fh:
+            _json.dump(manifest, fh, indent=1)
+        os.replace(tmp_manifest, os.path.join(self.path, "manifest.json"))
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+
 class ArithEventsDataSource(DataSource):
     """``spark.read.format("arith_events")`` after
     ``spark.dataSource.register(ArithEventsDataSource)``."""
@@ -125,6 +219,19 @@ class ArithEventsDataSource(DataSource):
         return _ArithStreamReader(self.options)
 
 
+class ManifestJsonlDataSource(DataSource):
+    """``df.write.format("manifest_jsonl").option("path", p).save()``
+    after :func:`register` — the write-side connector (see
+    _ManifestJsonlWriter for the commit protocol)."""
+
+    @classmethod
+    def name(cls):
+        return "manifest_jsonl"
+
+    def writer(self, schema, overwrite):
+        return _ManifestJsonlWriter(self.options, schema)
+
+
 def register(spark) -> None:
     """Idempotent session registration.
 
@@ -141,3 +248,4 @@ def register(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(ArithEventsDataSource)
+    spark.dataSource.register(ManifestJsonlDataSource)

@@ -1658,6 +1658,11 @@ FROM w
 """
 
 
+ORACLES["custom_sink_manifest_roundtrip"] = """
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+"""
+
+
 # Composes the chunk-store closure: the audit is only trustworthy if the
 # derived artifact itself is the hash-verified one.
 ORACLES["tombstone_delete_propagation"] = f"""

@@ -4048,6 +4048,43 @@ def dedup_images_ahash(spark, sf_dir):
     )
 
 
+def custom_sink_manifest_roundtrip(spark, sf_dir):
+    """The WRITE-side connector under the ORACLE gate: per-user event
+    counts flow OUT through the custom Python DataSource writer
+    (datasource.ManifestJsonlDataSource — task temp files, driver
+    manifest as the atomic commit point) and back IN by reading exactly
+    the files the manifest published.  A hash match against plain SQL
+    proves the whole egress protocol — task files, commit messages,
+    manifest move — preserves every row bit-for-bit, the same
+    verification discipline the read-side connector already gets from
+    custom_source_arith_events.
+
+    Scale shape: one partial-aggregated shuffle to the counts; the
+    write is one file per task with no driver buffering; the read-back
+    lists only manifest-published files."""
+    import json
+    import shutil
+    import tempfile
+
+    from tubes_spark import datasource
+
+    datasource.register(spark)
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tmp = tempfile.mkdtemp(prefix="tubes_sink_")
+    try:
+        agg.write.format("manifest_jsonl").option("path", f"{tmp}/out").mode(
+            "append"
+        ).save()
+        with open(f"{tmp}/out/manifest.json") as fh:
+            manifest = json.load(fh)
+        files = [f"{tmp}/out/data/{m['file']}" for m in manifest["files"]]
+        back = spark.read.schema("n long, user_id long").json(files)
+        return back.select("user_id", "n").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def tombstone_delete_propagation(spark, sf_dir):
     """Right-to-be-forgotten propagation with an audit trail — the
     compliance op every 100 TB corpus eventually runs: a tombstone set
