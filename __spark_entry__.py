@@ -81,6 +81,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     "tombstone_delete_propagation": Q.tombstone_delete_propagation,
     "custom_sink_manifest_roundtrip": Q.custom_sink_manifest_roundtrip,
+    "pipeline_curation_end_to_end": Q.pipeline_curation_end_to_end,
     # --- regression canaries: previously driver-green families ---
     "q3_shipping_priority": Q.q3_shipping_priority,
     "q6_forecast_revenue": Q.q6_forecast_revenue,
@@ -96,8 +97,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_hour_day_week": Q.rollup_hour_day_week,
     "interval_join_views_purchases": Q.interval_join_views_purchases,
     "asof_purchase": Q.asof_purchase,
-    "merge_interleave": Q.merge_interleave,
     # --- below position 50: driver-green in at least one earlier round ---
+    "merge_interleave": Q.merge_interleave,
     "running_user_sum": Q.running_user_sum,
     "map_net_price": Q.map_net_price,
     "pivot_priority_by_year": Q.pivot_priority_by_year,

@@ -170,6 +170,7 @@ HEADLINE = [
     "streaming_merge_interleaved_events",  # incremental reference interleave
     "tombstone_delete_propagation",   # right-to-be-forgotten + audit
     "custom_sink_manifest_roundtrip", # write-side connector 2-phase commit
+    "pipeline_curation_end_to_end",   # dedup->gate->chunk->manifest, one DAG
 ]
 
 

@@ -1658,6 +1658,42 @@ FROM w
 """
 
 
+# The four stages reuse the exact semantics their standalone oracles
+# already verify (dedup_exact_docs, gopher_quality_flags,
+# chunk_documents_ctx, export_manifest_shards) chained as CTEs.
+ORACLES["pipeline_curation_end_to_end"] = f"""
+WITH surv AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {NORM_TEXT})
+), t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM surv
+), gated AS (
+  SELECT doc_id, tk FROM t
+  WHERE len(tk) BETWEEN 50 AND 100000
+    AND list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk)
+        BETWEEN 3.0 AND 10.0
+    AND len(list_intersect(tk, ['the','a','of','to','and','is','in'])) / 7.0
+        >= 2.0 / 7.0
+    AND len(list_filter(tk, x -> len(x) >= 3)) * 1.0 / len(tk) >= 0.6
+    AND len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk)
+        >= 0.8
+), w AS (
+  SELECT doc_id, tk,
+    unnest(range(0, greatest(CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT), 0) + 1)) AS w
+  FROM gated
+), ch AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+    len(list_slice(tk, w*48 + 1, w*48 + 64)) AS n_tokens,
+    md5(array_to_string(list_slice(tk, w*48 + 1, w*48 + 64), ' ')) AS chunk_md5
+  FROM w
+)
+SELECT shard, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  MIN(chunk_md5) AS content_digest
+FROM ch GROUP BY shard
+"""
+
+
 ORACLES["custom_sink_manifest_roundtrip"] = """
 SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
 """

@@ -4048,6 +4048,70 @@ def dedup_images_ahash(spark, sf_dir):
     )
 
 
+def pipeline_curation_end_to_end(spark, sf_dir):
+    """The WHOLE curation pipeline as ONE Catalyst DAG — the deliverable
+    a user of this engine actually ships: raw corpus -> exact dedup
+    (lowest-id survivor per normalized text) -> Gopher quality gate
+    (token bounds, mean word length, stop-words, long-word and
+    alpha-word fractions) -> context-window chunking (size 64, stride
+    48) -> per-shard export manifest with a content digest.  Every
+    stage reuses the exact semantics its standalone query already
+    hash-verifies; composing them in one plan is the point — Catalyst
+    pipelines the dedup window, the gate projection, and the chunk
+    explode into a single pass over the corpus with ONE narrow shuffle
+    on the content hash and one 8-key manifest aggregate at the end.
+
+    Scale shape: stage boundaries are logical, not materialization
+    barriers — no intermediate writes, no driver data; the only wide
+    exchanges are the dedup hash shuffle and the final manifest
+    rollup."""
+    size, stride = 64, 48
+    d = _t(spark, sf_dir, "documents")
+    surv = dedup.dedup_exact(d)
+    t = surv.select("doc_id", text.tokenize(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    sum_len = F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_len = sum_len / n
+    stops = F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and", "is", "in")])
+    stop_frac = F.size(F.array_intersect("toks", stops)) / F.lit(7.0)
+    long_frac = F.size(F.filter("toks", lambda x: F.length(x) >= 3)) / n
+    alpha_frac = F.size(F.filter("toks", lambda x: x.rlike("[A-Za-z]"))) / n
+    keep = (
+        (n >= 50) & (n <= 100000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (stop_frac >= (2.0 / 7.0))
+        & (long_frac >= 0.6)
+        & (alpha_frac >= 0.8)
+    )
+    gated = t.filter(keep)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(size)) / F.lit(stride)).cast("long"), F.lit(0)),
+    )
+    chunks = gated.select(
+        "doc_id", F.col("toks"), F.explode(starts).alias("w")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.slice(F.col("toks"), F.col("w") * stride + 1, size).alias("chunk"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "shard",
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("chunk_md5").alias("content_digest"),
+        )
+    )
+
+
 def custom_sink_manifest_roundtrip(spark, sf_dir):
     """The WRITE-side connector under the ORACLE gate: per-user event
     counts flow OUT through the custom Python DataSource writer
