@@ -82,6 +82,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tombstone_delete_propagation": Q.tombstone_delete_propagation,
     "custom_sink_manifest_roundtrip": Q.custom_sink_manifest_roundtrip,
     "pipeline_curation_end_to_end": Q.pipeline_curation_end_to_end,
+    "session_dynamic_gap": Q.session_dynamic_gap,
+    "streaming_session_dynamic": Q.streaming_session_dynamic,
     # --- regression canaries: previously driver-green families ---
     "q3_shipping_priority": Q.q3_shipping_priority,
     "q6_forecast_revenue": Q.q6_forecast_revenue,
@@ -95,9 +97,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": Q.text_quality,
     "text_langid": Q.text_langid,
     "rollup_hour_day_week": Q.rollup_hour_day_week,
+    # --- below position 50: driver-green in at least one earlier round ---
     "interval_join_views_purchases": Q.interval_join_views_purchases,
     "asof_purchase": Q.asof_purchase,
-    # --- below position 50: driver-green in at least one earlier round ---
     "merge_interleave": Q.merge_interleave,
     "running_user_sum": Q.running_user_sum,
     "map_net_price": Q.map_net_price,

@@ -171,6 +171,8 @@ HEADLINE = [
     "tombstone_delete_propagation",   # right-to-be-forgotten + audit
     "custom_sink_manifest_roundtrip", # write-side connector 2-phase commit
     "pipeline_curation_end_to_end",   # dedup->gate->chunk->manifest, one DAG
+    "session_dynamic_gap",            # per-event-type gap sessionization
+    "streaming_session_dynamic",      # dynamic-gap sessions via state store
 ]
 
 

@@ -265,6 +265,38 @@ SELECT user_id,
 FROM numbered GROUP BY user_id, sid
 """
 
+# Merged-interval (dynamic-gap) sessions via the islands construction:
+# an event opens a new session exactly when it starts at or after the
+# running max end (ts + its own gap) of every predecessor in its key.
+ORACLES["session_dynamic_gap"] = f"""
+WITH g AS (
+  SELECT user_id, ts, value, epoch_us(ts) AS ts_us,
+    epoch_us(ts) + (CASE event_type WHEN 'purchase' THEN 30
+                                    WHEN 'signup' THEN 60
+                                    WHEN 'error' THEN 5
+                                    ELSE 10 END) * CAST(60000000 AS BIGINT) AS end_us
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts_us
+                 THEN 0 ELSE 1 END AS new_s
+  FROM g
+), numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+  CAST(floor(min(ts_us) / 1000000) AS BIGINT) AS session_start,
+  CAST(floor(max(end_us) / 1000000) AS BIGINT) AS session_end,
+  COUNT(*) AS n_events,
+  {_dsum('value')} AS sum_value
+FROM numbered GROUP BY user_id, sid
+"""
+
+ORACLES["streaming_session_dynamic"] = ORACLES["session_dynamic_gap"]
+
+
 ORACLES["distinct_segments"] = "SELECT DISTINCT c_mktsegment FROM customer"
 
 ORACLES["topk_orders"] = """

@@ -415,6 +415,90 @@ def session_30m(spark, sf_dir):
     )
 
 
+_DYNAMIC_GAP = None  # built lazily; F.when chain over event_type
+
+
+def _dynamic_gap_col():
+    """Per-event-type session gap: purchases keep a session alive 30
+    minutes, signups 60, errors 5, views/clicks 10 — the behavioral
+    reality static-gap sessionization flattens."""
+    return (
+        F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+        .when(F.col("event_type") == "signup", F.lit("60 minutes"))
+        .when(F.col("event_type") == "error", F.lit("5 minutes"))
+        .otherwise(F.lit("10 minutes"))
+    )
+
+
+def session_dynamic_gap(spark, sf_dir):
+    """DYNAMIC-gap sessionization — the gap depends on each event's
+    type, so every row extends the session by its own horizon
+    ([ts, ts+gap(row)) intervals merged by overlap).  Spark-first: this
+    is the built-in ``session_window`` with a gap EXPRESSION (no custom
+    state code); the oracle reproduces merged-interval semantics with
+    the classic islands construction — a session breaks exactly when an
+    event starts at or after the running max end of its predecessors.
+
+    Scale shape: one shuffle on user_id (the session merge is
+    state-local per key), 8-key-free — identical cost class to the
+    static session_30m."""
+    e = _t(spark, sf_dir, "events")
+    out = e.groupBy(
+        F.session_window(F.col("ts"), _dynamic_gap_col()).alias("win"),
+        "user_id",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    return out.select(
+        "user_id",
+        F.col("win.start").cast("long").alias("session_start"),
+        F.col("win.end").cast("long").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def streaming_session_dynamic(spark, sf_dir):
+    """The dynamic-gap session through the REAL streaming engine: the
+    state store must merge sessions whose horizons differ per member
+    when a later micro-batch bridges them — strictly harder state
+    bookkeeping than the static streaming_session_30m, same oracle as
+    the batch twin (3650-day watermark keeps every event so the two
+    agree exactly)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.operators import windows as W
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_q_")
+    try:
+        e.repartition(4).write.parquet(f"{tmp}/in")
+        schema = spark.read.parquet(f"{tmp}/in").schema
+        stream = file_replay_source(spark, f"{tmp}/in", schema, max_files_per_trigger=2)
+        agg = W.with_watermark(stream, "ts", "3650 days").groupBy(
+            F.session_window(F.col("ts"), _dynamic_gap_col()).alias("win"),
+            "user_id",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        out = drain_to_df(agg, f"stream_sess_dyn_{uuid.uuid4().hex[:8]}")
+        res = out.select(
+            "user_id",
+            F.col("win.start").cast("long").alias("session_start"),
+            F.col("win.end").cast("long").alias("session_end"),
+            "n_events",
+            "sum_value",
+        ).localCheckpoint(eager=True)
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Set ops / distinct / pivot / rollup
 # --------------------------------------------------------------------------
