@@ -238,9 +238,12 @@ def merge_streams_interleaved(
             )
             .drop("__bn__")
         )
-        ranked.write.mode("append").parquet(out_dir)
-        # advance offsets only after the append commits (at-least-once:
-        # a replayed batch rewrites the same (rn, side) keys)
+        # per-epoch OVERWRITE directory (same layout as
+        # Sink.exactly_once_parquet): a batch replayed after a mid-drain
+        # crash rewrites its own directory instead of appending
+        # duplicate (rn, side) rows — idempotence from the path
+        ranked.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(_bid)}")
+        # advance offsets only after the write commits
         for r in bdf.groupBy("__src__").count().collect():
             offsets[int(r["__src__"])] += int(r["count"])
 
@@ -252,7 +255,9 @@ def merge_streams_interleaved(
         .start()
     )
     q.awaitTermination(timeout_s)
-    out = a.sparkSession.read.parquet(out_dir)
+    out = a.sparkSession.read.option("basePath", out_dir).parquet(
+        f"{out_dir}/epoch=*"
+    )
     if keep_keys:
         return out.select(
             *cols,
