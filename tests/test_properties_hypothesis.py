@@ -71,3 +71,48 @@ def test_arith_hash_family_stays_in_range(x, n):
         v = (a * (x % ARITH_P) + b) % ARITH_P
         assert 0 <= v < ARITH_P
         assert a * (ARITH_P - 1) + b < 2**63, "must stay in 64-bit signed math"
+
+
+# --------------------------------------------------------------------------
+# round 6: PNG codec properties (pure python, no Spark session needed)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=8),
+)
+def test_png_roundtrip_is_identity_on_pixels(h, w, seed, filters):
+    """encode_png . decode_png == id for every image shape and every
+    per-row filter assignment — the inflate + unfilter path can never
+    lose or alter a pixel."""
+    import numpy as np
+
+    from tubes_spark.operators.multimodal import decode_png, encode_png
+
+    arr = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    out = decode_png(encode_png(arr, filters=filters))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_ahash_is_filter_invariant(h, w, seed):
+    """The perceptual hash is a PIXEL property: any filter assignment
+    used at encode time must produce the identical 64-bit hash."""
+    import numpy as np
+
+    from tubes_spark.operators.multimodal import encode_png, png_ahash_hex
+
+    arr = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    hashes = {
+        png_ahash_hex(encode_png(arr, filters=f))
+        for f in (None, [1], [2], [3], [4], [4, 0, 3, 1, 2])
+    }
+    assert len(hashes) == 1
