@@ -84,6 +84,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_curation_end_to_end": Q.pipeline_curation_end_to_end,
     "session_dynamic_gap": Q.session_dynamic_gap,
     "streaming_session_dynamic": Q.streaming_session_dynamic,
+    "temperature_mixture_sample": Q.temperature_mixture_sample,
     # --- regression canaries: previously driver-green families ---
     "q3_shipping_priority": Q.q3_shipping_priority,
     "q6_forecast_revenue": Q.q6_forecast_revenue,
@@ -96,8 +97,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_rerank": Q.knn_pq_rerank,
     "text_quality": Q.text_quality,
     "text_langid": Q.text_langid,
-    "rollup_hour_day_week": Q.rollup_hour_day_week,
     # --- below position 50: driver-green in at least one earlier round ---
+    "rollup_hour_day_week": Q.rollup_hour_day_week,
     "interval_join_views_purchases": Q.interval_join_views_purchases,
     "asof_purchase": Q.asof_purchase,
     "merge_interleave": Q.merge_interleave,

@@ -173,6 +173,7 @@ HEADLINE = [
     "pipeline_curation_end_to_end",   # dedup->gate->chunk->manifest, one DAG
     "session_dynamic_gap",            # per-event-type gap sessionization
     "streaming_session_dynamic",      # dynamic-gap sessions via state store
+    "temperature_mixture_sample",     # alpha-temperature source sampling
 ]
 
 

@@ -265,6 +265,35 @@ SELECT user_id,
 FROM numbered GROUP BY user_id, sid
 """
 
+# Quotas mirror the Spark float discipline: per-source weight rounded
+# to 6dp then DECIMAL-summed (order-independent), one IEEE ratio, floor.
+ORACLES["temperature_mixture_sample"] = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n_s,
+    CAST(round(pow(CAST(COUNT(*) AS DOUBLE), 0.7), 6) AS DECIMAL(27,6)) AS w
+  FROM documents GROUP BY source
+), s AS (
+  SELECT SUM(w) AS sw FROM c
+), q AS (
+  SELECT source, n_s,
+    CAST(floor(
+      CAST((SELECT COUNT(*) // 5 FROM documents) AS DOUBLE)
+      * CAST(w AS DOUBLE) / CAST((SELECT sw FROM s) AS DOUBLE)
+    ) AS BIGINT) AS quota
+  FROM c
+), r AS (
+  SELECT source, doc_id,
+    CAST(row_number() OVER (
+      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.rk, q.n_s, q.quota
+FROM r JOIN q USING (source)
+WHERE r.rk <= q.quota
+"""
+
+
 # Merged-interval (dynamic-gap) sessions via the islands construction:
 # an event opens a new session exactly when it starts at or after the
 # running max end (ts + its own gap) of every predecessor in its key.

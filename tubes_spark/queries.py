@@ -430,6 +430,54 @@ def _dynamic_gap_col():
     )
 
 
+def temperature_mixture_sample(spark, sf_dir):
+    """α-temperature mixture sampling — the multilingual-pretraining
+    sampler (XLM-style, α = 0.7): source s is sampled with probability
+    ∝ n_s^α, which flattens the head so low-resource sources are not
+    drowned out; the total budget is 20% of the corpus and each
+    source's quota is floor(N · w_s / Σw).  Selection within a source
+    is the lowest-md5 prefix (the engine's standard seedable shuffle),
+    so the sample is bit-reproducible across engines and partitionings.
+
+    Float discipline: w_s = round(n_s^0.7, 6) is quantized to
+    DECIMAL(27,6) so Σw is an exact, order-independent decimal sum;
+    the quota is then ONE deterministic IEEE expression over identical
+    operands on both engines, and everything downstream is integer.
+
+    Scale shape: the per-source stats and quotas are a 5-row broadcast;
+    the selection is one rank window per source (pre-split sources into
+    hash buckets at 100 TB, same as mix_sources_token_budget)."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()  # bounded scalar: corpus size for the budget
+    n_budget = total // 5
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    counts = counts.withColumn(
+        "w",
+        F.round(F.pow(F.col("n_s").cast("double"), F.lit(0.7)), 6)
+        .cast("decimal(27,6)"),
+    )
+    sumw = counts.agg(F.sum("w").alias("sw"))
+    qdf = counts.crossJoin(F.broadcast(sumw)).select(
+        "source",
+        "n_s",
+        F.floor(
+            F.lit(float(n_budget))
+            * F.col("w").cast("double")
+            / F.col("sw").cast("double")
+        ).alias("quota"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    wnd = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "source").withColumn(
+        "rk", F.row_number().over(wnd).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(qdf), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("source", "doc_id", "rk", "n_s", "quota")
+    )
+
+
 def session_dynamic_gap(spark, sf_dir):
     """DYNAMIC-gap sessionization — the gap depends on each event's
     type, so every row extends the session by its own horizon
