@@ -71,6 +71,10 @@ LINEAR_QUERIES = [
     "multimodal_png_ahash",        # per-row encode+decode: pure map
     "bucketed_dedup_enrich_join",  # bucketed write + banded joins
     "gopher_quality_flags",        # re-probed: alpha rule added
+    "pipeline_curation_end_to_end",  # full curation DAG
+    "tombstone_delete_propagation",  # broadcast anti-join + audit
+    "session_dynamic_gap",           # per-row-gap session merge
+    "temperature_mixture_sample",    # 5-row quota broadcast + rank
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not

@@ -415,9 +415,6 @@ def session_30m(spark, sf_dir):
     )
 
 
-_DYNAMIC_GAP = None  # built lazily; F.when chain over event_type
-
-
 def _dynamic_gap_col():
     """Per-event-type session gap: purchases keep a session alive 30
     minutes, signups 60, errors 5, views/clicks 10 — the behavioral
