@@ -567,17 +567,18 @@ def test_merge_streams_interleaved_incremental_golden(spark, tmpdir):
     the running offsets are genuinely exercised across batches."""
     from tubes_spark.streaming.run import merge_streams_interleaved
 
+    from pyspark.sql import functions as F
+
+    from tubes_spark.streaming.run import write_ordered_slices
+
     schema = "seq long, value string"
-    a_slices = [[(1, "A1"), (2, "A2")], [(3, "A3")]]
-    b_slices = [[(1, "B1")], [(2, "B2"), (3, "B3"), (4, "B4")]]
-    for i, s in enumerate(a_slices):
-        spark.createDataFrame(s, schema).coalesce(1).write.mode("append").parquet(
-            f"{tmpdir}/mi_a"
-        )
-    for i, s in enumerate(b_slices):
-        spark.createDataFrame(s, schema).coalesce(1).write.mode("append").parquet(
-            f"{tmpdir}/mi_b"
-        )
+    # write via write_ordered_slices (strictly increasing mtimes):
+    # FileStreamSource orders files by mtime, so plain same-millisecond
+    # appends could deliver slices out of order and flake the golden
+    a_all = spark.createDataFrame([(1, "A1"), (2, "A2"), (3, "A3")], schema)
+    b_all = spark.createDataFrame([(1, "B1"), (2, "B2"), (3, "B3"), (4, "B4")], schema)
+    write_ordered_slices(a_all, [F.col("seq") <= 2, F.col("seq") > 2], f"{tmpdir}/mi_a")
+    write_ordered_slices(b_all, [F.col("seq") <= 1, F.col("seq") > 1], f"{tmpdir}/mi_b")
     a = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -594,6 +595,80 @@ def test_merge_streams_interleaved_incremental_golden(spark, tmpdir):
     assert [r.value for r in out.collect()] == [
         "A1", "B1", "A2", "B2", "A3", "B3", "B4",
     ]
+
+
+def test_merge_streams_interleaved_new_call_resumes_mid_drain(spark, tmpdir):
+    """ADVICE-r6 medium: per-side offsets must survive a dead driver.
+    Drain the first half of each side with call #1, then point a
+    brand-NEW merge_streams_interleaved call (fresh Python state) at
+    the SAME checkpoint + sink with the remaining slices appended — the
+    ledger (`_offsets/epoch=N.json`) must rehydrate the offsets so the
+    resumed batches continue the per-side numbering instead of
+    restarting at 0, and the final interleave must equal the
+    uninterrupted run's exactly."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.streaming.run import (
+        merge_streams_interleaved,
+        write_ordered_slices,
+    )
+
+    schema = "seq long, value string"
+    a_all = spark.createDataFrame(
+        [(i, f"A{i}") for i in range(1, 6)], schema
+    )
+    b_all = spark.createDataFrame(
+        [(i, f"B{i}") for i in range(1, 8)], schema
+    )
+
+    def stream(path):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    # uninterrupted reference run
+    write_ordered_slices(a_all, [F.col("seq") <= 2, F.col("seq").between(3, 4),
+                                 F.col("seq") >= 5], f"{tmpdir}/ref_a")
+    write_ordered_slices(b_all, [F.col("seq") <= 3, F.col("seq").between(4, 5),
+                                 F.col("seq") >= 6], f"{tmpdir}/ref_b")
+    ref = merge_streams_interleaved(
+        stream(f"{tmpdir}/ref_a"), stream(f"{tmpdir}/ref_b"),
+        ["seq"], f"{tmpdir}/ref_out", f"{tmpdir}/ref_ck", keep_keys=True,
+    )
+    ref_rows = sorted((r.rn, r.side, r.value) for r in ref.collect())
+
+    # interrupted run: call #1 sees only the first slices
+    write_ordered_slices(a_all.filter(F.col("seq") <= 2),
+                         [F.lit(True)], f"{tmpdir}/cut_a")
+    write_ordered_slices(b_all.filter(F.col("seq") <= 3),
+                         [F.lit(True)], f"{tmpdir}/cut_b")
+    merge_streams_interleaved(
+        stream(f"{tmpdir}/cut_a"), stream(f"{tmpdir}/cut_b"),
+        ["seq"], f"{tmpdir}/cut_out", f"{tmpdir}/cut_ck", keep_keys=True,
+    ).collect()
+
+    # "driver dies"; remaining slices arrive; a brand-new call resumes
+    write_ordered_slices(a_all.filter(F.col("seq") > 2),
+                         [F.col("seq") <= 4, F.col("seq") >= 5],
+                         f"{tmpdir}/cut_a", base_epoch=1_700_000_100)
+    write_ordered_slices(b_all.filter(F.col("seq") > 3),
+                         [F.col("seq") <= 5, F.col("seq") >= 6],
+                         f"{tmpdir}/cut_b", base_epoch=1_700_000_100)
+    out = merge_streams_interleaved(
+        stream(f"{tmpdir}/cut_a"), stream(f"{tmpdir}/cut_b"),
+        ["seq"], f"{tmpdir}/cut_out", f"{tmpdir}/cut_ck", keep_keys=True,
+    )
+    cut_rows = sorted((r.rn, r.side, r.value) for r in out.collect())
+    assert cut_rows == ref_rows
+    # and the reference interleave order survives end-to-end
+    ordered = [v for (_rn, _s, v) in sorted(
+        ((r.rn, r.side, r.value) for r in out.collect()),
+        key=lambda t: (t[0], t[1]),
+    )]
+    assert ordered == ["A1", "B1", "A2", "B2", "A3", "B3",
+                       "A4", "B4", "A5", "B5", "B6", "B7"]
 
 
 def test_exactly_once_multi_sink_converges_after_crash(spark, tmpdir):

@@ -2286,7 +2286,11 @@ def bucketed_dedup_enrich_join(spark, sf_dir):
         F.floor(F.col("n_chars") / 10).alias("len_band"),
         band.alias("band"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-run discriminator: two sessions sharing a warehouse on the
+    # same sf_dir must not collide on the table name (or DROP each
+    # other's table mid-query)
+    run_id = spark.sparkContext.applicationId.replace("-", "_")
+    tag = hashlib.md5(f"{sf_dir}|{run_id}".encode()).hexdigest()[:12]
     tbl = f"tubes_docs_bkt_{tag}"
     tmp = tempfile.mkdtemp(prefix="tubes_bkt_")
     try:
@@ -2659,11 +2663,16 @@ def streaming_merge_interleaved_events(spark, sf_dir):
                 "event_id", "ts_us"
             )
             mn, mx = side_df.agg(F.min("ts_us"), F.max("ts_us")).first()
-            span = max(int(mx) - int(mn) + 1, 1)
-            conds = [
-                F.floor((F.col("ts_us") - F.lit(int(mn))) * 3 / F.lit(span)) == i
-                for i in range(3)
-            ]
+            if mn is None:
+                # empty side at a tiny scale factor: one empty slice so
+                # the file stream still has a directory to read
+                conds = [F.lit(True)]
+            else:
+                span = max(int(mx) - int(mn) + 1, 1)
+                conds = [
+                    F.floor((F.col("ts_us") - F.lit(int(mn))) * 3 / F.lit(span)) == i
+                    for i in range(3)
+                ]
             write_ordered_slices(side_df, conds, f"{tmp}/in{s}")
             streams.append(
                 spark.readStream.schema(schema)

@@ -205,35 +205,68 @@ def merge_streams_interleaved(
       stream; readers order by (rn, side) at consumption, exactly like
       any log-ordered table.
 
-    Cross-batch state is two driver-held counters (O(1)); correctness
-    requires per-side in-order delivery across triggers (time-sliced
-    replay files or log offsets), the same contract as the funnel
-    operator.  Counters live in this call, so a NEW call must replay
-    from a fresh checkpoint + sink; production would persist the two
-    offsets alongside the sink commit (e.g. in the foreachBatch txn).
+    Cross-batch state is the pair of per-side offsets, and they are
+    PERSISTED: every epoch commit also writes a tiny JSON ledger entry
+    (``out_dir/_offsets/epoch=N.json``) recording the offsets in force
+    BEFORE the batch (``pre``) and after it (``post``).  On every batch
+    the handler derives its pre-offsets from the ledger, never from
+    call-local memory — so a batch replayed after a crash (same
+    checkpoint, same sink) reranks with the SAME pre-offsets and
+    rewrites its own epoch directory byte-identically, and a brand-NEW
+    call pointed at a half-finished checkpoint + sink resumes exactly
+    where the dead one stopped.  (Directories starting with ``_`` are
+    hidden from Spark's file listing, so the ledger never pollutes the
+    parquet read.)  Correctness still requires per-side in-order
+    delivery across triggers (time-sliced replay files or log offsets),
+    the same contract as the funnel operator.
 
     Returns the interleaved bounded result after an AvailableNow drain,
     in reference order with the plumbing columns dropped —
     ``keep_keys=True`` keeps them as (rn, side) instead, so a consumer
     (or an oracle) can verify the interleave positionally without any
     global sort."""
+    import json
+    import os
+
     cols = list(a.columns)
     u = a.withColumn("__src__", F.lit(0)).unionByName(
         b.withColumn("__src__", F.lit(1))
     )
-    offsets = {0: 0, 1: 0}
+    ledger_dir = os.path.join(out_dir, "_offsets")
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def _pre_offsets(bid: int) -> "dict[int, int]":
+        """Offsets in force before batch ``bid``: this batch's own
+        ledger entry if it exists (we are REPLAYING it), else the
+        ``post`` of the newest committed epoch below it, else zero."""
+        own = os.path.join(ledger_dir, f"epoch={bid}.json")
+        if os.path.exists(own):
+            with open(own) as f:
+                return {int(k): v for k, v in json.load(f)["pre"].items()}
+        best = None
+        for name in os.listdir(ledger_dir):
+            if name.startswith("epoch=") and name.endswith(".json"):
+                e = int(name[len("epoch="):-len(".json")])
+                if e < bid and (best is None or e > best):
+                    best = e
+        if best is None:
+            return {0: 0, 1: 0}
+        with open(os.path.join(ledger_dir, f"epoch={best}.json")) as f:
+            return {int(k): v for k, v in json.load(f)["post"].items()}
 
     def handle(bdf, _bid):
         from pyspark.sql import Window
 
+        bid = int(_bid)
+        pre = _pre_offsets(bid)
         w = Window.partitionBy("__src__").orderBy(*[F.col(c) for c in order_by])
         ranked = (
             bdf.withColumn("__bn__", F.row_number().over(w))
             .withColumn(
                 "__rn__",
                 F.col("__bn__")
-                + F.when(F.col("__src__") == 0, F.lit(offsets[0])).otherwise(
-                    F.lit(offsets[1])
+                + F.when(F.col("__src__") == 0, F.lit(pre[0])).otherwise(
+                    F.lit(pre[1])
                 ),
             )
             .drop("__bn__")
@@ -242,10 +275,21 @@ def merge_streams_interleaved(
         # Sink.exactly_once_parquet): a batch replayed after a mid-drain
         # crash rewrites its own directory instead of appending
         # duplicate (rn, side) rows — idempotence from the path
-        ranked.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(_bid)}")
-        # advance offsets only after the write commits
+        ranked.write.mode("overwrite").parquet(f"{out_dir}/epoch={bid}")
+        post = dict(pre)
         for r in bdf.groupBy("__src__").count().collect():
-            offsets[int(r["__src__"])] += int(r["count"])
+            post[int(r["__src__"])] += int(r["count"])
+        # ledger entry commits last (atomic rename), AFTER the data
+        # write: a crash between the two replays the batch with the
+        # same pre-offsets and rewrites the same bytes
+        entry = json.dumps(
+            {"pre": {str(k): v for k, v in pre.items()},
+             "post": {str(k): v for k, v in post.items()}}
+        )
+        tmp_path = os.path.join(ledger_dir, f".epoch={bid}.json.tmp")
+        with open(tmp_path, "w") as f:
+            f.write(entry)
+        os.replace(tmp_path, os.path.join(ledger_dir, f"epoch={bid}.json"))
 
     q = (
         u.writeStream.foreachBatch(handle)
