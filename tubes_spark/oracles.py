@@ -1317,6 +1317,42 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
 """
 
+# TTL sessionized fold with watermark eviction: islands by gap > TTL;
+# every non-final island is emitted (in-batch split or timeout —
+# equivalent under in-order delivery), the final island only when the
+# FINAL watermark (max_ms - delay_ms, the engine's own arithmetic)
+# strictly clears its last event + TTL.  vu = floor(value*1e6) keeps
+# the fold integer-exact in both engines.
+ORACLES["streaming_ttl_sessions"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000000) AS BIGINT) AS vu
+  FROM events WHERE user_id % 5 = 0
+), m AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                      > 30000000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+), g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m
+), isls AS (
+  SELECT user_id, isl,
+         CAST(SUM(vu) AS BIGINT) AS acc_units,
+         COUNT(*) AS n,
+         MIN(ts_us) AS start_us,
+         MAX(ts_us) AS last_us,
+         MAX(isl) OVER (PARTITION BY user_id) AS last_isl
+  FROM g GROUP BY user_id, isl
+), wm AS (
+  SELECT max(ts_us) // 1000 - 10000 AS wm_ms FROM e
+)
+SELECT user_id, acc_units, n, start_us, last_us
+FROM isls, wm
+WHERE isl < last_isl OR last_us // 1000 + 30000000 < wm_ms
+"""
+
+
 ORACLES["streaming_late_data"] = """
 WITH b AS (
   SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
@@ -2635,6 +2671,21 @@ WITH v AS (
 SELECT view_id, v.user_id, purchase_id, purchase_value,
   (purchase_id IS NOT NULL) AS matched
 FROM v LEFT JOIN p
+  ON v.user_id = p.up AND p.ts_p >= v.ts_v AND p.ts_p <= v.ts_v + INTERVAL 1 HOUR
+"""
+
+
+ORACLES["streaming_full_outer_join"] = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS ts_v FROM events
+  WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS up, ts AS ts_p, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT view_id, COALESCE(v.user_id, p.up) AS user_id, purchase_id, purchase_value,
+  (view_id IS NOT NULL AND purchase_id IS NOT NULL) AS matched
+FROM v FULL JOIN p
   ON v.user_id = p.up AND p.ts_p >= v.ts_v AND p.ts_p <= v.ts_v + INTERVAL 1 HOUR
 """
 

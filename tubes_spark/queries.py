@@ -2693,6 +2693,89 @@ def streaming_merge_interleaved_events(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_ttl_sessions(spark, sf_dir):
+    """Keyed-state EVICTION under the value-hash oracle gate — the
+    round-7 bounded-state contract (VERDICT-r6 #1) made verifiable:
+    events for user_id % 5 == 0 replay as four time-quartile triggers
+    into ``ttl_session_fold`` (applyInPandasWithState +
+    EventTimeTimeout).  Each user's state holds ONE open session; a
+    30,000 s event-time gap splits sessions in-batch, and the watermark
+    evicts a session once it trails by the TTL — flushing its final
+    (sum, count, bounds) row and removing the key from the state store.
+
+    DuckDB reproduces the whole protocol arithmetically: islands by
+    gap > TTL, the engine's watermark ``max_ms - delay_ms``, and the
+    eviction rule "final island emitted iff its last event + TTL is
+    strictly behind the final watermark" — so state eviction is
+    hash-checked row by row, not just trusted (same discipline as
+    ``streaming_late_data``).
+
+    Float discipline: the folded value is floor(value * 1e6) — integer
+    micro-units, exact in sequential float64 addition and in DuckDB's
+    SUM alike.
+
+    Scale shape: state is O(keys active within the TTL horizon), NOT
+    O(keys ever seen) — the property that makes the operator safe on a
+    continuous 100 TB stream; each trigger pays one user_id shuffle."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.streaming.run import drain_to_df, write_ordered_slices
+    from tubes_spark.streaming.state import ttl_session_fold
+
+    TTL_US = 30_000 * 1_000_000
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    base = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * 1_000_000).alias("vu"),
+    )
+    tmp = tempfile.mkdtemp(prefix="tubes_ttl_")
+    # state-partition sizing (same rationale as the stream-stream
+    # joins): 5 stateful triggers x 200 vanilla shuffle partitions is
+    # ~1000 task launches for KBs of keyed state; 8 partitions carry
+    # the same state volume per trigger
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        mn, mx = base.agg(F.min("ts_us"), F.max("ts_us")).first()
+        if mn is None:
+            conds = [F.lit(True)]
+        else:
+            span = max(int(mx) - int(mn) + 1, 1)
+            conds = [
+                F.floor((F.col("ts_us") - F.lit(int(mn))) * 4 / F.lit(span)) == i
+                for i in range(4)
+            ]
+        write_ordered_slices(base, conds, f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long, vu long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .withWatermark("ts", "10 seconds")
+        )
+        sess = ttl_session_fold(
+            stream, "user_id", "ts_us", "vu",
+            ttl_us=TTL_US, event_time_col="ts", delay_ms=10_000,
+        )
+        out = drain_to_df(
+            sess, f"stream_ttl_{uuid.uuid4().hex[:8]}", output_mode="append"
+        )
+        res = out.select(
+            F.col("key").cast("long").alias("user_id"),
+            F.col("acc").cast("long").alias("acc_units"),
+            "n",
+            "start_us",
+            "last_us",
+        ).localCheckpoint(eager=True)
+        return res
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def streaming_late_data(spark, sf_dir):
     """Watermark late-data semantics through the REAL engine, under the
     ORACLE gate: events replay in four time-quartile triggers, except
@@ -5129,6 +5212,95 @@ def streaming_left_outer_join(spark, sf_dir):
             F.col("purchase_id").isNotNull().alias("matched"),
         )
         out = drain_to_df(j, f"stream_loj_{uuid.uuid4().hex[:8]}", output_mode="append")
+        out = out.filter(F.col("user_id") >= 0).cache()
+        out.count()  # pin rows before the input files are removed
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_full_outer_join(spark, sf_dir):
+    """FULL OUTER stream-stream join — the last cell of the streaming
+    join matrix (inner: streaming_interval_join; left-outer:
+    streaming_left_outer_join).  Now BOTH sides' unmatched rows must
+    flush when the watermark passes their join window: views with no
+    purchase inside the hour AND purchases preceded by no view.
+
+    Same sentinel watermark-flush technique as the left-outer query:
+    two sentinel slices (user_id -1, Feb 10 / Feb 15 — far past the
+    Jan data) appended to BOTH streams drive the final watermark well
+    beyond every real row's window, so every unmatched row on either
+    side leaves state and emits its null-padded row, and the drained
+    output hash-matches the plain batch FULL OUTER JOIN with no
+    cutoff carve-outs.  ``user_id`` is coalesced across sides so
+    purchase-only rows keep their key (and the sentinel filter works).
+
+    Scale shape: one user_id shuffle per side; TWO watermark-bounded
+    state stores (8 days); state partitions sized to the drain like
+    every stateful query here."""
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from tubes_spark.streaming.run import drain_to_df, file_replay_source, write_ordered_slices
+
+    e = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="tubes_stream_foj_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        v_real = e.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("ts_v")
+        )
+        p_real = e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), F.col("user_id").alias("user_id_p"),
+            F.col("ts").alias("ts_p"), F.col("value").alias("purchase_value"),
+        )
+        sent_v = spark.createDataFrame(
+            [(-1, -1, datetime(2024, 2, 10)), (-2, -1, datetime(2024, 2, 15))],
+            "view_id long, user_id long, ts_v timestamp",
+        )
+        sent_p = spark.createDataFrame(
+            [(-1, -1, datetime(2024, 2, 10), 0.0), (-2, -1, datetime(2024, 2, 15), 0.0)],
+            "purchase_id long, user_id_p long, ts_p timestamp, purchase_value double",
+        )
+        wk = [F.lit("2024-01-16").cast("timestamp"),
+              F.lit("2024-02-01").cast("timestamp"), F.lit("2024-02-12").cast("timestamp")]
+
+        def slices(ts_col):
+            return [
+                F.col(ts_col) < wk[0],
+                (F.col(ts_col) >= wk[0]) & (F.col(ts_col) < wk[1]),
+                (F.col(ts_col) >= wk[1]) & (F.col(ts_col) < wk[2]),
+                F.col(ts_col) >= wk[2],
+            ]
+
+        write_ordered_slices(v_real.unionByName(sent_v), slices("ts_v"), f"{tmp}/v")
+        write_ordered_slices(p_real.unionByName(sent_p), slices("ts_p"), f"{tmp}/p")
+        v = file_replay_source(
+            spark, f"{tmp}/v", spark.read.parquet(f"{tmp}/v").schema, max_files_per_trigger=1
+        ).withWatermark("ts_v", "8 days")
+        p = file_replay_source(
+            spark, f"{tmp}/p", spark.read.parquet(f"{tmp}/p").schema, max_files_per_trigger=1
+        ).withWatermark("ts_p", "8 days")
+        # no sentinel filter inside the plan (pushdown would skip the
+        # sentinel files at the scan and stall the watermark — see
+        # streaming_left_outer_join); sentinels are filtered post-drain
+        j = v.join(
+            p,
+            (F.col("user_id") == F.col("user_id_p"))
+            & (F.col("ts_p") >= F.col("ts_v"))
+            & (F.col("ts_p") <= F.col("ts_v") + F.expr("INTERVAL 1 HOUR")),
+            "full_outer",
+        ).select(
+            "view_id",
+            F.coalesce(F.col("user_id"), F.col("user_id_p")).alias("user_id"),
+            "purchase_id", "purchase_value",
+            (F.col("view_id").isNotNull() & F.col("purchase_id").isNotNull()).alias("matched"),
+        )
+        out = drain_to_df(j, f"stream_foj_{uuid.uuid4().hex[:8]}", output_mode="append")
         out = out.filter(F.col("user_id") >= 0).cache()
         out.count()  # pin rows before the input files are removed
         return out

@@ -32,9 +32,22 @@ FUNNEL_OUTPUT_SCHEMA = (
 )
 
 
-def funnel_conversions_stream(grouped, window_us: int):
+def funnel_conversions_stream(grouped, window_us: int,
+                              event_time_col: "str | None" = None,
+                              evict_gap_ms: "int | None" = None):
     """Attach the funnel processor to a ``groupBy('user_id')`` of a
     stream with columns (user_id, ts_us, event_id, event_type).
+
+    **Bounded state:** pass ``event_time_col`` (a timestamp column the
+    caller watermarked before the groupBy) and ``evict_gap_ms`` to run
+    under ``EventTimeTimeout``: a user whose last event is more than
+    ``evict_gap_ms`` behind the watermark has their last-view register
+    dropped from the state store.  With ``evict_gap_ms * 1000 >=
+    window_us`` and in-order delivery the eviction is LOSSLESS — a view
+    that far behind the watermark can never pair with any future
+    purchase inside the attribution window — so results are identical
+    to the NoTimeout run while state stays O(users active within the
+    horizon) instead of O(users ever seen).
 
     In-batch rows for a key arrive unordered: the handler sorts by
     (ts_us, event_id) — the same total order the batch oracle uses —
@@ -45,9 +58,16 @@ def funnel_conversions_stream(grouped, window_us: int):
     across triggers (in-order delivery); bounded replays get that from
     time-sliced input files, production deployments from log offsets."""
 
+    evict = event_time_col is not None and evict_gap_ms is not None
+
     def update(
         key, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if evict and state.hasTimedOut:
+            # a register this far behind the watermark can never
+            # convert again (gap >= attribution window): drop it
+            state.remove()
+            return
         user_id = int(key[0])
         last_ts, last_id = state.get if state.exists else (None, None)
         out: list[tuple[int, int, int, int]] = []
@@ -70,6 +90,12 @@ def funnel_conversions_stream(grouped, window_us: int):
                 )
         if last_ts is not None:
             state.update((last_ts, last_id))
+            if evict and len(pdf):
+                batch_last_ms = int(pdf[event_time_col].max().value) // 1_000_000
+                state.setTimeoutTimestamp(
+                    max(batch_last_ms + evict_gap_ms,
+                        state.getCurrentWatermarkMs() + 1)
+                )
         if out:
             yield pd.DataFrame(
                 out,
@@ -81,5 +107,9 @@ def funnel_conversions_stream(grouped, window_us: int):
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType="view_ts_us long, view_event_id long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
