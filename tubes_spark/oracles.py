@@ -1502,6 +1502,38 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+# CC survivor policy over the arith band family: reuse the band-key
+# CTEs verbatim (split at the survivor tail) and replace the greedy
+# bucket-min drop with star edges -> recursive transitive closure ->
+# smallest-label component — the oracle twin of connected_components()
+# composed with arith_minhash_bands().
+ORACLES["dedup_minhash_arith_cc_survivors"] = (
+    ORACLES["dedup_minhash_arith_survivors"]
+    .split("), dropped AS")[0]
+    .replace("WITH hx AS", "WITH RECURSIVE hx AS", 1)
+    + """), star AS (
+  SELECT mn AS src, doc_id AS dst FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, key) AS mn FROM bands
+  ) WHERE doc_id > mn
+), und AS (
+  SELECT DISTINCT src, dst FROM star
+  UNION
+  SELECT DISTINCT dst, src FROM star
+), reach AS (
+  SELECT src AS node, dst AS r FROM und
+  UNION
+  SELECT reach.node, und.dst FROM reach JOIN und ON reach.r = und.src
+), comp AS (
+  SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node
+), dropped AS (
+  SELECT node AS doc_id FROM comp WHERE comp < node
+)
+SELECT d.doc_id, d.source, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+)
+
+
 ORACLES["connected_components_jaccard"] = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents WHERE doc_id < 1250
