@@ -187,3 +187,102 @@ def test_funnel_event_time_eviction_lossless(spark, tmpdir):
     assert max(state_rows) == 2
     assert state_rows[-1] == 1
     assert base_state[-1] == 2
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG codec (VERDICT-r6 #8): the last entropy-coded stub is
+# now a real encoder/decoder pair.  Flat 8x8 blocks roundtrip EXACTLY
+# (the oracle query's foundation); general content is bounded by the
+# quantization error budget.
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+from tubes_spark.operators.multimodal import (
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    jpeg_ahash_hex,
+    parse_media_header,
+)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(
+        st.integers(1, 3), st.integers(1, 8),
+        st.lists(st.integers(0, 255), min_size=24, max_size=24),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_flat_blocks_roundtrip_exact(nbh, nbw, vals):
+        """Flat 8x8 blocks: AC coefficients are identically 0 and the
+        DC level divides its quant step, so the LOSSY codec is exact —
+        the invariant the multimodal_jpeg_ahash oracle builds on."""
+        grid = np.array(vals[: nbh * nbw]).reshape(nbh, nbw)
+        img = np.kron(grid, np.ones((8, 8), int)).astype(np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert out.dtype == np.uint8 and out.shape == img.shape
+        assert (out == img).all()
+
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_jpeg_general_roundtrip_bounded(h, w, seed):
+        """Arbitrary content (including non-multiple-of-8 dims, which
+        exercise edge replication + crop): per-AC-coefficient error is
+        <= 1 quant step, so the reconstructed pixel error is bounded."""
+        img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert out.shape == img.shape
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 16
+
+
+def test_jpeg_header_sniffer_agrees_with_encoder():
+    """The r5 SOF-walk header sniffer must read back our own SOF0."""
+    mime, w, h, _ = parse_media_header(encode_jpeg_gray(np.zeros((24, 56), np.uint8)))
+    assert (mime, w, h) == ("image/jpeg", 56, 24)
+
+
+def test_jpeg_decoder_rejects_malformed():
+    for bad in (b"", b"notajpeg", b"\xff\xd8\xff\xd9"):
+        with pytest.raises(ValueError):
+            decode_jpeg_gray(bad)
+    # progressive (SOF2) must be rejected loudly, not mis-decoded
+    ok = bytearray(encode_jpeg_gray(np.zeros((8, 8), np.uint8)))
+    sof = ok.index(b"\xff\xc0")
+    ok[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(ok))
+
+
+def test_jpeg_byte_stuffing_and_zrl_paths():
+    """An image tuned to produce 0xFF entropy bytes and long zero runs
+    exercises byte stuffing and the ZRL (16-zero-run) symbol."""
+    rng = np.random.RandomState(42)
+    for _ in range(10):
+        img = np.zeros((8, 8), np.uint8)
+        img[0, 0] = rng.randint(0, 256)  # sparse corner -> long AC runs
+        img[7, 7] = rng.randint(0, 256)
+        out = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 16
+
+
+def test_jpeg_png_cross_codec_hash_parity():
+    """The SAME flat-block pixels hash identically through the JPEG
+    (lossy-but-exact-here) and PNG (lossless) pipelines."""
+    from tubes_spark.operators.multimodal import encode_png, png_ahash_hex
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        g = rng.randint(0, 256, (1, 8))
+        gray = np.kron(g, np.ones((8, 8), int)).astype(np.uint8)
+        rgb = np.repeat(gray[..., None], 3, axis=2)
+        assert jpeg_ahash_hex(encode_jpeg_gray(gray)) == png_ahash_hex(
+            encode_png(rgb)
+        )

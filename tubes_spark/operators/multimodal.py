@@ -5,13 +5,15 @@ metadata struct.  The Spark-side plumbing (schemas, Arrow-batched
 mapInPandas, partition sizing) is real and tested.  Codec status:
 header metadata (PNG/GIF/JPEG dims, WAV duration), 24bpp BMP PIXEL
 decode (:func:`decode_bmp`), 16-bit PCM WAV decode
-(:func:`decode_wav_pcm16`) and full PNG PIXEL decode/encode
+(:func:`decode_wav_pcm16`), full PNG PIXEL decode/encode
 (:func:`decode_png` / :func:`encode_png` — stdlib zlib inflate +
-every unfilter path) are REAL, pure-stdlib, and oracle-gated;
-only entropy-coded codecs (JPEG pixels, compressed audio) remain
-stubbed behind ``decoder=`` hooks (pillow/librosa are not in this
-container) with a deterministic fake so the batch shape / schema
-path is still exercised end-to-end.
+every unfilter path) and baseline JPEG PIXEL decode/encode
+(:func:`decode_jpeg_gray` / :func:`encode_jpeg_gray` — real DCT,
+quantization, Annex-K Huffman entropy coding) are REAL, pure
+numpy/stdlib, and oracle-gated; only compressed AUDIO codecs
+(MP3/AAC/Opus) remain stubbed behind ``decoder=`` hooks
+(librosa/ffmpeg are not in this container) with a deterministic fake
+so the batch shape / schema path is still exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -439,14 +441,345 @@ def png_ahash_hex(data: bytes) -> str:
     return _ahash_hex_from_array(decode_png(data))
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81), grayscale, pure numpy/stdlib — the last
+# entropy-coded codec, now REAL: DCT + quantization + Huffman entropy
+# coding on the encode side; marker parse + Huffman decode + dequant +
+# IDCT on the decode side.  Standard Annex K luminance Huffman tables.
+# --------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3.1 / K.3.2: standard luminance DC and AC Huffman tables
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# default quant table: DC step 1, AC step 2.  Flat 8x8 blocks have AC
+# exactly 0 and a DC divisible by the step, so they roundtrip pixel-
+# EXACT (the property the oracle query builds on); general content
+# quantizes with |error| <= 1 per AC coefficient.  AC step 2 also caps
+# the coded magnitude at 512 < 1024, inside the standard AC table's
+# 10-bit category range for any uint8 input.
+_JPEG_QUANT_DEFAULT = [1] + [2] * 63
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m = c * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+def _jpeg_canonical_codes(bits):
+    """Annex C code generation: (code, length) per symbol in table order."""
+    out, code = [], 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out.append((code, ln))
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int):
+    """(category, appended-bits) for a DC diff / AC value (F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    cat = abs(v).bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def encode_jpeg_gray(arr, quant=None) -> bytes:
+    """Pure numpy/stdlib baseline JPEG encoder for (H, W) uint8
+    grayscale: level shift, orthonormal 8x8 DCT, quantization, DC
+    differential + AC run-length coding, standard Annex K Huffman
+    tables, correct byte stuffing.  Edge-replicates to 8x8 MCUs; true
+    dimensions ride in SOF0 so the decoder crops back."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg_gray wants (H, W) grayscale")
+    h, w = a.shape
+    # quant tables are SPECIFIED in zigzag order (DQT stores them that
+    # way); re-lay to natural order for the coefficient grid
+    qnat = np.empty(64)
+    qz = np.array(quant if quant is not None else _JPEG_QUANT_DEFAULT, dtype=np.float64)
+    for zi, nat in enumerate(_JPEG_ZIGZAG):
+        qnat[nat] = qz[zi]
+    qnat = qnat.reshape(8, 8)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(a, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
+    C = _jpeg_dct_matrix()
+    dc_code = dict(zip(_JPEG_DC_VALS, _jpeg_canonical_codes(_JPEG_DC_BITS)))
+    ac_code = dict(zip(_JPEG_AC_VALS, _jpeg_canonical_codes(_JPEG_AC_BITS)))
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            blk = padded[by:by + 8, bx:bx + 8]
+            coef = C @ blk @ C.T
+            lev = np.round(coef / qnat).astype(np.int64)
+            zz = [int(lev.reshape(-1)[nat]) for nat in _JPEG_ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            cat, bits = _jpeg_magnitude(diff)
+            code, ln = dc_code[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(bits, cat)
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_code[0xF0]     # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat, bits = _jpeg_magnitude(v)
+                code, ln = ac_code[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(bits, cat)
+                run = 0
+            if run:
+                code, ln = ac_code[0x00]         # EOB
+                bw.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in qz))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + \
+        seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("marker inside entropy data")
+                self.pos += 1                    # unstuff 0xFF00
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+
+def _jpeg_decode_huff_table(bits, vals):
+    return {cl: sym for sym, cl in zip(vals, _jpeg_canonical_codes(bits))}
+
+
+def _jpeg_read_symbol(br: _JpegBitReader, table) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read(1)
+        ln += 1
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code in JPEG stream")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg_gray(data: bytes):
+    """Pure numpy/stdlib baseline JPEG PIXEL decoder -> (H, W) uint8
+    grayscale: marker walk, DQT/DHT/SOF0/SOS parse, Huffman entropy
+    decode (with unstuffing), dequantization, inverse zigzag, IDCT,
+    crop to the SOF dimensions.  Supports the baseline single-component
+    form this engine emits (SOF0, 8-bit, no subsampling, no restart
+    intervals) and rejects other forms loudly — same contract as
+    decode_bmp/decode_png."""
+    import numpy as np
+
+    b = data or b""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant = {}
+    dc_tabs, ac_tabs = {}, {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = None
+    entropy = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(b[pos + 2:pos + 4], "big")
+        body = b[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported")
+                quant[tq] = list(body[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                (ac_tabs if tc else dc_tabs)[th] = _jpeg_decode_huff_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:
+            prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), \
+                int.from_bytes(body[3:5], "big"), body[5]
+            if prec != 8 or nc != 1 or body[7] != 0x11:
+                raise ValueError(
+                    "unsupported JPEG (only 8-bit single-component 1x1 baseline)"
+                )
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG frame type (baseline SOF0 only)")
+        elif marker == 0xDD:
+            if int.from_bytes(body[:2], "big") != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if body[0] != 1:
+                raise ValueError("unsupported JPEG (multi-component scan)")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            entropy = b[pos + 2 + ln:]
+            break
+        pos += 2 + ln
+    if h is None or entropy is None or comp_q not in quant:
+        raise ValueError("truncated JPEG (missing SOF/SOS/DQT)")
+    qnat = np.empty(64)
+    for zi, nat in enumerate(_JPEG_ZIGZAG):
+        qnat[nat] = quant[comp_q][zi]
+    qnat = qnat.reshape(8, 8)
+    dct = dc_tabs[comp_dc]
+    act = ac_tabs[comp_ac]
+    C = _jpeg_dct_matrix()
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    br = _JpegBitReader(entropy)
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            zz = [0] * 64
+            cat = _jpeg_read_symbol(br, dct)
+            prev_dc += _jpeg_extend(br.read(cat), cat) if cat else 0
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _jpeg_read_symbol(br, act)
+                if sym == 0x00:                  # EOB
+                    break
+                run, cat = sym >> 4, sym & 0x0F
+                if cat == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16                      # ZRL
+                    continue
+                k += run
+                if k >= 64:
+                    raise ValueError("AC run past block end")
+                zz[k] = _jpeg_extend(br.read(cat), cat)
+                k += 1
+            lev = np.zeros(64)
+            for zi, nat in enumerate(_JPEG_ZIGZAG):
+                lev[nat] = zz[zi]
+            coef = lev.reshape(8, 8) * qnat
+            out[by:by + 8, bx:bx + 8] = C.T @ coef @ C
+    return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def jpeg_ahash_hex(data: bytes) -> str:
+    """Perceptual average-hash of a baseline JPEG payload (real Huffman
+    + dequant + IDCT decode) — completes the codec family next to
+    bmp_ahash_hex / png_ahash_hex; grayscale pixels are stacked to the
+    shared 3-channel integer grid so identical luma hashes identically
+    across codecs."""
+    import numpy as np
+
+    g = decode_jpeg_gray(data)
+    return _ahash_hex_from_array(np.repeat(g[..., None], 3, axis=2))
+
+
 def real_decode_stub(data: bytes) -> list[float]:
-    """The production decoder slot for entropy-coded codecs —
-    deliberately unimplemented here (JPEG/audio-codec bitstream decode
-    needs PIL/librosa/ffmpeg, not in this container).  BMP, PCM WAV and
-    PNG decode are REAL above."""
+    """The production decoder slot for codecs NOT implemented in this
+    container (compressed audio — MP3/AAC/Opus need librosa/ffmpeg).
+    BMP, PCM WAV, PNG and baseline JPEG decode are REAL above."""
     raise NotImplementedError(
-        "JPEG/compressed-audio decoding needs PIL/librosa/ffmpeg; wire your "
-        "codec into extract_features(decoder=...)"
+        "compressed-audio decoding needs librosa/ffmpeg; wire your codec "
+        "into extract_features(decoder=...)"
     )
 
 

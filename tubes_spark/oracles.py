@@ -1996,6 +1996,24 @@ FROM v
 # inflate+unfilter decode must reproduce exactly the arithmetic image.
 ORACLES["multimodal_png_ahash"] = ORACLES["multimodal_image_ahash"]
 
+# 8x64 grayscale, eight flat 8x8 blocks; flat blocks roundtrip the
+# baseline JPEG pixel-exactly, so the decoded block value is the
+# formula itself.  Grid rows are identical -> every hash byte equals
+# the column byte; strict-> comparison 8*g > sum(g) is the integer-
+# exact form of cell > grid-mean.
+ORACLES["multimodal_jpeg_ahash"] = """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+    [(doc_id*37 + n_chars + j*59) % 256 for j in range(0, 8)] AS g
+  FROM documents
+)
+SELECT media_id,
+  repeat(printf('%02x', CAST(list_sum(
+    [CASE WHEN 8*g[j+1] > list_sum(g) THEN 1<<j ELSE 0 END
+     for j in range(0, 8)]) AS INTEGER)), 8) AS ahash
+FROM v
+"""
+
 
 # 1024 samples per doc: the stored 16-bit word is (doc_id*7 + t*13) %
 # 65536, decoded as two's-complement int16; 4 windows of 256; integer
