@@ -174,7 +174,24 @@ HEADLINE = [
     "session_dynamic_gap",            # per-event-type gap sessionization
     "streaming_session_dynamic",      # dynamic-gap sessions via state store
     "temperature_mixture_sample",     # alpha-temperature source sampling
+    # round 7: bounded streaming state, join-matrix completion, JPEG
+    "streaming_ttl_sessions",         # EventTimeTimeout eviction, oracle-gated
+    "streaming_full_outer_join",      # last cell of the streaming join matrix
+    "dedup_minhash_arith_cc_survivors",  # full dedup pipeline under the gate
+    "multimodal_jpeg_ahash",          # real baseline JPEG entropy roundtrip
 ]
+
+# queries deriving a session-shared structure (queries._session_cached):
+# name -> shared-structure tag.  The bench reports COLD (structure
+# rebuilt) and MARGINAL (structure cached) separately, and bills the
+# build to the FIRST consumer only — the honest session-level account
+# (VERDICT-r6 #9: a cached best-of-N is not a plan win).
+GRAPH_FAMILY = {
+    "ngram_cosine_top_pairs": "trigram_sim",
+    "doc_centrality_pagerank": "trigram_sim",
+    "graph_triangle_rare_shingles": "rare_shingles",
+    "graph_bfs_hops": "rare_shingles",
+}
 
 
 def main() -> None:
@@ -207,9 +224,33 @@ def main() -> None:
     # not the bench harness's JVM history.
     streaming = _stream_drain_rate(spark, sf_dir)
 
+    from tubes_spark.queries import clear_derived_cache
+
     timings: dict[str, float] = {}
+    graph_detail: dict[str, dict] = {}
+    builds_billed: set = set()
     for name in HEADLINE:
         fn = queries[name]
+        if name in GRAPH_FAMILY:
+            # cold run: shared structure rebuilt from scratch
+            clear_derived_cache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            cold = time.perf_counter() - t0
+            # marginal runs: structure cached (best-of-3 as usual)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            graph_detail[name] = {"cold": round(cold, 3), "marginal": round(best, 3)}
+            tag = GRAPH_FAMILY[name]
+            if tag not in builds_billed:
+                builds_billed.add(tag)
+                timings[name] = round(cold, 3)   # first consumer pays the build
+            else:
+                timings[name] = round(best, 3)
+            continue
         best = float("inf")
         # best-of-3: the first run compiles whole-stage codegen (measured
         # 3-19s one-off on the 64-hash minhash plan vs 2.3s steady-state,
@@ -229,6 +270,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "graph_cold_vs_cached": graph_detail,
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,

@@ -75,6 +75,9 @@ LINEAR_QUERIES = [
     "tombstone_delete_propagation",  # broadcast anti-join + audit
     "session_dynamic_gap",           # per-row-gap session merge
     "temperature_mixture_sample",    # 5-row quota broadcast + rank
+    # round 7
+    "multimodal_jpeg_ahash",         # per-row JPEG entropy roundtrip: pure map
+    "dedup_minhash_arith_cc_survivors",  # bands -> star edges -> CC
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not
@@ -89,7 +92,7 @@ SUPERLINEAR_QUERIES = [
 ]
 
 
-def build_synth(spark, out_dir: str) -> None:
+def build_synth(spark, out_dir: str, replicas: int = REPLICAS) -> None:
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
@@ -98,12 +101,12 @@ def build_synth(spark, out_dir: str) -> None:
         base[t].write.parquet(f"{out_dir}/{t}.parquet")
 
     def amplified(t, fn):
-        parts = [fn(base[t], r) for r in range(REPLICAS)]
+        parts = [fn(base[t], r) for r in range(replicas)]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        # one file per replica: multi-file scans parallelize naturally
-        df.repartition(REPLICAS * 4).write.parquet(f"{out_dir}/{t}.parquet")
+        # multi-file layout: scans parallelize the way a real corpus does
+        df.repartition(min(replicas * 4, 400)).write.parquet(f"{out_dir}/{t}.parquet")
 
     OK = 10_000_000_000
     amplified("orders", lambda d, r: d.withColumn(
@@ -168,35 +171,68 @@ def skew_probe(spark) -> dict:
     )
     hot_share = fact.filter(F.col("k") == 0).count() / N
 
-    def run_join(salted: bool, aqe: bool) -> float:
+    TUNED = {
+        # the probe's hot partition is ~7M rows x ~16B ~ 100-200MB —
+        # under the 256MB default threshold, so default AQE never
+        # splits it.  A cluster-scale hot partition is GBs; to observe
+        # the engine's split behavior at probe scale, scale the
+        # thresholds down by the same factor instead of the data up.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4MB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+
+    def run_join(salted: bool, aqe: bool, tuned: bool = False):
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        if tuned:
+            for k, v in TUNED.items():
+                spark.conf.set(k, v)
         try:
-            best = float("inf")
+            best, fired = float("inf"), False
             for _ in range(2):
                 j = (
                     salted_broadcast_left(fact, dim, ["k"], n_salts=16)
                     if salted
                     else fact.join(dim, "k")
                 )
+                agg = j.groupBy().agg(F.sum(F.col("payload") * F.col("w")))
                 t0 = time.perf_counter()
-                j.groupBy().agg(F.sum(F.col("payload") * F.col("w"))).collect()
+                agg.collect()
                 best = min(best, time.perf_counter() - t0)
-            return round(best, 3)
+                # plan evidence: AQE marks a split sort-merge join with
+                # skew=true in the final (adaptive) executed plan
+                plan = agg._jdf.queryExecution().executedPlan().toString()
+                fired = fired or ("skew=true" in plan)
+            return round(best, 3), fired
         finally:
             spark.conf.unset("spark.sql.adaptive.enabled")
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            for k in TUNED:
+                spark.conf.unset(k)
 
+    naive, _ = run_join(salted=False, aqe=False)
+    salted, _ = run_join(salted=True, aqe=False)
+    aqe_def, def_fired = run_join(salted=False, aqe=True)
+    aqe_tuned, tuned_fired = run_join(salted=False, aqe=True, tuned=True)
     res = {
         "rows": N,
         "keys": K,
         "hot_key_share": round(hot_share, 4),
-        "unsalted_aqe_off_sec": run_join(salted=False, aqe=False),
-        "salted_aqe_off_sec": run_join(salted=True, aqe=False),
-        "unsalted_aqe_on_sec": run_join(salted=False, aqe=True),
+        "unsalted_aqe_off_sec": naive,
+        "salted_aqe_off_sec": salted,
+        "unsalted_aqe_on_sec": aqe_def,
+        "aqe_default_skew_fired": def_fired,
+        "unsalted_aqe_tuned_sec": aqe_tuned,
+        "aqe_tuned_skew_fired": tuned_fired,
+        "aqe_tuned_conf": TUNED,
     }
-    res["salting_speedup_vs_naive"] = round(
-        res["unsalted_aqe_off_sec"] / res["salted_aqe_off_sec"], 2
+    res["salting_speedup_vs_naive"] = round(naive / salted, 2)
+    res["aqe_tuned_speedup_vs_naive"] = round(naive / aqe_tuned, 2)
+    res["note"] = (
+        "salting works at every scale; default AQE stays under its 256MB "
+        "threshold at probe scale, the tuned thresholds make the engine's "
+        "skew split observable (skew=true in the adaptive plan)"
     )
     return res
 
@@ -215,6 +251,48 @@ def main() -> None:
     spark = get_spark("tubes_scale_probe", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     probe_path = Path(__file__).resolve().parent.parent / "SCALE_PROBE.json"
+
+    if "--x100" in sys.argv:
+        # VERDICT-r6 #7: the brief's bar is "survives 100x" — replicate
+        # the cheap linear families at 100x the sf0.1 base (~sf10,
+        # tens of GB, multi-file layout) and record the time ratios.
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        x100_dir = os.environ.get("SCALE_PROBE_X100_DIR", "/tmp/tubes_scale_x100")
+        t0 = time.time()
+        build_synth(spark, x100_dir, replicas=100)
+        print(f"# x100 synth build: {time.time()-t0:.1f}s", file=sys.stderr)
+        for t in TABLES:
+            load_table(spark, t, x100_dir).count()
+        X100_QUERIES = [
+            "flagship_pricing_summary",
+            "dedup_exact_docs",
+            "gopher_quality_flags",
+            "tombstone_delete_propagation",
+            "bucketed_dedup_enrich_join",
+            "shuffle_shards_manifest",
+            "contiguous_global_ids",
+            "binned_interval_counts",
+            "tumbling_hourly",
+            "multimodal_jpeg_ahash",
+        ]
+        x100 = {}
+        for name in X100_QUERIES:
+            fn = getattr(Q, name)
+            small = best_of(fn, spark, SF_BASE)
+            t0 = time.perf_counter()
+            fn(spark, x100_dir).count()   # one run: the 100x cost IS the signal
+            big = round(time.perf_counter() - t0, 3)
+            x100[name] = {
+                "sf0_1_sec": small,
+                "x100_sec": big,
+                "time_ratio": round(big / small, 2) if small > 0 else None,
+            }
+            print(json.dumps({"query": name, "replicas": 100, **x100[name]}))
+        payload["x100"] = {"replicas": 100, "base": SF_BASE, "results": x100}
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        shutil.rmtree(x100_dir, ignore_errors=True)
+        return
 
     if "--skew-only" in sys.argv:
         # refresh just the skewed-join entry, merging into the file

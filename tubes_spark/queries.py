@@ -4700,6 +4700,14 @@ def _session_cached(kind: str, spark, sf_dir: str, build):
     return _DERIVED_CACHE[key]
 
 
+def clear_derived_cache() -> None:
+    """Drop the session-shared derived structures so the next consumer
+    rebuilds from scratch — the bench uses this to report COLD vs
+    MARGINAL cost for the graph family separately (a cached best-of-N
+    would otherwise read as a plan win; VERDICT-r6 #9)."""
+    _DERIVED_CACHE.clear()
+
+
 def _rare_shingle_pairs(spark, sf_dir):
     """df=2 5-gram co-occurrence edges (u < v, distinct, materialized)
     — the sparse near-dup candidate graph shared by the BFS and
