@@ -286,3 +286,43 @@ def test_jpeg_png_cross_codec_hash_parity():
         assert jpeg_ahash_hex(encode_jpeg_gray(gray)) == png_ahash_hex(
             encode_png(rgb)
         )
+
+
+def test_running_fold_vectorized_op_matches_step_loop(spark, tmpdir):
+    """op='sum' (per-batch C reduce + scalar merge) must equal the
+    per-row step loop on integer-valued floats — the associativity
+    contract the oracle query folds under."""
+    from tubes_spark.streaming.state import running_fold
+
+    schema = "user_id long, v double"
+    rows = [(i % 5, float((i * 37) % 1000)) for i in range(200)]
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(f"{tmpdir}/in")
+
+    def drain(tag, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmpdir}/in")
+        )
+        folded = running_fold(stream, ["user_id"], "v", **kw)
+        seen: list = []
+        q = (
+            folded.writeStream.foreachBatch(
+                lambda bdf, _bid: seen.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ck_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final = {}
+        for r in seen:
+            if int(r["n"]) >= final.get(r["key"], (0, 0))[1]:
+                final[r["key"]] = (r["acc"], int(r["n"]))
+        return final
+
+    assert drain("vec", op="sum") == drain("loop")
+    with pytest.raises(ValueError):
+        running_fold(spark.readStream.schema(schema).parquet(f"{tmpdir}/in"),
+                     ["user_id"], "v", op="median")

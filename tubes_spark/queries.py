@@ -1546,7 +1546,10 @@ def streaming_resumable_fold(spark, sf_dir):
     applyInPandasWithState across micro-batches, final state per key
     recovered as the max-n update row.  Values are floored to integer
     millis before folding so float addition is associative — the result
-    is byte-identical no matter how the stream is batched."""
+    is byte-identical no matter how the stream is batched, which is
+    also what lets the fold take the VECTORIZED op='sum' fast path
+    (per-batch C reduce + scalar merge) instead of a per-row Python
+    loop, with the oracle hash-checking the equivalence."""
     import shutil
     import tempfile
     import uuid
@@ -1562,7 +1565,7 @@ def streaming_resumable_fold(spark, sf_dir):
         ).repartition(4).write.parquet(f"{tmp}/in")
         schema = spark.read.parquet(f"{tmp}/in").schema
         stream = file_replay_source(spark, f"{tmp}/in", schema, max_files_per_trigger=2)
-        folded = running_fold(stream, ["user_id"], "v")
+        folded = running_fold(stream, ["user_id"], "v", op="sum")
         out = drain_to_df(folded, f"stream_fold_{uuid.uuid4().hex[:8]}", output_mode="update")
         w = Window.partitionBy("key").orderBy(F.col("n").desc())
         final = out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)

@@ -17,6 +17,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
+# commutative-and-associative folds with a vectorized per-batch reduce:
+# (reduce the Arrow batch column in C, merge the scalar into the
+# accumulator).  The generic `step` loop stays for arbitrary
+# non-associative folds — the reference's pump accepts ANY step — but
+# the common cases should not pay a per-row Python loop.
+_VECTOR_OPS = {
+    "sum": (lambda s: float(s.sum()), lambda acc, x: acc + x),
+    "min": (lambda s: float(s.min()), lambda acc, x: min(acc, x)),
+    "max": (lambda s: float(s.max()), lambda acc, x: max(acc, x)),
+    "count": (lambda s: float(len(s)), lambda acc, x: acc + x),
+}
+
+
 def running_fold(
     df: DataFrame,
     key_cols: list[str],
@@ -26,6 +39,7 @@ def running_fold(
     output_schema: str = "key string, acc double, n bigint",
     event_time_col: "str | None" = None,
     evict_gap_ms: "int | None" = None,
+    op: "str | None" = None,
 ) -> DataFrame:
     """Keyed resumable fold over an unbounded stream.
 
@@ -45,8 +59,17 @@ def running_fold(
     EVICTED — its final ``(key, acc, n)`` row is emitted once more as
     the flush, then the state cell is removed, so the store holds only
     keys active within the eviction horizon.  Results for keys that
-    never time out are identical to the NoTimeout run."""
+    never time out are identical to the NoTimeout run.
+
+    ``op`` selects a VECTORIZED per-batch reduce for the commutative
+    cases ('sum'/'min'/'max'/'count'): the Arrow batch column reduces
+    in C and only the scalar merges into the accumulator — no per-row
+    Python loop.  Identical results to the ``step`` loop whenever the
+    fold is associative over the batch's values (exact for the
+    integer-valued floats the oracle queries fold)."""
     evict = event_time_col is not None and evict_gap_ms is not None
+    if op is not None and op not in _VECTOR_OPS:
+        raise ValueError(f"op must be one of {sorted(_VECTOR_OPS)}, got {op!r}")
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if evict and state.hasTimedOut:
@@ -62,9 +85,15 @@ def running_fold(
             acc, n = init, 0
         last_ms = None
         for pdf in pdfs:
-            for v in pdf[value_col]:
-                acc = step(acc, float(v))
-                n += 1
+            if op is not None:
+                if len(pdf):
+                    reduce_, merge = _VECTOR_OPS[op]
+                    acc = merge(acc, reduce_(pdf[value_col]))
+                    n += len(pdf)
+            else:
+                for v in pdf[value_col]:
+                    acc = step(acc, float(v))
+                    n += 1
             if evict and len(pdf):
                 m = pdf[event_time_col].max()
                 ms = int(m.value) // 1_000_000
