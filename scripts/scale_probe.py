@@ -309,28 +309,50 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, t, out_dir).count()  # warm listing
 
-    results = {}
-    for name in LINEAR_QUERIES + SUPERLINEAR_QUERIES:
-        fn = getattr(Q, name)
-        small = best_of(fn, spark, SF_BASE)
-        big = best_of(fn, spark, out_dir)
-        ratio = round(big / small, 2) if small > 0 else None
-        results[name] = {
-            "sf0_1_sec": small,
-            "x10_sec": big,
-            "time_ratio": ratio,
-            "expected": "linear(<=10x)" if name in LINEAR_QUERIES else "superlinear-by-construction",
-        }
-        print(json.dumps({"query": name, **results[name]}))
+    def probe_group(spark, names, results):
+        for name in names:
+            fn = getattr(Q, name)
+            small = best_of(fn, spark, SF_BASE)
+            big = best_of(fn, spark, out_dir)
+            ratio = round(big / small, 2) if small > 0 else None
+            results[name] = {
+                "sf0_1_sec": small,
+                "x10_sec": big,
+                "time_ratio": ratio,
+                "expected": "linear(<=10x)" if name in LINEAR_QUERIES else "superlinear-by-construction",
+            }
+            print(json.dumps({"query": name, **results[name]}))
+            # write INCREMENTALLY: a later-query OOM must not lose the
+            # measurements already taken (the r7 run died at query 27
+            # of 30 with everything only in the log)
+            merged = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+            merged.setdefault("results", {}).update(results)
+            merged.update({"replicas": REPLICAS, "base": SF_BASE})
+            probe_path.write_text(json.dumps(merged, indent=1) + "\n")
 
-    payload = {
+    results: dict = {}
+    probe_group(spark, LINEAR_QUERIES, results)
+    # fresh session for the superlinear graph group: the 10x trigram
+    # sim build on top of 26 queries' accumulated localCheckpoint
+    # blocks has OOM'd a shared heap
+    spark.stop()
+    spark = get_spark("tubes_scale_probe_super", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in TABLES:
+        load_table(spark, t, out_dir).count()
+    probe_group(spark, SUPERLINEAR_QUERIES, results)
+
+    # merge into the existing file: the x100 entry (its own --x100 run)
+    # must survive a 10x refresh
+    payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+    payload.update({
         "replicas": REPLICAS,
         "base": SF_BASE,
         "results": results,
         "note": ("graph-family sf0.1 times reflect the session-cached sim "
                  "graph (best-of-2 hits the materialized edge list); "
                  "marginal cost by design"),
-    }
+    })
     # persist the query results BEFORE the skew phase: the skew build is
     # the one stage that has OOM'd under the memory the query loop's
     # session-cached graphs pin (a 10x-synth rare-shingle edge list plus
