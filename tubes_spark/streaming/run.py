@@ -59,7 +59,12 @@ def write_ordered_slices(df: DataFrame, conds, path: str,
 
     stamped: set = set()
     for i, cond in enumerate(conds):
-        df.filter(cond).coalesce(1).write.mode("append").parquet(path)
+        # repartition(1), NOT coalesce(1): coalesce collapses the whole
+        # upstream (scan + filter + any union) into the single write
+        # task — measured 7.1 s vs 1.0 s per slice on a union plan at
+        # sf0.1 (the r7 full-outer join spent 40 s of its 50 s here).
+        # The shuffle decouples scan parallelism from the 1-file write.
+        df.filter(cond).repartition(1).write.mode("append").parquet(path)
         for p in glob.glob(f"{path}/*.parquet"):
             if p not in stamped:
                 os.utime(p, (base_epoch + i, base_epoch + i))
