@@ -2561,7 +2561,7 @@ def streaming_funnel_conversions(spark, sf_dir, n_slices=4):
     The sliced-replay writer below is HARNESS-ONLY: it exists to feed
     the oracle gate ``n_slices`` in-event-order triggers from a bounded
     table.  A production funnel ingests an already-partitioned log
-    (Kafka/file offsets), so the ``.coalesce(1)`` single-task slice
+    (Kafka/file offsets), so the single-file slice
     writes and the explicit mtime stamping are test scaffolding, not
     the engine's scale path.  Slice boundaries come from a one-row
     percentile agg (any time-contiguous cut preserves order), NOT a

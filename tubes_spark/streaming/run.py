@@ -48,7 +48,7 @@ def file_replay_source(spark: SparkSession, path: str, schema, fmt: str = "parqu
 def write_ordered_slices(df: DataFrame, conds, path: str,
                          base_epoch: int = 1_700_000_000) -> None:
     """HARNESS-ONLY replay writer: write one filtered slice per trigger
-    with ``coalesce(1)`` and explicit strictly increasing mtimes, so
+    as a single file with explicit strictly increasing mtimes, so
     FileStreamSource (which orders files by modification time) delivers
     the slices as in-order triggers even when appends land in the same
     millisecond.  A production pipeline ingests an already-partitioned
