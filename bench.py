@@ -179,6 +179,7 @@ HEADLINE = [
     "streaming_full_outer_join",      # last cell of the streaming join matrix
     "dedup_minhash_arith_cc_survivors",  # full dedup pipeline under the gate
     "multimodal_jpeg_ahash",          # real baseline JPEG entropy roundtrip
+    "streaming_topk_spacesaving",     # heavy hitters in bounded keyed state
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

@@ -326,3 +326,52 @@ def test_running_fold_vectorized_op_matches_step_loop(spark, tmpdir):
     with pytest.raises(ValueError):
         running_fold(spark.readStream.schema(schema).parquet(f"{tmpdir}/in"),
                      ["user_id"], "v", op="median")
+
+
+def test_space_saving_stream_state_survives_restart(spark, tmpdir):
+    """The sketch lives in the state store: drain two slices, stop, add
+    a third, restart from the same checkpoint — counts must continue
+    (n_seen accumulates; an exact-regime key's est equals its full
+    count), proving the summary rehydrates rather than restarts."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.operators.sketch import space_saving_stream
+
+    schema = "tok string, bucket int"
+
+    def write_slice(rows):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(f"{tmpdir}/in")
+
+    def drain():
+        seen: list = []
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmpdir}/in")
+        )
+        sk = space_saving_stream(stream, "tok", "bucket", capacity=8)
+        q = (
+            sk.writeStream.foreachBatch(
+                lambda bdf, _bid: seen.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return seen
+
+    write_slice([("a", 0)] * 5 + [("b", 0)] * 2)
+    write_slice([("a", 0)] * 3 + [("c", 0)])
+    drain()
+    write_slice([("a", 0)] * 4 + [("b", 0)] * 6)
+    seen = drain()  # restart from checkpoint: only the new slice replays
+    final = {r.tok: (r.est, r.n_seen) for r in seen if r.n_seen == 21}
+    # exact regime (3 distinct keys < capacity 8): est == true count,
+    # and n_seen carries across the restart (11 pre + 10 post)
+    assert final["a"] == (12, 21)
+    assert final["b"] == (8, 21)
+    assert final["c"] == (1, 21)

@@ -74,3 +74,64 @@ def space_saving_topk(
         merged.orderBy(F.col("est_count").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def space_saving_stream(df, tok_col: str, bucket_col: str, capacity: int = 64):
+    """STREAMING SpaceSaving: per-bucket capacity-bounded heavy-hitter
+    summaries maintained in the keyed state store across micro-batches
+    — approximate top-k over an UNBOUNDED token domain with state
+    bounded BY CONSTRUCTION (<= buckets x capacity counters, so unlike
+    ``running_fold`` no watermark eviction is needed; the sketch IS the
+    eviction policy).
+
+    Each trigger folds the batch's tokens into the bucket's counter
+    map (same replace-min/inherit-count invariant as the batch
+    :func:`space_saving_topk`) and re-emits the bucket's FULL summary
+    in update mode, tagged with the running ``n_seen`` so a consumer
+    takes the max-n_seen rows per bucket as the final summary.  The
+    SpaceSaving guarantees hold per bucket at every point in the
+    stream: any key with true count > n_seen/capacity is present, and
+    ``true <= est <= true + err`` for tracked keys — arrival-order
+    affects est values but never those bounds, which is what the
+    oracle-gated query checks row-wise.
+
+    State serialization: one JSON string per bucket (<= capacity
+    entries) — O(KB), checkpoint-restartable like every keyed op."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        bucket = int(key[0])
+        if state.exists:
+            js, n_seen = state.get
+            counters = {k: tuple(v) for k, v in _json.loads(js).items()}
+        else:
+            counters, n_seen = {}, 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            for x in pdf[tok_col]:
+                hit = counters.get(x)
+                if hit is not None:
+                    counters[x] = (hit[0] + 1, hit[1])
+                elif len(counters) < capacity:
+                    counters[x] = (1, 0)
+                else:
+                    victim = min(counters.items(), key=lambda it: (it[1][0], it[0]))
+                    vcount = victim[1][0]
+                    del counters[victim[0]]
+                    counters[x] = (vcount + 1, vcount)
+        state.update((_json.dumps({k: list(v) for k, v in counters.items()}), n_seen))
+        if counters:
+            yield pd.DataFrame(
+                [(bucket, kk, c, e, n_seen) for kk, (c, e) in counters.items()],
+                columns=["bucket", "tok", "est", "err", "n_seen"],
+            )
+
+    return df.groupBy(bucket_col).applyInPandasWithState(
+        update,
+        outputStructType="bucket int, tok string, est long, err long, n_seen long",
+        stateStructType="js string, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1402,6 +1402,31 @@ FROM cnt
 WHERE true_count > (SELECT SUM(true_count) FROM cnt) / 64.0
 """
 
+# Streaming SpaceSaving guarantee protocol: md5 bucket split (cross-
+# engine), per-bucket threshold n_b/capacity; guaranteed keys carry
+# exact counts and TRUE bound booleans (a dropped guaranteed key or a
+# bound violation surfaces as a row/hash mismatch).
+ORACLES["streaming_topk_spacesaving"] = """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 10 < 6
+              THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+              ELSE 'cold_' || CAST(event_id % 997 AS VARCHAR) END AS tok
+  FROM events
+), b AS (
+  SELECT tok,
+    CAST(CAST(('0x' || substring(md5(tok), 1, 4)) AS BIGINT) % 4 AS INTEGER) AS bucket
+  FROM keyed
+), cnt AS (
+  SELECT bucket, tok, COUNT(*) AS true_count FROM b GROUP BY 1, 2
+), tot AS (
+  SELECT bucket, SUM(true_count) AS n_b FROM cnt GROUP BY 1
+)
+SELECT tok, bucket, true_count, TRUE AS lower_ok, TRUE AS upper_ok
+FROM cnt JOIN tot USING (bucket)
+WHERE true_count > n_b / 64.0
+"""
+
+
 ORACLES["ewma_user_values"] = """
 WITH RECURSIVE seq AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,

@@ -2970,6 +2970,96 @@ def approx_top_tokens_eviction_bound(spark, sf_dir):
     )
 
 
+def streaming_topk_spacesaving(spark, sf_dir):
+    """STREAMING heavy hitters through the real engine, under the
+    ORACLE gate: the skewed hot/cold key stream (3 hot keys ~20% each,
+    ~997 cold keys) replays as three triggers into
+    ``space_saving_stream`` — per-bucket capacity-64 SpaceSaving
+    summaries living in the keyed state store, evicting constantly,
+    with state bounded BY CONSTRUCTION (4 buckets x 64 counters) no
+    matter how many distinct tokens the stream carries.  The md5-based
+    bucket split is cross-engine, so DuckDB reproduces the guarantee
+    protocol exactly: any key whose true count exceeds its bucket's
+    n_seen/capacity MUST be in that bucket's final summary, with
+    ``true <= est <= true + err``.  The query emits precisely those
+    guaranteed keys with exact counts and the two bound checks as
+    hashed booleans — a missed guaranteed key (row-count mismatch) or
+    a bound violation (FALSE) is a driver-visible wrong answer, while
+    the arrival-order-dependent est values stay internal.
+
+    The bounded-state contrast: ``running_fold`` needed watermark
+    EVICTION this round; here the sketch IS the eviction policy.
+
+    Scale shape: per trigger one bucket-hash shuffle + O(capacity)
+    state rows per bucket; the exact side is the verification-only
+    luxury (at open-vocabulary scale it becomes a sampled audit)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tubes_spark.operators.sketch import space_saving_stream
+    from tubes_spark.streaming.run import drain_to_df, write_ordered_slices
+
+    CAPACITY, BUCKETS = 64, 4
+    e = _t(spark, sf_dir, "events")
+    key = F.when(
+        F.col("event_id") % 10 < 6,
+        F.concat(F.lit("hot_"), (F.col("event_id") % 3).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("cold_"), (F.col("event_id") % 997).cast("string"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % BUCKETS
+    ).cast("int")
+    base = e.select(key.alias("tok"), bucket.alias("bucket"), "event_id")
+    tmp = tempfile.mkdtemp(prefix="tubes_ss_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        mn, mx = base.agg(F.min("event_id"), F.max("event_id")).first()
+        span = max(int(mx) - int(mn) + 1, 1)
+        conds = [
+            F.floor((F.col("event_id") - F.lit(int(mn))) * 3 / F.lit(span)) == i
+            for i in range(3)
+        ]
+        write_ordered_slices(base.drop("event_id"), conds, f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("tok string, bucket int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        sk = space_saving_stream(stream, "tok", "bucket", capacity=CAPACITY)
+        out = drain_to_df(
+            sk, f"stream_ss_{uuid.uuid4().hex[:8]}", output_mode="update"
+        )
+        # final summary per bucket = the rows from its last re-emission
+        w = Window.partitionBy("bucket")
+        final = out.withColumn("__mx__", F.max("n_seen").over(w)).filter(
+            F.col("n_seen") == F.col("__mx__")
+        )
+        exact = base.groupBy("bucket", "tok").agg(
+            F.count(F.lit(1)).alias("true_count")
+        )
+        tot = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_b"))
+        res = (
+            final.join(exact, ["bucket", "tok"])
+            .join(F.broadcast(tot), "bucket")
+            .filter(F.col("true_count") > F.col("n_b") / F.lit(float(CAPACITY)))
+            .select(
+                "tok",
+                F.col("bucket").cast("int").alias("bucket"),
+                "true_count",
+                (F.col("est") >= F.col("true_count")).alias("lower_ok"),
+                (F.col("est") <= F.col("true_count") + F.col("err")).alias("upper_ok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return res
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def source_kl_divergence(spark, sf_dir):
     """Distribution-drift monitor: KL(source || corpus) over the token
     distribution, per source — the standard check that one ingest
