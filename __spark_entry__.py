@@ -265,6 +265,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_length_band": Q.docs_length_band,
     "semantic_dedup_survivors": Q.semantic_dedup_survivors,
     "embedding_norms": Q.embedding_norms,
+    # --- new in round 8 (moved into the prefix by the r8 rotation) ---
+    "streaming_fold_evicted": Q.streaming_fold_evicted,
+    "multimodal_adpcm_energy": Q.multimodal_adpcm_energy,
 }
 
 

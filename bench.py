@@ -233,6 +233,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         if name in GRAPH_FAMILY:
+            # warm whole-stage codegen with a throwaway run BEFORE
+            # clearing the shared structure: the cold number should
+            # bill the structure build alone, not the one-off codegen
+            # compile every other query amortizes via best-of-3
+            fn(spark, sf_dir).count()
             # cold run: shared structure rebuilt from scratch
             clear_derived_cache()
             t0 = time.perf_counter()

@@ -309,6 +309,8 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, t, out_dir).count()  # warm listing
 
+    run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+
     def probe_group(spark, names, results):
         for name in names:
             fn = getattr(Q, name)
@@ -320,6 +322,10 @@ def main() -> None:
                 "x10_sec": big,
                 "time_ratio": ratio,
                 "expected": "linear(<=10x)" if name in LINEAR_QUERIES else "superlinear-by-construction",
+                # run stamp: the incremental merge below keeps entries
+                # from a crashed prior run — a removed/renamed query
+                # would otherwise read as current coverage forever
+                "run": run_id,
             }
             print(json.dumps({"query": name, **results[name]}))
             # write INCREMENTALLY: a later-query OOM must not lose the
@@ -344,10 +350,14 @@ def main() -> None:
 
     # merge into the existing file: the x100 entry (its own --x100 run)
     # must survive a 10x refresh
+    # full-run completion REPLACES the results map wholesale (only the
+    # incremental mid-run writes merge) — stale keys cannot survive a
+    # completed refresh
     payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
     payload.update({
         "replicas": REPLICAS,
         "base": SF_BASE,
+        "last_full_run": run_id,
         "results": results,
         "note": ("graph-family sf0.1 times reflect the session-cached sim "
                  "graph (best-of-2 hits the materialized edge list); "

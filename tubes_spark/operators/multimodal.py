@@ -556,6 +556,10 @@ def encode_jpeg_gray(arr, quant=None) -> bytes:
     # way); re-lay to natural order for the coefficient grid
     qnat = np.empty(64)
     qz = np.array(quant if quant is not None else _JPEG_QUANT_DEFAULT, dtype=np.float64)
+    # a 0 entry would divide to inf mid-DCT and a >255 entry only fails
+    # later inside bytes() during DQT assembly — reject at the boundary
+    if qz.shape != (64,) or not np.all((qz >= 1) & (qz <= 255)):
+        raise ValueError("quant must be 64 entries, each in 1..255")
     for zi, nat in enumerate(_JPEG_ZIGZAG):
         qnat[nat] = qz[zi]
     qnat = qnat.reshape(8, 8)
@@ -773,12 +777,125 @@ def jpeg_ahash_hex(data: bytes) -> str:
     return _ahash_hex_from_array(np.repeat(g[..., None], 3, axis=2))
 
 
+# IMA ADPCM (Interactive Multimedia Association, "DVI4") — the classic
+# table-driven 4-bit-per-sample speech codec (RFC 3551 §4.5.1 describes
+# the same scheme).  No entropy coding: each nibble quantizes the delta
+# to a step-table-scaled magnitude, and BOTH sides run the identical
+# predictor state machine — which is what makes the decode exactly
+# reproducible by an independent engine (the oracle replays the state
+# machine as a DuckDB recursive CTE over the same integer tables).
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]  # by magnitude bits (sign-mirrored)
+
+
+def _adpcm_step_state(nibble: int, pred: int, idx: int) -> tuple[int, int]:
+    """One decoder state transition: (pred', idx') after `nibble`."""
+    step = _ADPCM_STEPS[idx]
+    mag = nibble & 7
+    delta = step >> 3
+    if mag & 4:
+        delta += step
+    if mag & 2:
+        delta += step >> 1
+    if mag & 1:
+        delta += step >> 2
+    pred = pred - delta if nibble & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[mag]))
+    return pred, idx
+
+
+def encode_adpcm_ima(samples) -> bytes:
+    """Encode int16 mono samples to a self-describing IMA-ADPCM payload:
+    b'ADP1' + uint32 LE n_samples + int16 LE init predictor + uint8
+    init index + 1 pad byte, then packed nibbles (low nibble = earlier
+    sample).  Initial state is (0, 0) — no per-block headers, one
+    stream, which keeps the roundtrip fuzzable in one call."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim != 1:
+        raise ValueError("encode_adpcm_ima wants a 1-D sample vector")
+    if len(s) and (s.max() > 32767 or s.min() < -32768):
+        raise ValueError("samples must fit int16")
+    pred, idx = 0, 0
+    nibbles = []
+    for x in s:
+        diff = int(x) - pred
+        nib = 8 if diff < 0 else 0
+        diff = abs(diff)
+        step = _ADPCM_STEPS[idx]
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        nibbles.append(nib)
+        pred, idx = _adpcm_step_state(nib, pred, idx)
+    out = bytearray(struct.pack("<4sIhBB", b"ADP1", len(s), 0, 0, 0))
+    for j in range(0, len(nibbles) - 1, 2):
+        out.append(nibbles[j] | (nibbles[j + 1] << 4))
+    if len(nibbles) % 2:
+        out.append(nibbles[-1])
+    return bytes(out)
+
+
+def decode_adpcm_ima(data: bytes):
+    """Decode an ``encode_adpcm_ima`` payload back to np.int16 samples.
+    Real table-driven decode (steps/index tables above) — the
+    compressed-AUDIO slot next to the PCM WAV parser; `multimodal_
+    adpcm_energy` hash-gates this against a DuckDB recursive-CTE replay
+    of the same state machine."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"ADP1":
+        raise ValueError("not an ADP1 payload")
+    n, pred, idx, _pad = struct.unpack("<IhBB", data[4:12])
+    body = data[12:]
+    if len(body) < (n + 1) // 2:
+        raise ValueError("truncated ADP1 body")
+    if idx > 88:
+        raise ValueError("ADP1 index out of range")
+    out = np.empty(n, dtype=np.int16)
+    for t in range(n):
+        b = body[t >> 1]
+        nib = (b >> 4) & 0xF if t & 1 else b & 0xF
+        pred, idx = _adpcm_step_state(nib, pred, idx)
+        out[t] = pred
+    return out
+
+
+def adpcm_energy_windows(data: bytes, window: int = 64) -> list[int]:
+    """Sum-of-squares energy per window over ADPCM-decoded samples —
+    same exactness discipline as :func:`wav_energy_windows` (integer
+    squares, integer sums, no floats)."""
+    s = decode_adpcm_ima(data).astype("int64")
+    n = (len(s) // window) * window
+    return [int((s[i : i + window] ** 2).sum()) for i in range(0, n, window)]
+
+
 def real_decode_stub(data: bytes) -> list[float]:
     """The production decoder slot for codecs NOT implemented in this
-    container (compressed audio — MP3/AAC/Opus need librosa/ffmpeg).
-    BMP, PCM WAV, PNG and baseline JPEG decode are REAL above."""
+    container (PERCEPTUAL audio — MP3/AAC/Opus need librosa/ffmpeg).
+    BMP, PCM WAV, IMA-ADPCM, PNG and baseline JPEG decode are REAL
+    above."""
     raise NotImplementedError(
-        "compressed-audio decoding needs librosa/ffmpeg; wire your codec "
+        "perceptual-audio decoding needs librosa/ffmpeg; wire your codec "
         "into extract_features(decoder=...)"
     )
 

@@ -45,6 +45,11 @@ def space_saving_topk(
         counters: dict[str, tuple[int, int]] = {}
         for pdf in batches:
             for x in pdf[key_col]:
+                # output schema declares the key as string; a non-str
+                # key (e.g. int64) would otherwise never match across
+                # merge phases — coerce before any counter lookup
+                if not isinstance(x, str):
+                    x = str(x)
                 hit = counters.get(x)
                 if hit is not None:
                     counters[x] = (hit[0] + 1, hit[1])
@@ -111,6 +116,12 @@ def space_saving_stream(df, tok_col: str, bucket_col: str, capacity: int = 64):
         for pdf in pdfs:
             n_seen += len(pdf)
             for x in pdf[tok_col]:
+                # counters round-trip through JSON whose keys are
+                # always strings — a non-str token would rehydrate as
+                # str next trigger and never match, double-counting and
+                # breaking the est<=true+err bound; coerce up front
+                if not isinstance(x, str):
+                    x = str(x)
                 hit = counters.get(x)
                 if hit is not None:
                     counters[x] = (hit[0] + 1, hit[1])

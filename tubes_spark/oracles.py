@@ -1353,6 +1353,47 @@ WHERE isl < last_isl OR last_us // 1000 + 30000000 < wm_ms
 """
 
 
+ORACLES["streaming_fold_evicted"] = """
+WITH e0 AS (
+  SELECT user_id * 100000 + epoch_us(ts) // 86400000000 AS k,
+         epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000000) AS BIGINT) AS vu
+  FROM events WHERE user_id % 5 = 1
+), b AS (
+  SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e0
+), e AS (
+  SELECT e0.*, LEAST((ts_us - b.mn) * 4 // (b.mx - b.mn + 1), 3) AS slice
+  FROM e0, b
+), per AS (
+  -- one update-mode emission per (key, slice-with-events)
+  SELECT k, slice, CAST(SUM(vu) AS BIGINT) AS s_vu,
+         COUNT(*) AS s_n, MAX(ts_us) AS s_last
+  FROM e GROUP BY k, slice
+), cum AS (
+  SELECT k, slice,
+         CAST(SUM(s_vu) OVER w AS BIGINT) AS acc_units,
+         CAST(SUM(s_n) OVER w AS BIGINT) AS n,
+         MAX(s_last) OVER w AS last_us
+  FROM per
+  WINDOW w AS (PARTITION BY k ORDER BY slice ROWS UNBOUNDED PRECEDING)
+), fin AS (
+  SELECT k, acc_units, n, last_us,
+         row_number() OVER (PARTITION BY k ORDER BY slice DESC) AS rn
+  FROM cum
+), wm AS (
+  -- engine watermark arithmetic: floor(max_us/1000) - delay_ms
+  SELECT mx // 1000 - 10000 AS wm_ms FROM b
+)
+SELECT k AS fold_key, acc_units, n FROM cum
+UNION ALL
+-- eviction flush: duplicate of the key's final cumulative row iff the
+-- final watermark STRICTLY clears last_event_ms + gap (2 days); the
+-- watermark only grows, so this one rule also covers mid-drain flushes
+SELECT k AS fold_key, acc_units, n FROM fin, wm
+WHERE rn = 1 AND last_us // 1000 + 172800000 < wm_ms
+"""
+
+
 ORACLES["streaming_late_data"] = """
 WITH b AS (
   SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
@@ -2043,6 +2084,48 @@ FROM v
 # 1024 samples per doc: the stored 16-bit word is (doc_id*7 + t*13) %
 # 65536, decoded as two's-complement int16; 4 windows of 256; integer
 # sum of squares.
+ORACLES["multimodal_adpcm_energy"] = """
+WITH RECURSIVE dec AS (
+  -- replay the IMA-ADPCM decoder state machine per doc: state is
+  -- (pred, idx); nibble t is (doc_id*13 + t*7) % 16; the step/index
+  -- tables are the standard IMA constants inlined below
+  SELECT doc_id, -1 AS t, 0 AS pred, 0 AS idx FROM documents
+  UNION ALL
+  SELECT doc_id, t,
+         CAST(GREATEST(-32768, LEAST(32767,
+              pred + CASE WHEN nib >= 8 THEN -delta ELSE delta END)) AS INT),
+         CAST(GREATEST(0, LEAST(88, idx +
+              CASE WHEN (nib & 7) = 4 THEN 2 WHEN (nib & 7) = 5 THEN 4
+                   WHEN (nib & 7) = 6 THEN 6 WHEN (nib & 7) = 7 THEN 8
+                   ELSE -1 END)) AS INT)
+  FROM (
+    SELECT doc_id, t, pred, idx, nib,
+           (step >> 3)
+           + CASE WHEN (nib & 4) > 0 THEN step ELSE 0 END
+           + CASE WHEN (nib & 2) > 0 THEN step >> 1 ELSE 0 END
+           + CASE WHEN (nib & 1) > 0 THEN step >> 2 ELSE 0 END AS delta
+    FROM (
+      SELECT doc_id, t + 1 AS t, pred, idx,
+             CAST((doc_id * 13 + (t + 1) * 7) % 16 AS INT) AS nib,
+             ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+               50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+               230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+               876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+               2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+               7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+               20350,22385,24623,27086,29794,32767])[idx + 1] AS step
+      FROM dec WHERE t < 255
+    )
+  )
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(t // 64 AS INT) AS win,
+       CAST(SUM(CAST(pred AS BIGINT) * pred) AS BIGINT) AS sumsq
+FROM dec WHERE t >= 0
+GROUP BY 1, 2
+"""
+
+
 ORACLES["multimodal_audio_energy"] = """
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id, unnest(range(0, 4)) AS win
