@@ -1,7 +1,9 @@
-"""Round-8 additions: IMA-ADPCM codec, fold-eviction hardening."""
+"""Round-8 additions: IMA-ADPCM codec, skew_join helper, corpus-sized
+bucketing, fold-eviction hardening."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tubes_spark.operators.multimodal import (
     _ADPCM_INDEX,
@@ -109,3 +111,555 @@ def test_adpcm_energy_windows_integer_parity():
     dec = np.array(_naive_decode(nibs), dtype=np.int64)
     want = [int((dec[i:i + 64] ** 2).sum()) for i in range(0, 256, 64)]
     assert adpcm_energy_windows(_pack(nibs)) == want
+
+
+# --- skew_join helper (VERDICT-r7 #9) ---------------------------------
+
+
+def _skewed_pair(spark, n=400_000, keys=200):
+    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+    fact = (
+        spark.range(n)
+        .select(F.floor(F.pow(u, 8.0) * keys).cast("long").alias("k"),
+                (F.col("id") % 997).alias("payload"))
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    dim = (
+        spark.range(keys)
+        .select(F.col("id").alias("k"), (F.col("id") % 31 + 1).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    return fact, dim
+
+
+def test_skew_join_aqe_fires_and_matches_salt(spark):
+    from tubes_spark.operators.skew import aqe_skew_tuning, skew_join
+
+    fact, dim = _skewed_pair(spark)
+    expect = fact.join(dim, "k").groupBy().agg(
+        F.sum(F.col("payload") * F.col("w")).alias("s"), F.count(F.lit(1)).alias("n")
+    ).first()
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # plan evidence: with thresholds scaled to this tiny probe, the
+        # engine's runtime skew split marks the SMJ skew=true
+        with aqe_skew_tuning(
+            spark,
+            **{"spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+               "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB"},
+        ):
+            agg = fact.join(dim, "k").groupBy().agg(
+                F.sum(F.col("payload") * F.col("w")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            got = agg.collect()[0]  # collect(), not first(): limit-1
+            # takes a separate query execution and the adaptive plan
+            # would never finalize on the inspected one
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert (got["s"], got["n"]) == (expect["s"], expect["n"])
+
+        # both strategies return the same join result
+        aqe_df = skew_join(
+            fact, dim, ["k"],
+            **{"spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+               "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB"},
+        )
+        salt_df = skew_join(fact, dim, ["k"], strategy="salt")
+        for df in (aqe_df, salt_df):
+            r = df.groupBy().agg(
+                F.sum(F.col("payload") * F.col("w")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            assert (r["s"], r["n"]) == (expect["s"], expect["n"])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+    with pytest.raises(ValueError):
+        skew_join(fact, dim, ["k"], strategy="nope")
+
+
+def test_aqe_skew_tuning_restores_conf(spark):
+    from tubes_spark.operators.skew import AQE_SKEW_TUNING, aqe_skew_tuning
+
+    key = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    before = {}
+    for k in AQE_SKEW_TUNING:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    with aqe_skew_tuning(spark):
+        assert spark.conf.get(key) == "8MB"
+    for k, v in before.items():
+        try:
+            now = spark.conf.get(k)
+        except Exception:
+            now = None
+        assert now == v
+
+
+# --- corpus-sized bucketing (VERDICT-r7 #5) ---------------------------
+
+
+def test_write_bucketed_one_file_per_bucket(spark, tmp_path):
+    import os
+
+    from tubes_spark import sources
+
+    # 32 upstream partitions into auto-sized buckets: without the
+    # aligning repartition this would write 32 x n_buckets files
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).repartition(32)
+    tbl = "r8_bucket_files"
+    try:
+        sources.write_bucketed(df, tbl, ["k"], None,
+                               path=str(tmp_path / "b"), sort_cols=["k"])
+        n_buckets = len([f for f in os.listdir(tmp_path / "b")
+                         if f.endswith(".parquet")])
+        assert n_buckets >= 8
+        # exactly one data file per bucket
+        import re
+
+        buckets = set()
+        for f in os.listdir(tmp_path / "b"):
+            m = re.search(r"_(\d{5})(?:\.c\d+)?\.", f)
+            if m:
+                buckets.add(m.group(1))
+        assert len(buckets) == n_buckets
+        got = spark.table(tbl).agg(F.count(F.lit(1)), F.sum("v")).first()
+        assert tuple(got) == (20_000, sum(i % 97 for i in range(20_000)))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_size_buckets_scales_with_input(spark):
+    from tubes_spark.sources import size_buckets
+
+    small = spark.range(1000).select(F.col("id").alias("k"))
+    assert size_buckets(small) == 8
+    # a ~2GB plan estimate at 128MB targets -> ~16 buckets
+    wide = spark.range(30_000_000).select(
+        F.col("id").alias("k"), *[F.col("id").alias(f"c{i}") for i in range(8)]
+    )
+    n = size_buckets(wide)
+    assert 9 <= n <= 4096
+
+
+# --- eviction under OUT-OF-ORDER delivery (VERDICT-r7 #6) -------------
+#
+# The engine rules below were pinned empirically (probes, this round):
+#   * TWO watermarks are in play per batch i: the LATE FILTER uses the
+#     one-batch-lagged max(batches <= i-2) - delay (the same lag
+#     streaming_late_data documented for windowed aggs), while TIMEOUT
+#     processing and GroupState.getCurrentWatermarkMs use
+#     max(batches <= i-1) - delay;
+#   * the late filter drops a row AT the filter watermark (kept iff
+#     strictly above);
+#   * a key with kept data in the batch never gets a timeout callback,
+#     even if its armed timeout is behind the eviction watermark;
+#   * re-arming uses only THAT batch's max kept ts (state carries no
+#     historical max), clamped to eviction-wm + 1 ms — probed via the
+#     flush landing in the trailing batch, not the next file batch;
+#   * a flush fires in the first batch where the key is silent and the
+#     eviction watermark strictly exceeds the armed timeout;
+#   * ONE trailing no-data batch runs iff the last file batch advanced
+#     the global max event time (noDataMicroBatches semantics) — a
+#     stream whose tail delivers only old rows gets NO trailing batch.
+# Event times sit on a minute grid while watermarks are offset by the
+# 10 s delay, so armed-vs-watermark ties cannot occur by construction
+# (the at-horizon DROP rule is pinned by its own deterministic case).
+
+SEC_US = 1_000_000
+BASE_US = 1_700_000_000 * 1_000_000
+GAP_MS = 60_000
+DELAY_MS = 10_000
+
+
+def _simulate_fold_eviction(events, n_slices):
+    """Reference simulation of running_fold(op=sum/step) + eviction
+    under an arbitrary slice assignment.  events: (key, sec, val,
+    slice).  Returns (emitted multiset, final state keys)."""
+    from collections import defaultdict
+
+    batches = [[] for _ in range(n_slices)]
+    for k, sec, v, s in events:
+        batches[s].append((k, sec, v))
+    # trailing no-data batch only if the LAST file batch advanced the
+    # global max event time
+    maxes = [max((sec for _, sec, _ in b), default=None) for b in batches]
+    seen = [m for m in maxes if m is not None]
+    prior = [m for m in maxes[:-1] if m is not None]
+    if seen and (not prior or maxes[-1] is not None and maxes[-1] > max(prior)):
+        batches = batches + [[]]
+
+    def prefix_max_ms(j):
+        if j <= 0:  # guard: a negative slice would wrap around
+            return None
+        vals = [m for m in maxes[:j] if m is not None]
+        return max(vals) * 1000 if vals else None
+
+    emitted = []
+    state: dict = {}
+    armed: dict = {}
+    for i, batch in enumerate(batches):
+        pf = prefix_max_ms(i - 1)
+        wm_filter = None if pf is None else pf - DELAY_MS
+        pe = prefix_max_ms(i)
+        wm_evict = None if pe is None else pe - DELAY_MS
+        kept = [(k, sec, v) for (k, sec, v) in batch
+                if wm_filter is None or sec * 1000 > wm_filter]
+        kept_keys = {k for k, _, _ in kept}
+        if wm_evict is not None:
+            for k in sorted(armed):
+                if k not in kept_keys and armed[k] < wm_evict:
+                    acc, n = state.pop(k)
+                    del armed[k]
+                    emitted.append((k, acc, n))
+        g = defaultdict(list)
+        for k, sec, v in kept:
+            g[k].append((sec, v))
+        for k, rows in g.items():
+            acc, n = state.get(k, (0.0, 0))
+            for _sec, v in rows:
+                acc += v
+                n += 1
+            state[k] = (acc, n)
+            last_ms = max(sec for sec, _ in rows) * 1000
+            armed[k] = max(last_ms + GAP_MS,
+                           (wm_evict if wm_evict is not None else 0) + 1)
+            emitted.append((k, acc, n))
+    return sorted(emitted), sorted(state)
+
+
+def _run_fold_eviction(spark, events, n_slices, tmpdir):
+    import uuid
+
+    from tubes_spark.streaming.run import write_ordered_slices
+    from tubes_spark.streaming.state import running_fold
+
+    schema = "user_id long, ts_us long, value double, slice int"
+    data = [(k, BASE_US + sec * SEC_US, float(v), s) for (k, sec, v, s) in events]
+    df = spark.createDataFrame(data, schema)
+    conds = [F.col("slice") == i for i in range(n_slices)]
+    sub = f"{tmpdir}/{uuid.uuid4().hex[:8]}"
+    write_ordered_slices(df, conds, f"{sub}/in")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{sub}/in")
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "10 seconds")
+    )
+    folded = running_fold(
+        stream, ["user_id"], "value",
+        event_time_col="ts", evict_gap_ms=GAP_MS,
+    )
+    seen: list = []
+    q = (
+        folded.writeStream.foreachBatch(
+            lambda bdf, _bid: seen.extend(bdf.collect())
+        )
+        .outputMode("update")
+        .option("checkpointLocation", f"{sub}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ops = [p for p in q.recentProgress if p.get("stateOperators")]
+    final_rows = int(ops[-1]["stateOperators"][0]["numRowsTotal"]) if ops else 0
+    return sorted((int(r["key"]), r["acc"], int(r["n"])) for r in seen), final_rows
+
+
+def test_fold_eviction_pinned_out_of_order_cases(spark, tmp_path):
+    """Deterministic adversarial cases: late-but-above-watermark revival
+    after a timeout was armed; a row exactly AT the horizon (kept); a
+    strictly-late row (dropped)."""
+    k2 = [(2, 0, 10, 0), (2, 600, 10, 1), (2, 1200, 10, 2), (2, 1800, 10, 3)]
+    k2b = [(2, 600, 10, 0), (2, 1200, 10, 1), (2, 1800, 10, 2), (2, 2400, 10, 3)]
+    cases = [
+        # revive: key1's armed timeout is behind the eviction watermark
+        # by batch 2 but its kept row suppresses the flush; eviction
+        # then lands in the trailing no-data batch with acc=6
+        [(1, 0, 1, 0)] + k2 + [(1, 1140, 5, 2)],
+        # at-filter-horizon: ts == filter wm (590s in batch 2) is
+        # DROPPED (strictly-above keeps)
+        k2b + [(1, 590, 7, 2)],
+        # strictly late: ts 30s against filter wm 590s in batch 3
+        [(1, 0, 1, 0)] + k2 + [(1, 30, 3, 3)],
+        # clamp: key1 kept at 700s in batch 2 while eviction wm is
+        # 1190s -> armed clamps to wm+1, flush lands in the trailing
+        # batch, not batch 3
+        [(2, 600, 10, 0), (2, 1200, 10, 1), (1, 700, 7, 2), (2, 1800, 10, 3)],
+        # clamp + revive: key1 accumulates again in batch 3 (ts 1260 >
+        # filter wm 1190s... strictly above 1190? yes) before flushing
+        [(2, 600, 10, 0), (2, 1200, 10, 1), (1, 700, 7, 2),
+         (1, 1260, 5, 3), (2, 1800, 10, 3)],
+        # watermark never advances after batch 0 -> NO trailing batch,
+        # the armed key survives in state
+        [(1, 0, 1, 0), (1, 0, 1, 1), (1, 60, 1, 0)],
+    ]
+    for events in cases:
+        want, want_state = _simulate_fold_eviction(events, 4)
+        got, got_rows = _run_fold_eviction(spark, events, 4, str(tmp_path))
+        assert got == want, events
+        assert got_rows == len(want_state), events
+
+
+def test_fold_eviction_out_of_order_property(spark, tmp_path):
+    """Hypothesis over slice assignments: arbitrary delivery order must
+    match the pinned-rule simulation exactly (kept/dropped rows, flush
+    timing, surviving state)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        pytest.skip("hypothesis unavailable")
+
+    event = st.tuples(
+        st.integers(1, 3),                      # key
+        st.integers(0, 30).map(lambda m: m * 60),  # minute-grid seconds
+        st.integers(1, 9),                      # value
+        st.integers(0, 3),                      # slice assignment
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(event, min_size=3, max_size=10))
+    def check(events):
+        want, want_state = _simulate_fold_eviction(events, 4)
+        got, got_rows = _run_fold_eviction(spark, events, 4, str(tmp_path))
+        assert got == want, events
+        assert got_rows == len(want_state), events
+
+    check()
+
+
+# --- kill-after-trigger-k / resume-from-checkpoint parity for the
+# round-7 stateful additions (VERDICT-r7 #7).  "Kill" = drain only the
+# files delivered so far with availableNow, then start a NEW query on
+# the SAME checkpoint once the rest arrive — the exact lifecycle of a
+# restarted production job; the union of emissions must equal the
+# uninterrupted run's byte for byte. ------------------------------------
+
+
+def _append_slice(spark, rows, schema, dest):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(dest)
+
+
+def test_ttl_sessions_kill_resume_parity(spark, tmp_path):
+    """An open TTL session must survive the restart (u1's first island
+    closes only after resume), and watermark eviction landing after the
+    restart must flush exactly what the uninterrupted run flushes."""
+    from tubes_spark.streaming.state import ttl_session_fold
+
+    SEC = 1_000_000
+    B = 1_700_000_000 * SEC
+    TTL_US = 600 * SEC  # 10 min
+    schema = "user_id long, ts_us long, vu long"
+    slices = [
+        [(1, B + 0 * SEC, 1), (2, B + 0 * SEC, 5)],
+        [(1, B + 60 * SEC, 2), (2, B + 120 * SEC, 5)],
+        # ---- restart happens here in the interrupted run ----
+        [(1, B + 2000 * SEC, 3)],   # u1 gap > TTL: island split post-resume
+        [(3, B + 5000 * SEC, 7)],   # watermark evicts u1/u2; u3 stays open
+    ]
+
+    def drain(src, ck, seen):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .withWatermark("ts", "10 seconds")
+        )
+        sess = ttl_session_fold(
+            stream, "user_id", "ts_us", "vu",
+            ttl_us=TTL_US, event_time_col="ts", delay_ms=10_000,
+        )
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda bdf, _bid: seen.extend(tuple(r) for r in bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # uninterrupted
+    base: list = []
+    for s in slices:
+        _append_slice(spark, s, schema, str(tmp_path / "u_in"))
+    drain(str(tmp_path / "u_in"), str(tmp_path / "u_ck"), base)
+
+    # interrupted after slice 1
+    got: list = []
+    for s in slices[:2]:
+        _append_slice(spark, s, schema, str(tmp_path / "i_in"))
+    drain(str(tmp_path / "i_in"), str(tmp_path / "i_ck"), got)
+    for s in slices[2:]:
+        _append_slice(spark, s, schema, str(tmp_path / "i_in"))
+    drain(str(tmp_path / "i_in"), str(tmp_path / "i_ck"), got)
+
+    assert sorted(got) == sorted(base)
+    # sanity on content: u1's split island, u1+u2 evicted flushes; u3
+    # still open (not emitted)
+    assert {r[0] for r in base} == {"1", "2"}
+    assert len(base) == 3
+
+
+def test_full_outer_join_kill_resume_parity(spark, tmp_path):
+    """Both join state stores must survive the restart: u4's view
+    arrives before the kill, its matching purchase after — only
+    rehydrated state can pair them; unmatched rows on both sides must
+    flush exactly once."""
+    MIN_US = 60 * 1_000_000
+    B = 1_700_000_000 * 1_000_000
+    vschema = "view_id long, user_id long, ts_us long"
+    pschema = "purchase_id long, user_id_p long, ts_us long"
+    SENT1, SENT2 = B + 10_000 * MIN_US, B + 20_000 * MIN_US
+    v_files = [
+        [(100, 1, B + 0 * MIN_US), (101, 2, B + 5 * MIN_US)],
+        [(102, 4, B + 20 * MIN_US)],
+        # ---- restart boundary ----
+        [(-1, -1, SENT1)],
+        [(-2, -1, SENT2)],
+    ]
+    p_files = [
+        [(200, 1, B + 10 * MIN_US), (201, 3, B + 7 * MIN_US)],
+        # ---- restart boundary ----
+        [(202, 4, B + 35 * MIN_US)],   # matches u4's pre-restart view
+        [(-1, -1, SENT1)],
+        [(-2, -1, SENT2)],
+    ]
+
+    def drain(vdir, pdir, ck, seen):
+        v = (
+            spark.readStream.schema(vschema)
+            .option("maxFilesPerTrigger", "1").parquet(vdir)
+            .withColumn("ts_v", F.timestamp_micros("ts_us")).drop("ts_us")
+            .withWatermark("ts_v", "10 seconds")
+        )
+        p = (
+            spark.readStream.schema(pschema)
+            .option("maxFilesPerTrigger", "1").parquet(pdir)
+            .withColumn("ts_p", F.timestamp_micros("ts_us")).drop("ts_us")
+            .withWatermark("ts_p", "10 seconds")
+        )
+        j = v.join(
+            p,
+            (F.col("user_id") == F.col("user_id_p"))
+            & (F.col("ts_p") >= F.col("ts_v"))
+            & (F.col("ts_p") <= F.col("ts_v") + F.expr("INTERVAL 30 MINUTES")),
+            "full_outer",
+        ).select(
+            "view_id",
+            F.coalesce(F.col("user_id"), F.col("user_id_p")).alias("uid"),
+            "purchase_id",
+        )
+        q = (
+            j.writeStream.foreachBatch(
+                lambda bdf, _bid: seen.extend(tuple(r) for r in bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def clean(rows):
+        keep = [r for r in rows if r[1] is not None and r[1] >= 0]
+        # tuples carry Nones (outer-join nulls): sort None-first per slot
+        return sorted(keep, key=lambda r: tuple(
+            (x is None, 0 if x is None else x) for x in r))
+
+    base: list = []
+    for s in v_files:
+        _append_slice(spark, s, vschema, str(tmp_path / "u_v"))
+    for s in p_files:
+        _append_slice(spark, s, pschema, str(tmp_path / "u_p"))
+    drain(str(tmp_path / "u_v"), str(tmp_path / "u_p"), str(tmp_path / "u_ck"), base)
+
+    got: list = []
+    for s in v_files[:2]:
+        _append_slice(spark, s, vschema, str(tmp_path / "i_v"))
+    for s in p_files[:1]:
+        _append_slice(spark, s, pschema, str(tmp_path / "i_p"))
+    drain(str(tmp_path / "i_v"), str(tmp_path / "i_p"), str(tmp_path / "i_ck"), got)
+    for s in v_files[2:]:
+        _append_slice(spark, s, vschema, str(tmp_path / "i_v"))
+    for s in p_files[1:]:
+        _append_slice(spark, s, pschema, str(tmp_path / "i_p"))
+    drain(str(tmp_path / "i_v"), str(tmp_path / "i_p"), str(tmp_path / "i_ck"), got)
+
+    assert clean(got) == clean(base)
+    # cross-restart match present; u2 view-only and u3 purchase-only
+    # flushed exactly once
+    assert (102, 4, 202) in clean(got)
+    assert (101, 2, None) in clean(got)
+    assert (None, 3, 201) in clean(got)
+    assert len(clean(got)) == 4
+
+
+def test_space_saving_stream_kill_resume_parity(spark, tmp_path):
+    """The per-bucket counter maps must survive a mid-drain restart:
+    the FINAL summary (max-n_seen rows per bucket) after resume must
+    equal the uninterrupted run's, including est/err bounds, with real
+    eviction pressure (capacity 4 < distinct tokens)."""
+    from tubes_spark.operators.sketch import space_saving_stream
+
+    schema = "bucket int, tok string"
+    toks1 = [("a", 5), ("b", 3), ("c", 2), ("d", 1)]
+    toks2 = [("a", 4), ("e", 3), ("f", 1), ("b", 2)]
+    slices = [
+        [(0, t) for t, n in toks1 for _ in range(n)],
+        # ---- restart boundary ----
+        [(0, t) for t, n in toks2 for _ in range(n)],
+    ]
+
+    def drain(src, ck, seen):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        hh = space_saving_stream(stream, "tok", "bucket", capacity=4)
+        q = (
+            hh.writeStream.foreachBatch(
+                lambda bdf, _bid: seen.extend(tuple(r) for r in bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def final_summary(rows):
+        mx = max(r[4] for r in rows)
+        return sorted(r for r in rows if r[4] == mx)
+
+    base: list = []
+    for s in slices:
+        _append_slice(spark, s, schema, str(tmp_path / "u_in"))
+    drain(str(tmp_path / "u_in"), str(tmp_path / "u_ck"), base)
+
+    got: list = []
+    _append_slice(spark, slices[0], schema, str(tmp_path / "i_in"))
+    drain(str(tmp_path / "i_in"), str(tmp_path / "i_ck"), got)
+    _append_slice(spark, slices[1], schema, str(tmp_path / "i_in"))
+    drain(str(tmp_path / "i_in"), str(tmp_path / "i_ck"), got)
+
+    assert final_summary(got) == final_summary(base)
+    # SpaceSaving bounds hold through the restart: true <= est <= true+err
+    true = {"a": 9, "b": 5, "e": 3}
+    for _b, tok, est, err, _n in final_summary(got):
+        if tok in true:
+            assert true[tok] <= est <= true[tok] + err

@@ -58,6 +58,77 @@ def salted_fold_by(
     )
 
 
+from contextlib import contextmanager
+
+# The r7 three-way skew probe's finding (SCALE_PROBE.json.skew_join):
+# AQE's runtime skew split beats explicit salting (2.24x vs 1.77x over
+# the naive plan) — but ONLY once the split threshold is scaled to the
+# actual hot-partition size; the 256MB default never fires below
+# cluster scale.  These are the probed values.
+AQE_SKEW_TUNING = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8MB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4MB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+}
+
+
+@contextmanager
+def aqe_skew_tuning(spark, **overrides):
+    """Apply the probed AQE skew-split conf for the duration of the
+    block, restoring every key after.  Conf is read at ACTION time, so
+    the join must EXECUTE inside the block (collect/count/write/
+    localCheckpoint) — a lazily returned DataFrame executed outside
+    gains nothing."""
+    conf = {**AQE_SKEW_TUNING, **{k: str(v) for k, v in overrides.items()}}
+    saved: dict = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    strategy: str = "aqe",
+    n_salts: int = 16,
+    **tuned,
+) -> DataFrame:
+    """Skewed equi-join with an explicit mitigation strategy.
+
+    ``strategy='aqe'`` (the probe's winner, 2.24x vs naive): runs the
+    plain join EAGERLY under :func:`aqe_skew_tuning` — the engine's
+    runtime skew split carves the hot partition into advisory-sized
+    pieces (``skew=true`` in the adaptive plan) — and returns the
+    result pinned via ``localCheckpoint`` so the tuned conf can be
+    restored immediately.  Prefer this when the result feeds further
+    stages; for a terminal write, use ``with aqe_skew_tuning(spark):``
+    around the write instead to avoid materializing twice.
+
+    ``strategy='salt'`` (2nd place, 1.77x, but works even where AQE
+    cannot see the skew — e.g. bucketed SMJ plans AQE won't touch):
+    :func:`salted_broadcast_left`, lazy as usual."""
+    if strategy == "salt":
+        return salted_broadcast_left(big, small, on, n_salts=n_salts)
+    if strategy != "aqe":
+        raise ValueError(f"strategy must be 'aqe' or 'salt', got {strategy!r}")
+    with aqe_skew_tuning(big.sparkSession, **tuned):
+        return big.join(small, list(on)).localCheckpoint(eager=True)
+
+
 def salted_broadcast_left(
     big: DataFrame,
     small: DataFrame,

@@ -2258,8 +2258,8 @@ def partitioned_io_pruned(spark, sf_dir):
 def bucketed_dedup_enrich_join(spark, sf_dir):
     """The bucketed-table WRITE path plus the shuffle-free REPEATED
     join it buys — the 100 TB move for dedup candidate enrichment.
-    Documents are written through ``sources.write_bucketed`` (8 hash
-    buckets on doc_id, sorted within buckets) and read back through the
+    Documents are written through ``sources.write_bucketed`` (corpus-
+    sized hash buckets on doc_id, sorted within buckets) and read back through the
     catalog; candidate pairs (blocked on a coarse length band x 4-bit
     md5 content band — SimHash-band-flavored blocking, never all-pairs)
     are then joined back to the bucketed table TWICE (doc_a side, doc_b
@@ -2297,8 +2297,10 @@ def bucketed_dedup_enrich_join(spark, sf_dir):
     tbl = f"tubes_docs_bkt_{tag}"
     tmp = tempfile.mkdtemp(prefix="tubes_bkt_")
     try:
+        # n_buckets=None: sized to the corpus (bytes/128MB, floor 8) —
+        # fixed-8 was the r7 x100 probe's write-bound outlier
         sources.write_bucketed(
-            slim, tbl, ["doc_id"], 8, path=f"{tmp}/docs", sort_cols=["doc_id"]
+            slim, tbl, ["doc_id"], None, path=f"{tmp}/docs", sort_cols=["doc_id"]
         )
         bt = sources.read_table(spark, tbl)
         ca = bt.select(

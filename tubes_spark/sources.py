@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -88,19 +89,56 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
     w.orc(path)
 
 
+def size_buckets(df: DataFrame, target_bucket_mb: int = 128,
+                 min_buckets: int = 8, max_buckets: int = 4096) -> int:
+    """Derive a bucket count from the input's optimizer size estimate
+    (post-pruning bytes / ``target_bucket_mb``), clamped to
+    [min, max].  A FIXED bucket count is the classic bucketing mistake:
+    right at one corpus size, write-bound at 100x (too few tasks) or
+    small-file-bound at 0.01x (too many near-empty files).  Falls back
+    to ``min_buckets`` when the plan carries no usable estimate."""
+    import math
+
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = 0
+    if size <= 0 or size >= (1 << 60):  # unknown / default-sentinel stats
+        return min_buckets
+    return max(min_buckets,
+               min(max_buckets, math.ceil(size / (target_bucket_mb * 1024 * 1024))))
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
-                   n_buckets: int, path: str | None = None,
+                   n_buckets: int | None = None, path: str | None = None,
                    sort_cols: Sequence[str] | None = None,
                    mode: str = "overwrite") -> None:
     """Bucketed table write: rows are hash-partitioned into ``n_buckets``
-    files per partition on ``bucket_cols`` and registered in the catalog.
-    Two tables bucketed the same way join WITHOUT a shuffle — at 100 TB
-    this turns the recurring fact-fact join (lineitem x orders on
-    orderkey) from the dominant network cost into a local zipper merge.
+    files on ``bucket_cols`` and registered in the catalog.  Two tables
+    bucketed the same way join WITHOUT a shuffle — at 100 TB this turns
+    the recurring fact-fact join (lineitem x orders on orderkey) from
+    the dominant network cost into a local zipper merge.
     ``sort_cols`` additionally pre-sorts within buckets so the join can
-    skip its sort.  Bucketing requires the table catalog (``saveAsTable``);
-    ``path`` makes it an external table at that location."""
-    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    skip its sort.  Bucketing requires the table catalog
+    (``saveAsTable``); ``path`` makes it an external table there.
+
+    ``n_buckets=None`` sizes buckets to the CORPUS (:func:`size_buckets`)
+    instead of a fixed count — the number a 100x-bigger input needs is
+    100x bigger, and hard-coding it was exactly the r7 x100 probe's
+    35.9x write outlier.
+
+    The pre-``repartition`` below is load-bearing: ``bucketBy`` writes
+    one file per bucket PER UPSTREAM TASK, so a 400-partition scan into
+    8 buckets would emit 3,200 near-empty files (a listing/NameNode
+    problem AND a downstream one-task-per-file scheduling problem).
+    Spark's repartition hash (murmur3 pmod n) is the same function
+    bucketBy uses, so repartitioning onto ``n_buckets`` tasks aligns
+    tasks 1:1 with buckets — exactly one file per bucket, and the write
+    parallelism IS the bucket count."""
+    if n_buckets is None:
+        n_buckets = size_buckets(df)
+    w = (df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+         .write.mode(mode).bucketBy(n_buckets, *bucket_cols))
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path:
