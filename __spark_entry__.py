@@ -33,15 +33,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDERING NOTE: the driver's correctness gate samples the FIRST 50
-    # keys of this dict each round.  Round-7 prefix (oldest-first
-    # rotation, VERDICT-r6 #2) = flagship + the 44 stalest keys (all 43
-    # last driver-sampled in round 2 plus the alphabetically-first
-    # round-3 key) + the 5 new round-7 queries at positions 46-50.
-    # After this round no key's latest driver row predates round 3.
-    # Every key passes the identical local DuckDB harness
-    # (tests/test_oracle_parity.py) regardless of driver sampling.
+    # keys of this dict each round.  Round-8 prefix (oldest-first
+    # rotation, VERDICT-r7 #3) = flagship + all 30 keys last sampled in
+    # round 3 + the 3 new round-8 queries + the 16 alphabetically-first
+    # round-4 keys.  After this round no key's latest driver row
+    # predates round 4.  Every key passes the identical local DuckDB
+    # harness (tests/test_oracle_parity.py) regardless of driver sampling.
+    # --- position 1: flagship ---
     "flagship_pricing_summary": Q.flagship_pricing_summary,
-    # --- 44 stalest keys (last sampled r2/r3), oldest-first ---
+    # --- 30 stalest keys (last sampled round 3) ---
+    "decontaminate_ngram": Q.decontaminate_ngram,
+    "docs_length_band": Q.docs_length_band,
+    "dropwhile_prefix": Q.dropwhile_prefix,
+    "embedding_norms": Q.embedding_norms,
+    "interval_join_views_purchases": Q.interval_join_views_purchases,
+    "lag_user_value_delta": Q.lag_user_value_delta,
+    "multimodal_bytes_stats": Q.multimodal_bytes_stats,
+    "multimodal_features": Q.multimodal_features,
+    "ntile_acctbal_quartiles": Q.ntile_acctbal_quartiles,
+    "orders_above_cust_avg": Q.orders_above_cust_avg,
+    "pack_sequences_bins": Q.pack_sequences_bins,
+    "pii_redact_docs": Q.pii_redact_docs,
+    "quality_repetition_ratio": Q.quality_repetition_ratio,
+    "quantiles_by_priority": Q.quantiles_by_priority,
+    "rollup_hour_day_week": Q.rollup_hour_day_week,
+    "sample_stratified_docs": Q.sample_stratified_docs,
+    "semantic_dedup_survivors": Q.semantic_dedup_survivors,
+    "sketch_distinct_users": Q.sketch_distinct_users,
+    "skew_salted_type_counts": Q.skew_salted_type_counts,
+    "split_train_test_hash": Q.split_train_test_hash,
+    "sql_api_revenue_by_segment": Q.sql_api_revenue_by_segment,
+    "streaming_distinct_users": Q.streaming_distinct_users,
+    "streaming_interval_join": Q.streaming_interval_join,
+    "streaming_merge_union": Q.streaming_merge_union,
+    "streaming_resumable_fold": Q.streaming_resumable_fold,
+    "streaming_session_30m": Q.streaming_session_30m,
+    "string_funcs_parts": Q.string_funcs_parts,
+    "text_tfidf_top_terms": Q.text_tfidf_top_terms,
+    "text_winnow_fingerprints": Q.text_winnow_fingerprints,
+    "viewers_never_purchased": Q.viewers_never_purchased,
+    # --- new in round 8 (no driver row yet) ---
+    "streaming_fold_evicted": Q.streaming_fold_evicted,
+    "multimodal_adpcm_energy": Q.multimodal_adpcm_energy,
+    "skew_salted_enrich_join": Q.skew_salted_enrich_join,
+    # --- 16 oldest round-4 keys ---
+    "ann_radius_neighbors": Q.ann_radius_neighbors,
+    "approx_top_tokens": Q.approx_top_tokens,
+    "cdc_scd2_intervals": Q.cdc_scd2_intervals,
+    "decontaminate_minhash": Q.decontaminate_minhash,
+    "dedup_incremental_new_docs": Q.dedup_incremental_new_docs,
+    "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,
+    "dsir_importance_weights": Q.dsir_importance_weights,
+    "dynamic_channel_route": Q.dynamic_channel_route,
+    "embedding_centroids": Q.embedding_centroids,
+    "floating_named_math": Q.floating_named_math,
+    "gapfill_hourly_counts": Q.gapfill_hourly_counts,
+    "grouping_sets_priority_flag": Q.grouping_sets_priority_flag,
+    "knn_ivf_distributed": Q.knn_ivf_distributed,
+    "mix_sources_token_budget": Q.mix_sources_token_budget,
+    "multimodal_frame_sample": Q.multimodal_frame_sample,
+    "multimodal_png_dims": Q.multimodal_png_dims,
+    # --- below position 50: driver-green round 4+ ---
     "asof_purchase": Q.asof_purchase,
     "cartesian_ap": Q.cartesian_ap,
     "concat_ordered": Q.concat_ordered,
@@ -86,14 +138,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topn_orders_per_customer": Q.topn_orders_per_customer,
     "tumbling_hourly": Q.tumbling_hourly,
     "cube_priority_status": Q.cube_priority_status,
-    # --- new in round 7 (no driver row yet; inside the prefix) ---
     "streaming_ttl_sessions": Q.streaming_ttl_sessions,
     "streaming_full_outer_join": Q.streaming_full_outer_join,
     "dedup_minhash_arith_cc_survivors": Q.dedup_minhash_arith_cc_survivors,
     "multimodal_jpeg_ahash": Q.multimodal_jpeg_ahash,
     "streaming_topk_spacesaving": Q.streaming_topk_spacesaving,
-    # --- below position 50: driver-green in an earlier round ---
-    "decontaminate_ngram": Q.decontaminate_ngram,
     "winsorize_event_values": Q.winsorize_event_values,
     "debounce_user_events": Q.debounce_user_events,
     "embedding_outlier_screen": Q.embedding_outlier_screen,
@@ -143,8 +192,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_rerank": Q.knn_pq_rerank,
     "text_quality": Q.text_quality,
     "text_langid": Q.text_langid,
-    "rollup_hour_day_week": Q.rollup_hour_day_week,
-    "interval_join_views_purchases": Q.interval_join_views_purchases,
     "pivot_priority_by_year": Q.pivot_priority_by_year,
     "bm25_search_scores": Q.bm25_search_scores,
     "graph_bfs_hops": Q.graph_bfs_hops,
@@ -195,30 +242,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_3step_batch": Q.funnel_3step_batch,
     "cms_token_frequencies": Q.cms_token_frequencies,
     "quality_bigram_logprob": Q.quality_bigram_logprob,
-    "mix_sources_token_budget": Q.mix_sources_token_budget,
     "top_bigrams_global": Q.top_bigrams_global,
-    "cdc_scd2_intervals": Q.cdc_scd2_intervals,
-    "dsir_importance_weights": Q.dsir_importance_weights,
     "sample_weighted_per_source": Q.sample_weighted_per_source,
-    "dedup_incremental_new_docs": Q.dedup_incremental_new_docs,
-    "gapfill_hourly_counts": Q.gapfill_hourly_counts,
     "unpivot_doc_metrics": Q.unpivot_doc_metrics,
-    "approx_top_tokens": Q.approx_top_tokens,
     "source_kl_divergence": Q.source_kl_divergence,
-    "grouping_sets_priority_flag": Q.grouping_sets_priority_flag,
     "orders_price_percentile": Q.orders_price_percentile,
-    "multimodal_png_dims": Q.multimodal_png_dims,
-    "multimodal_frame_sample": Q.multimodal_frame_sample,
-    "embedding_centroids": Q.embedding_centroids,
-    "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,
-    "floating_named_math": Q.floating_named_math,
-    "dynamic_channel_route": Q.dynamic_channel_route,
-    "knn_ivf_distributed": Q.knn_ivf_distributed,
     "streaming_takewhile_prefix": Q.streaming_takewhile_prefix,
-    "ann_radius_neighbors": Q.ann_radius_neighbors,
     "sample_per_lang_hash": Q.sample_per_lang_hash,
     "shard_assign_stats": Q.shard_assign_stats,
-    "decontaminate_minhash": Q.decontaminate_minhash,
     "partitioned_io_pruned": Q.partitioned_io_pruned,
     "streaming_sliding_10m": Q.streaming_sliding_10m,
     "quality_unigram_logprob": Q.quality_unigram_logprob,
@@ -238,36 +269,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": Q.q8_market_share,
     "q13_cust_order_distribution": Q.q13_cust_order_distribution,
     "orders_by_month": Q.orders_by_month,
-    "string_funcs_parts": Q.string_funcs_parts,
-    "orders_above_cust_avg": Q.orders_above_cust_avg,
-    "quantiles_by_priority": Q.quantiles_by_priority,
-    "sketch_distinct_users": Q.sketch_distinct_users,
-    "lag_user_value_delta": Q.lag_user_value_delta,
-    "viewers_never_purchased": Q.viewers_never_purchased,
-    "ntile_acctbal_quartiles": Q.ntile_acctbal_quartiles,
-    "streaming_resumable_fold": Q.streaming_resumable_fold,
-    "streaming_interval_join": Q.streaming_interval_join,
-    "streaming_distinct_users": Q.streaming_distinct_users,
-    "streaming_merge_union": Q.streaming_merge_union,
-    "streaming_session_30m": Q.streaming_session_30m,
-    "dropwhile_prefix": Q.dropwhile_prefix,
-    "skew_salted_type_counts": Q.skew_salted_type_counts,
-    "sql_api_revenue_by_segment": Q.sql_api_revenue_by_segment,
-    "text_tfidf_top_terms": Q.text_tfidf_top_terms,
-    "text_winnow_fingerprints": Q.text_winnow_fingerprints,
-    "multimodal_bytes_stats": Q.multimodal_bytes_stats,
-    "multimodal_features": Q.multimodal_features,
-    "split_train_test_hash": Q.split_train_test_hash,
-    "sample_stratified_docs": Q.sample_stratified_docs,
-    "pii_redact_docs": Q.pii_redact_docs,
-    "quality_repetition_ratio": Q.quality_repetition_ratio,
-    "pack_sequences_bins": Q.pack_sequences_bins,
-    "docs_length_band": Q.docs_length_band,
-    "semantic_dedup_survivors": Q.semantic_dedup_survivors,
-    "embedding_norms": Q.embedding_norms,
-    # --- new in round 8 (moved into the prefix by the r8 rotation) ---
-    "streaming_fold_evicted": Q.streaming_fold_evicted,
-    "multimodal_adpcm_energy": Q.multimodal_adpcm_energy,
+
 }
 
 

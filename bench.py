@@ -180,6 +180,10 @@ HEADLINE = [
     "dedup_minhash_arith_cc_survivors",  # full dedup pipeline under the gate
     "multimodal_jpeg_ahash",          # real baseline JPEG entropy roundtrip
     "streaming_topk_spacesaving",     # heavy hitters in bounded keyed state
+    # round 8
+    "streaming_fold_evicted",         # raw fold eviction under the hash gate
+    "multimodal_adpcm_energy",        # real IMA-ADPCM decode, CTE-replayed
+    "skew_salted_enrich_join",        # salted join path under the hash gate
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):
@@ -215,6 +219,22 @@ def main() -> None:
     spark.range(1000).repartition(cpus).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+
+    # calibration probe (VERDICT-r7 #2): the same fixed query, best-of-3,
+    # at bench START and END.  Identical code has swung same-round totals
+    # 117->145 s (~24%) on this shared host; recording the probe twice
+    # gives every run its own noise index, so round-over-round deltas can
+    # be normalized against measured host state instead of guessed.
+    def _calibrate() -> float:
+        fn = queries["flagship_pricing_summary"]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    cal_start = _calibrate()
 
     # streaming drain FIRST: measured after the query battery the
     # same drain loses ~35% throughput to accumulated JVM state (code
@@ -269,6 +289,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    cal_end = _calibrate()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -278,6 +300,7 @@ def main() -> None:
         "queries": timings,
         "graph_cold_vs_cached": graph_detail,
         "streaming": streaming,
+        "calibration": {"start": cal_start, "end": cal_end},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }

@@ -92,7 +92,11 @@ SUPERLINEAR_QUERIES = [
 ]
 
 
-def build_synth(spark, out_dir: str, replicas: int = REPLICAS) -> None:
+def build_synth(spark, out_dir: str, replicas: int = REPLICAS,
+                only: "set[str] | None" = None) -> None:
+    """``only`` restricts the replicated FACT tables (dims are always
+    copied, they're tiny) — the heavy-family probe needs documents/
+    embeddings at 100x but not a 60M-row lineitem it never reads."""
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
@@ -101,6 +105,8 @@ def build_synth(spark, out_dir: str, replicas: int = REPLICAS) -> None:
         base[t].write.parquet(f"{out_dir}/{t}.parquet")
 
     def amplified(t, fn):
+        if only is not None and t not in only:
+            return
         parts = [fn(base[t], r) for r in range(replicas)]
         df = parts[0]
         for p in parts[1:]:
@@ -292,6 +298,121 @@ def main() -> None:
         probe_path.write_text(json.dumps(payload, indent=1) + "\n")
         spark.stop()
         shutil.rmtree(x100_dir, ignore_errors=True)
+        return
+
+    if "--x100-heavy" in sys.argv:
+        # VERDICT-r7 #1: the heavy north-star families (banded MinHash
+        # dedup under 100x near-dup pressure, the Jaccard prefix join's
+        # candidate growth, IVF ANN over a 100x corpus) previously had
+        # only 10x rows; measure them at 100x, plus streaming drain
+        # throughput at 10x event volume.  Only the tables each family
+        # reads are replicated (documents/embeddings at 100x; events at
+        # 10x), so the build cost tracks the question being asked.
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        x100 = payload.setdefault("x100", {"replicas": 100, "base": SF_BASE,
+                                           "results": {}})
+        hx_dir = os.environ.get("SCALE_PROBE_X100H_DIR", "/tmp/tubes_scale_x100h")
+        t0 = time.time()
+        build_synth(spark, hx_dir, replicas=100,
+                    only={"documents", "embeddings"})
+        print(f"# x100-heavy synth build: {time.time()-t0:.1f}s", file=sys.stderr)
+        for t in ("documents", "embeddings"):
+            load_table(spark, t, hx_dir).count()
+        HEAVY = {
+            "dedup_minhash_survivors":
+                "banded LSH: in-family candidates grow ~replicas^2 on "
+                "this synth (every doc gains 99 near-dups)",
+            "dedup_minhash_arith_cc_survivors":
+                "bands -> star edges -> CC closure under the same "
+                "candidate growth",
+            "jaccard_exact_prefix_join":
+                "prefix-filtered verification: candidate pairs are the "
+                "cost driver",
+            "knn_ivf_distributed":
+                "8 k-means iterations + cell-bucketed search at 100x "
+                "corpus (cell-size skew is the risk)",
+            "bucketed_dedup_enrich_join":
+                "re-run after corpus-sized buckets + one-file-per-"
+                "bucket write (r7: fixed-8 buckets, 35.9x)",
+        }
+        for name, note in HEAVY.items():
+            fn = getattr(Q, name)
+            small = best_of(fn, spark, SF_BASE)
+            t0 = time.perf_counter()
+            fn(spark, hx_dir).count()   # one run: the 100x cost IS the signal
+            big = round(time.perf_counter() - t0, 3)
+            x100["results"][name] = {
+                "sf0_1_sec": small,
+                "x100_sec": big,
+                "time_ratio": round(big / small, 2) if small > 0 else None,
+                "note": note,
+                "run": run_id,
+            }
+            print(json.dumps({"query": name, "replicas": 100,
+                              **x100["results"][name]}))
+            probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        shutil.rmtree(hx_dir, ignore_errors=True)
+
+        # streaming drain at 10x event volume, sized state partitions —
+        # same harness shape as bench.py's _stream_drain_rate
+        x10e_dir = os.environ.get("SCALE_PROBE_X10E_DIR", "/tmp/tubes_scale_x10e")
+        build_synth(spark, x10e_dir, replicas=10, only={"events"})
+        from tubes_spark.streaming.run import file_replay_source
+
+        def drain_rate(sf_dir, tag):
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix=f"tubes_drainx_{tag}_")
+            try:
+                events = load_table(spark, "events", sf_dir)
+                n = events.count()
+                events.repartition(8).write.parquet(f"{tmp}/in")
+                prev = spark.conf.get("spark.sql.shuffle.partitions")
+                spark.conf.set("spark.sql.shuffle.partitions", "4")
+                try:
+                    def one(ck):
+                        stream = file_replay_source(
+                            spark, f"{tmp}/in", events.schema,
+                            max_files_per_trigger=8)
+                        agg = (stream.withWatermark("ts", "40 days")
+                               .groupBy(F.window("ts", "1 hour").alias("win"),
+                                        "event_type")
+                               .agg(F.count(F.lit(1)).alias("n"),
+                                    F.sum("value").alias("s")))
+                        t0 = time.perf_counter()
+                        q = (agg.writeStream.format("noop")
+                             .outputMode("update")
+                             .option("checkpointLocation", f"{tmp}/{ck}")
+                             .trigger(availableNow=True).start())
+                        q.awaitTermination(1200)
+                        return time.perf_counter() - t0
+
+                    one("warm")
+                    wall = min(one("a"), one("b"))
+                    return {"events": n, "drain_sec": round(wall, 3),
+                            "events_per_sec": round(n / wall)}
+                finally:
+                    spark.conf.set("spark.sql.shuffle.partitions", prev)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        base_rate = drain_rate(SF_BASE, "b")
+        big_rate = drain_rate(x10e_dir, "x10")
+        payload["streaming_drain_x10"] = {
+            "sf0_1": base_rate,
+            "x10": big_rate,
+            "throughput_ratio": round(
+                big_rate["events_per_sec"] / base_rate["events_per_sec"], 2),
+            "note": ("10x event volume through the same windowed-agg drain; "
+                     "per-trigger commit overhead amortizes over bigger "
+                     "batches, so ev/s should hold or improve"),
+            "run": run_id,
+        }
+        print(json.dumps({"streaming_drain_x10": payload["streaming_drain_x10"]}))
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        shutil.rmtree(x10e_dir, ignore_errors=True)
         return
 
     if "--skew-only" in sys.argv:

@@ -763,6 +763,24 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+ORACLES["skew_salted_enrich_join"] = """
+WITH fact AS (
+  SELECT CASE WHEN event_id % 3 < 2 THEN 0
+              ELSE user_id % 100 END AS k,
+         CAST(floor(value * 1000) AS BIGINT) AS vm,
+         event_type
+  FROM events
+), dim AS (
+  SELECT i AS k, i % 7 + 1 AS w FROM range(100) t(i)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(vm * w) AS BIGINT) AS weighted
+FROM fact JOIN dim USING (k)
+GROUP BY event_type
+"""
+
+
 ORACLES["skew_salted_type_counts"] = f"""
 SELECT event_type, COUNT(*) AS n_events,
   {_dsum('value')} AS total,

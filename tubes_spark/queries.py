@@ -1581,6 +1581,37 @@ def streaming_resumable_fold(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def skew_salted_enrich_join(spark, sf_dir):
+    """The salted JOIN path under the oracle gate (salted aggregation
+    already has ``skew_salted_type_counts``): a deliberately skewed
+    fact key (two thirds of events collapse onto k=0) joined to a
+    100-row dim through ``operators.skew.skew_join(strategy='salt')``
+    — the mitigation that works even where AQE cannot see the skew
+    (bucketed SMJ plans).  Every (key, salt) bucket is bounded at
+    hot/16, and the join result is salt-invariant by construction,
+    which is exactly what the hash gate checks.
+
+    Float discipline: value milli-units floored to BIGINT before the
+    weighted sum."""
+    from tubes_spark.operators.skew import skew_join
+
+    e = _t(spark, sf_dir, "events")
+    fact = e.select(
+        F.when(F.col("event_id") % 3 < 2, F.lit(0))
+        .otherwise(F.pmod(F.col("user_id"), F.lit(100))).alias("k"),
+        F.floor(F.col("value") * 1000).alias("vm"),
+        "event_type",
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+    )
+    j = skew_join(fact, dim, ["k"], strategy="salt")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("vm") * F.col("w")).alias("weighted"),
+    )
+
+
 def skew_salted_type_counts(spark, sf_dir):
     """Skew tooling under the oracle gate: two-phase salted fold on the
     (skewed) event_type key — phase 1 sprays each hot key across 8 salts,
