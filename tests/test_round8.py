@@ -663,3 +663,21 @@ def test_space_saving_stream_kill_resume_parity(spark, tmp_path):
     for _b, tok, est, err, _n in final_summary(got):
         if tok in true:
             assert true[tok] <= est <= true[tok] + err
+
+
+def test_jaccard_prefix_join_plan_is_broadcast_free(spark):
+    """Regression pin for the r8 100x-probe OOM: Catalyst auto-broadcast
+    the post-distinct candidate table (and the verification side) off
+    stale size estimates.  Every join side in this query scales with
+    the corpus, so the physical plan must carry NO broadcast join at
+    any scale — the hints, not the estimator, decide."""
+    from tubes_spark import queries as Q
+
+    df = Q.jaccard_exact_prefix_join(spark, "/root/testdata/sf0.001")
+    phys = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" not in phys
+    assert "BroadcastExchange" not in phys
+    # every join spill-bounded: sort-merge only (a shuffle-hash build
+    # map blew an 8g heap at 100x once AQE coalesced partitions)
+    assert "ShuffledHashJoin" not in phys
+    assert phys.count("SortMergeJoin") >= 7

@@ -5687,7 +5687,16 @@ def jaccard_exact_prefix_join(spark, sf_dir):
     Scale shape: prefix postings are ~20% of the shingle stream and
     skew-bounded (rarest-first ordering puts the heavy shingles LAST,
     outside prefixes); verification joins touch candidates only.  Per-
-    doc ordering is a doc-partitioned window — no global rank table."""
+    doc ordering is a doc-partitioned window — no global rank table.
+
+    Every join side here SCALES WITH THE CORPUS (shingle frequencies,
+    doc sizes, candidate pairs), so each is pinned to a SORT-MERGE
+    join: the r8 100x probe caught Catalyst auto-broadcasting the
+    post-distinct candidate table off a stale size estimate (driver
+    OOM at ~25M pairs), and a first shuffle-hash fix then blew the
+    heap in the build maps once AQE coalesced partitions — SMJ is the
+    only strategy whose memory is spill-bounded on every path, which
+    is the property that survives a 100x corpus on fixed executors."""
     d = _fan(_t(spark, sf_dir, "documents"))
     toks = text.tokenize(F.col("text"))
     s = d.select(
@@ -5695,29 +5704,36 @@ def jaccard_exact_prefix_join(spark, sf_dir):
     ).distinct().localCheckpoint(eager=True)
     freq = s.groupBy("sh").agg(F.count(F.lit(1)).alias("fr"))
     sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ordered = s.join(freq, "sh")
+    ordered = s.join(freq.hint("merge"), "sh")
     w = Window.partitionBy("doc_id").orderBy("fr", "sh")
-    ranked = ordered.withColumn("__r__", F.row_number().over(w)).join(sz, "doc_id")
+    ranked = ordered.withColumn("__r__", F.row_number().over(w)).join(
+        sz.hint("merge"), "doc_id"
+    )
     prefix_len = (F.col("n") - F.floor(F.lit(0.8) * F.col("n")) + 1).cast("int")
     pre = ranked.filter(F.col("__r__") <= prefix_len).select("doc_id", "sh")
     cand = (
         pre.alias("a")
-        .join(pre.alias("b"), "sh")
+        .join(pre.alias("b").hint("merge"), "sh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .hint("merge")
     )
     sa = s.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = s.select(F.col("doc_id").alias("doc_b"), "sh")
+    # candidate x corpus verification: both sides scale — sort-merge,
+    # never a broadcast decided off an intermediate's estimate
     inter = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "sh"])
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     na = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     out = (
-        inter.join(na, "doc_a").join(nb, "doc_b")
+        inter.join(na.hint("merge"), "doc_a")
+        .join(nb.hint("merge"), "doc_b")
         .withColumn("u", (F.col("na") + F.col("nb") - F.col("i")).cast("long"))
         .withColumn("jaccard", F.round(F.col("i") / F.col("u"), 6))
         .filter(F.col("jaccard") >= 0.8)
