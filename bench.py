@@ -184,6 +184,11 @@ HEADLINE = [
     "streaming_fold_evicted",         # raw fold eviction under the hash gate
     "multimodal_adpcm_energy",        # real IMA-ADPCM decode, CTE-replayed
     "skew_salted_enrich_join",        # salted join path under the hash gate
+    "url_canonical_dedup",            # crawl-stage URL canonicalize+dedup
+    "dedup_cc_best_quality_survivors",  # quality-argmax survivor per cluster
+    "split_leakage_safe_by_cluster",  # cluster-hashed leakage-safe split
+    "domain_mixture_weights",         # sqrt-rebalanced domain mixing
+    "ccnet_rarity_buckets",           # integer-exact CCNet tertiles
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

@@ -78,6 +78,11 @@ LINEAR_QUERIES = [
     # round 7
     "multimodal_jpeg_ahash",         # per-row JPEG entropy roundtrip: pure map
     "dedup_minhash_arith_cc_survivors",  # bands -> star edges -> CC
+    # round 8
+    "url_canonical_dedup",           # regexp chain + one canonical-url agg
+    "dedup_cc_best_quality_survivors",  # CC + partial-agg argmax survivor
+    "ccnet_rarity_buckets",          # vocab rank broadcast + per-lang ntile
+    "domain_mixture_weights",        # one domain agg + broadcast total
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not
@@ -257,6 +262,36 @@ def main() -> None:
     spark = get_spark("tubes_scale_probe", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     probe_path = Path(__file__).resolve().parent.parent / "SCALE_PROBE.json"
+
+    if "--only" in sys.argv:
+        # incremental 10x probe of a named subset (new families land
+        # here without a full refresh); merges into results with a run
+        # stamp.  Only documents/embeddings are replicated — every
+        # subset family so far is corpus-side; pass a full run for
+        # anything fact-table-heavy.
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        t0 = time.time()
+        build_synth(spark, out_dir, only={"documents", "embeddings"})
+        print(f"# synth build: {time.time()-t0:.1f}s", file=sys.stderr)
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        for name in names:
+            fn = getattr(Q, name)
+            small = best_of(fn, spark, SF_BASE)
+            big = best_of(fn, spark, out_dir)
+            row = {
+                "sf0_1_sec": small,
+                "x10_sec": big,
+                "time_ratio": round(big / small, 2) if small > 0 else None,
+                "expected": "linear(<=10x)" if name in LINEAR_QUERIES
+                else "superlinear-by-construction",
+                "run": run_id,
+            }
+            payload.setdefault("results", {})[name] = row
+            print(json.dumps({"query": name, **row}))
+            probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        return
 
     if "--x100" in sys.argv:
         # VERDICT-r6 #7: the brief's bar is "survives 100x" — replicate

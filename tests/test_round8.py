@@ -681,3 +681,99 @@ def test_jaccard_prefix_join_plan_is_broadcast_free(spark):
     # map blew an 8g heap at 100x once AQE coalesced partitions)
     assert "ShuffledHashJoin" not in phys
     assert phys.count("SortMergeJoin") >= 7
+
+
+# --- plan-shape pins for the round-8 curation additions -------------
+
+def test_url_canonical_dedup_plan(spark):
+    """Canonicalization must stay a JVM regexp chain (no Python UDF)
+    and the dedup agg must combine map-side before its one shuffle."""
+    from tubes_spark import plans
+    from tubes_spark import queries as Q
+
+    df = Q.url_canonical_dedup(spark, "/root/testdata/sf0.001")
+    p = plans.plan_of(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    plans.assert_partial_agg(df)
+
+
+def test_best_quality_survivors_plan(spark):
+    """Survivor selection is argmax-as-max(struct): a partial-
+    aggregatable groupBy (map-side combine), NOT a window sort-shuffle
+    of the corpus; the component label join broadcasts."""
+    from tubes_spark import plans
+    from tubes_spark import queries as Q
+
+    df = Q.dedup_cc_best_quality_survivors(spark, "/root/testdata/sf0.001")
+    p = plans.plan_of(df)
+    assert plans.n_nodes(p, "Window") == 0, f"window in survivor plan:\n{p}"
+    # a struct-typed max buffer is not hash-aggregatable, so Spark
+    # plans SortAggregate — still a partial+final pair (map-side
+    # combine before the one cluster exchange), which is the point
+    assert plans.n_nodes(p, "SortAggregate") >= 2, f"no partial agg:\n{p}"
+    plans.assert_broadcasts(df, at_least=1)
+
+
+def test_split_leakage_safe_plan_and_invariant(spark):
+    """The cluster label join broadcasts, and the leakage invariant
+    holds by construction: no cluster appears in both splits."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark import plans
+    from tubes_spark import queries as Q
+
+    df = Q.split_leakage_safe_by_cluster(spark, "/root/testdata/sf0.001")
+    plans.assert_broadcasts(df, at_least=1)
+    # rebuild the per-doc labeling to check the invariant directly
+    from tubes_spark.operators import dedup
+    from tubes_spark.queries import _t
+    from pyspark.sql import Window
+
+    d = _t(spark, "/root/testdata/sf0.001", "documents")
+    banded = dedup.arith_minhash_bands(d)
+    w = Window.partitionBy("band", "key")
+    star = (
+        banded.withColumn("__mn__", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("__mn__"))
+        .select(F.col("__mn__").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    comp = dedup.connected_components(star)
+    lab = (
+        d.join(F.broadcast(comp), d["doc_id"] == comp["id"], "left")
+        .select(F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster"))
+        .withColumn(
+            "split",
+            F.when(F.md5(F.col("cluster").cast("string")) < "cccc", "train").otherwise("test"),
+        )
+    )
+    straddlers = (
+        lab.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddlers == 0
+
+
+def test_ccnet_rarity_buckets_plan(spark):
+    """The vocab rank table broadcasts back onto the token stream and
+    nothing falls off the JVM fast path."""
+    from tubes_spark import plans
+    from tubes_spark import queries as Q
+
+    df = Q.ccnet_rarity_buckets(spark, "/root/testdata/sf0.001")
+    p = plans.plan_of(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    plans.assert_broadcasts(df, at_least=1)
+
+
+def test_domain_mixture_weights_values(spark):
+    """Weight shares sum to ~1 and the domain agg combines map-side."""
+    from tubes_spark import plans
+    from tubes_spark import queries as Q
+
+    df = Q.domain_mixture_weights(spark, "/root/testdata/sf0.001")
+    plans.assert_partial_agg(df)
+    total = sum(r["weight_share"] for r in df.collect())
+    assert abs(total - 1.0) < 1e-4

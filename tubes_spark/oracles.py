@@ -3451,3 +3451,124 @@ SELECT doc_id,
   (length(raw) != length(nfc_normalize(raw))) AS changed
 FROM r
 """
+
+
+# URL canonicalization + exact-URL dedup: the raw-URL derivation and
+# the regexp canonicalization chain are replicated verbatim (Java/RE2
+# common-subset patterns; DuckDB regexp_replace needs explicit 'g'
+# where a pattern can match twice — Spark's is always global).
+ORACLES["url_canonical_dedup"] = """
+WITH r AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN upper(source || '.Example.COM')
+             ELSE source || '.Example.COM' END)
+    || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN '?utm_source=feed&utm_campaign=c&id=' || CAST(doc_id % 6 AS VARCHAR)
+             WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 6 AS VARCHAR)
+             ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END) AS raw
+  FROM documents
+), canon AS (
+  SELECT doc_id, raw,
+    regexp_replace(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            lower(regexp_extract(raw, '^[^/]+//[^/]+'))
+              || regexp_replace(raw, '^[^/]+//[^/]+', ''),
+            '#.*$', ''),
+          'utm_[a-z]+=[^&#]*&', '', 'g'),
+        '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+      '/[?]', '?'), '/$', '') AS canonical_url
+  FROM r
+)
+SELECT canonical_url, min(doc_id) AS keep_doc_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_forms
+FROM canon GROUP BY canonical_url
+"""
+
+
+# Quality-aware survivor policy over the gated arith-band CC machinery:
+# reuse the band/star/closure CTEs verbatim and swap the min-id drop
+# for an argmax(n_chars, doc_id) window per cluster (singletons =
+# their own cluster via the LEFT JOIN coalesce).
+ORACLES["dedup_cc_best_quality_survivors"] = (
+    ORACLES["dedup_minhash_arith_cc_survivors"]
+    .split("), dropped AS")[0]
+    + """), lab AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.comp, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), ranked AS (
+  SELECT doc_id, cluster, n_chars,
+    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS comp_size,
+    row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+  FROM lab
+)
+SELECT doc_id, cluster, comp_size, n_chars FROM ranked WHERE rn = 1
+"""
+)
+
+
+# Leakage-safe split: same gated cluster labeling, then the
+# split_train_test_hash md5-cutoff recipe applied to the CLUSTER id.
+ORACLES["split_leakage_safe_by_cluster"] = (
+    ORACLES["dedup_minhash_arith_cc_survivors"]
+    .split("), dropped AS")[0]
+    + """), lab AS (
+  SELECT d.doc_id, d.source, coalesce(c.comp, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT CASE WHEN md5(CAST(cluster AS VARCHAR)) < 'cccc' THEN 'train' ELSE 'test' END AS split,
+  source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+FROM lab GROUP BY 1, 2
+"""
+)
+
+
+# sqrt is IEEE-correctly-rounded => bit-identical cross-engine; the
+# weight accumulates in DECIMAL so the normalizing total is
+# order-independent.  DuckDB SUM(BIGINT) -> HUGEINT, hence the cast.
+ORACLES["domain_mixture_weights"] = """
+WITH per AS (
+  SELECT source || '.example.com' AS domain,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+    CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(w) AS tw FROM per)
+SELECT domain, n_docs, sum_chars,
+  CAST(w AS DOUBLE) AS sqrt_weight,
+  round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight_share
+FROM per CROSS JOIN tot
+"""
+
+
+# Integer-exact rarity scoring: row_number/sum/ntile only, no
+# transcendentals.  DuckDB row_number and ntile are BIGINT (Spark INT)
+# and SUM(BIGINT) is HUGEINT — cast at the output boundary.
+ORACLES["ccnet_rarity_buckets"] = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM vocab
+), scored AS (
+  SELECT doc_id, lang,
+    CAST(sum(rank) AS BIGINT) AS rarity,
+    CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks JOIN ranked USING (tok)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, rarity, n_tokens,
+  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY rarity, doc_id) AS INTEGER) AS bucket
+FROM scored
+"""

@@ -6796,3 +6796,238 @@ def unicode_nfc_normalize(spark, sf_dir):
         F.md5("norm").alias("nfc_md5"),
         (F.length("raw") != F.length("norm")).alias("changed"),
     )
+
+
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + exact-URL dedup — the FIRST stage of every
+    web-crawl curation pipeline (before any content hashing): lowercase
+    the scheme+host, strip fragments and utm_* tracking params, drop
+    trailing slashes, then keep one doc per canonical URL.  The raw
+    URLs are derived deterministically from (source, doc_id) with
+    injected case/param/slash/fragment noise so the canonicalizer has
+    real work to do, and the SAME derivation runs in the oracle.
+
+    Scale shape: canonicalization is a per-row JVM regexp_replace
+    chain (codegen, no UDF); the dedup is one groupBy on the canonical
+    string — a single keyed exchange, linear at any corpus size.  The
+    regexes are kept to the Java/RE2 common subset so the identical
+    patterns run on any engine."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".Example.COM"))
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 4 == 0, F.upper(host)).otherwise(host),
+        F.lit("/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=c&id="),
+                (F.col("doc_id") % 6).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("?id="), (F.col("doc_id") % 6).cast("string")),
+        )
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec-2")).otherwise(F.lit("")),
+    )
+    # canonicalize: lowercase scheme+host; strip #fragment; strip utm_*
+    # params (mid-query then leading); fold '/?' -> '?'; strip trailing '/'
+    low = F.concat(
+        F.lower(F.regexp_extract(raw, "^[^/]+//[^/]+", 0)),
+        F.regexp_replace(raw, "^[^/]+//[^/]+", ""),
+    )
+    c1 = F.regexp_replace(low, "#.*$", "")
+    c2 = F.regexp_replace(c1, "utm_[a-z]+=[^&#]*&", "")
+    c3 = F.regexp_replace(c2, "[?&]utm_[a-z]+=[^&#]*", "")
+    c4 = F.regexp_replace(F.regexp_replace(c3, "/[?]", "?"), "/$", "")
+    return (
+        d.select(F.col("doc_id"), c4.alias("canonical_url"), raw.alias("raw_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_url").alias("n_raw_forms"),
+        )
+    )
+
+
+def dedup_cc_best_quality_survivors(spark, sf_dir):
+    """Near-dup clustering with a QUALITY-AWARE survivor policy: the
+    arith-MinHash band family -> star candidate edges -> connected
+    components (both already under the value-hash gate via
+    dedup_minhash_arith_cc_survivors), but instead of keeping the
+    min-id doc per cluster, keep the HIGHEST-QUALITY one (longest
+    n_chars, doc_id tiebreak) — the policy real curation pipelines
+    use, where near-dup clusters keep their best representative, not
+    an arbitrary member.  Singleton docs (no near-dup) are their own
+    cluster and always survive.
+
+    Scale shape: the component label table is tiny relative to the
+    corpus (only docs that collided in some band), so the label join
+    broadcasts; survivor selection is argmax-as-max(struct(n_chars,
+    -doc_id)) — a PARTIAL-aggregatable groupBy (map-side combine),
+    deliberately not a window, which would force a full sort-shuffle
+    of the corpus with no combine.  The oracle replays the closure as
+    a recursive CTE and the argmax as a window (verification-side
+    luxury)."""
+    d = _t(spark, sf_dir, "documents")
+    banded = dedup.arith_minhash_bands(d)
+    w = Window.partitionBy("band", "key")
+    star = (
+        banded.withColumn("__mn__", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("__mn__"))
+        .select(F.col("__mn__").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    comp = dedup.connected_components(star)
+    lab = (
+        d.join(F.broadcast(comp), d["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    best = F.max(
+        F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nd"))
+    )
+    return (
+        lab.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("comp_size"), best.alias("__b__"))
+        .select(
+            (-F.col("__b__.nd")).alias("doc_id"),
+            "cluster",
+            "comp_size",
+            F.col("__b__.nc").alias("n_chars"),
+        )
+    )
+
+
+def split_leakage_safe_by_cluster(spark, sf_dir):
+    """Leakage-safe train/test split: hash the near-dup CLUSTER id, not
+    the doc id, so a document and its near-duplicates can never land
+    on opposite sides of the split — the eval-contamination failure
+    mode a per-doc hash split has by construction.  Reuses the gated
+    cluster labeling (arith bands -> CC) and the md5-cutoff split
+    recipe of split_train_test_hash, then reports per (split, source)
+    doc and cluster counts.
+
+    Scale shape: same broadcast label join as the survivor queries;
+    the split is a per-row projection on md5(cluster); the report is
+    one two-column groupBy.  No all-pairs work anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    banded = dedup.arith_minhash_bands(d)
+    w = Window.partitionBy("band", "key")
+    star = (
+        banded.withColumn("__mn__", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("__mn__"))
+        .select(F.col("__mn__").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .distinct()
+    )
+    comp = dedup.connected_components(star)
+    lab = (
+        d.join(F.broadcast(comp), d["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    split = F.when(
+        F.md5(F.col("cluster").cast("string")) < "cccc", "train"
+    ).otherwise("test")
+    return (
+        lab.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+    )
+
+
+def domain_mixture_weights(spark, sf_dir):
+    """Per-domain corpus mixing weights, the CommonCrawl-style domain
+    balancing stage: aggregate doc count and char mass per registrable
+    domain, then assign each domain a sqrt(n_docs) sampling weight and
+    its normalized share — the standard square-root rebalancing that
+    keeps head domains from dominating a crawl without starving the
+    tail.
+
+    Scale shape: one partial-aggregated groupBy on domain; the weight
+    normalization rides the one-row broadcast-agg pattern (no driver
+    action).  Float discipline: sqrt is IEEE-correctly-rounded (exact
+    cross-engine), each weight rounds to 6 then accumulates in DECIMAL
+    so the total is order-independent; the share divides two exact
+    decimals as doubles — one correctly-rounded operation."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.groupBy(F.concat(F.col("source"), F.lit(".example.com")).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn(
+            "__w__",
+            F.round(F.sqrt(F.col("n_docs").cast("double")), 6).cast("decimal(18,6)"),
+        )
+    )
+    tot = per.agg(F.sum("__w__").alias("__tw__"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        "sum_chars",
+        F.col("__w__").cast("double").alias("sqrt_weight"),
+        F.round(
+            F.col("__w__").cast("double") / F.col("__tw__").cast("double"), 6
+        ).alias("weight_share"),
+    )
+
+
+def ccnet_rarity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail bucketing, with an INTEGER-EXACT
+    rarity score in place of the KenLM perplexity: rank every token by
+    global corpus frequency (rank 1 = most frequent), score each doc
+    by the sum of its tokens' ranks, and ntile(3) the docs per
+    language — bucket 1 = fluent/common-token docs, bucket 3 = rare-
+    token soup.  The same tertile-per-language policy CCNet uses to
+    keep/LM-filter/drop crawl text, but reproducible to the bit on any
+    engine (no transcendentals anywhere, unlike the logprob twin
+    quality_unigram_logprob).
+
+    Scale shape: one token-count aggregation builds the vocabulary;
+    the rank table is vocab-sized (computed once, broadcast back onto
+    the token stream, scoring map-side); the per-doc score is one
+    partial-aggregated shuffle.  The global rank window sorts only the
+    vocabulary — at 100 TB cap it to the top-K tokens with an OOV
+    ceiling rank, exactly like the logprob filter caps its table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(text.normalize(F.col("text")), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = vocab.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+    ).select("tok", "rank")
+    scored = (
+        toks.join(F.broadcast(ranked), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("rank").alias("rarity"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    wn = Window.partitionBy("lang").orderBy("rarity", "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "rarity",
+        "n_tokens",
+        F.ntile(3).over(wn).alias("bucket"),
+    )
