@@ -35,7 +35,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDERING NOTE: the driver's correctness gate samples the FIRST 50
     # keys of this dict each round.  Round-8 prefix (oldest-first
     # rotation, VERDICT-r7 #3) = flagship + all 30 keys last sampled in
-    # round 3 + the 8 new round-8 queries + the 11 alphabetically-first
+    # round 3 + the 9 new round-8 queries + the 10 alphabetically-first
     # round-4 keys.  After this round no key's latest driver row
     # predates round 4.  Every key passes the identical local DuckDB
     # harness (tests/test_oracle_parity.py) regardless of driver sampling.
@@ -81,7 +81,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_safe_by_cluster": Q.split_leakage_safe_by_cluster,
     "domain_mixture_weights": Q.domain_mixture_weights,
     "ccnet_rarity_buckets": Q.ccnet_rarity_buckets,
-    # --- 11 oldest round-4 keys (5 bumped below the 50-cut by the new
+    "atomic_multisink_roundtrip": Q.atomic_multisink_roundtrip,
+    # --- 10 oldest round-4 keys (6 bumped below the 50-cut by the new
     # r8 queries; they rotate back in round 9) ---
     "ann_radius_neighbors": Q.ann_radius_neighbors,
     "approx_top_tokens": Q.approx_top_tokens,
@@ -93,8 +94,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dynamic_channel_route": Q.dynamic_channel_route,
     "embedding_centroids": Q.embedding_centroids,
     "floating_named_math": Q.floating_named_math,
-    "gapfill_hourly_counts": Q.gapfill_hourly_counts,
     # --- below position 50: driver-green round 4+ ---
+    "gapfill_hourly_counts": Q.gapfill_hourly_counts,
     "grouping_sets_priority_flag": Q.grouping_sets_priority_flag,
     "knn_ivf_distributed": Q.knn_ivf_distributed,
     "mix_sources_token_budget": Q.mix_sources_token_budget,

@@ -189,6 +189,7 @@ HEADLINE = [
     "split_leakage_safe_by_cluster",  # cluster-hashed leakage-safe split
     "domain_mixture_weights",         # sqrt-rebalanced domain mixing
     "ccnet_rarity_buckets",           # integer-exact CCNet tertiles
+    "atomic_multisink_roundtrip",     # cross-sink atomic visibility
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

@@ -777,3 +777,99 @@ def test_domain_mixture_weights_values(spark):
     plans.assert_partial_agg(df)
     total = sum(r["weight_share"] for r in df.collect())
     assert abs(total - 1.0) < 1e-4
+
+
+# --- atomic cross-sink group (VERDICT-r7 missing #4) ----------------
+
+def test_atomic_group_orphan_invisible_then_replay_converges(spark, tmp_path):
+    """Filesystem-level proof of marker gating: after a crash between
+    leaf writes, the first leaf's epoch directory EXISTS on disk but
+    neither leaf's reader sees that epoch; the replay commits and both
+    converge."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    g = str(tmp_path / "grp")
+    df0 = spark.range(0, 10).withColumn("v", F.col("id") * 2)
+    df1 = spark.range(10, 25).withColumn("v", F.col("id") * 2)
+    armed = {"crash": True}
+
+    def b_leaf(df):
+        if armed["crash"] and _CURRENT_EPOCH.get() == 1:
+            armed["crash"] = False
+            raise RuntimeError("injected")
+        return df.select("id")
+
+    sink = Sink.atomic_parquet_group(g, {"a": None, "b": b_leaf})
+
+    def write(ep, df):
+        token = _CURRENT_EPOCH.set(ep)
+        try:
+            sink(df)
+        finally:
+            _CURRENT_EPOCH.reset(token)
+
+    write(0, df0)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        write(1, df1)
+    # orphan: leaf a wrote epoch 1, the group never committed it
+    import os
+
+    assert os.path.isdir(f"{g}/a/data/epoch=1")
+    assert not os.path.exists(f"{g}/_commits/1")
+    assert Sink.read_atomic_group(spark, g, "a").count() == 10
+    assert Sink.read_atomic_group(spark, g, "b").count() == 10
+    # replay converges both leaves
+    write(1, df1)
+    assert sorted(
+        r["id"] for r in Sink.read_atomic_group(spark, g, "a").collect()
+    ) == list(range(25))
+    assert Sink.read_atomic_group(spark, g, "b").count() == 25
+    # idempotent re-delivery of a committed epoch is a no-op
+    write(1, df1)
+    assert Sink.read_atomic_group(spark, g, "a").count() == 25
+
+
+def test_atomic_group_through_foreachbatch_stream(spark, tmp_path):
+    """The group sink runs under a REAL writeStream.foreachBatch drain:
+    two epochs of events through two leaves; both read back complete
+    and epoch-tagged."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import Sink
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    src = str(tmp_path / "in")
+    g = str(tmp_path / "grp")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_ordered_slices(df, [F.col("k") < 50, F.col("k") >= 50], src)
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = Sink.atomic_parquet_group(
+        g,
+        {
+            "sums": lambda d: d.groupBy("v").agg(F.sum("k").alias("s")),
+            "rows": None,
+        },
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.for_each_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = Sink.read_atomic_group(spark, g, "rows")
+    assert rows.count() == 100
+    assert sorted(r["epoch"] for r in rows.select("epoch").distinct().collect()) == [0, 1]
+    sums = Sink.read_atomic_group(spark, g, "sums")
+    total = sums.agg(F.sum("s")).first()[0]
+    assert total == sum(range(100))

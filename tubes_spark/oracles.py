@@ -3572,3 +3572,33 @@ SELECT doc_id, lang, rarity, n_tokens,
   CAST(ntile(3) OVER (PARTITION BY lang ORDER BY rarity, doc_id) AS INTEGER) AS bucket
 FROM scored
 """
+
+
+# The atomic-group protocol reduces to WHICH slices are visible per
+# stage: after the injected epoch-1 crash only slice 0 committed (the
+# orphan epoch-1 'agg' directory is marker-gated out); after the
+# replay all three.  agg-leaf rows are per-epoch per-type counts, so
+# its n_rows is distinct (slice, type) pairs over the visible slices.
+ORACLES["atomic_multisink_roundtrip"] = """
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+s AS (
+  SELECT event_id, event_type,
+    LEAST((epoch_us(ts) - b.mn) * 3 // (b.mx - b.mn + 1), 2) AS slice
+  FROM events, b
+)
+SELECT 'after_crash' AS stage, 'agg' AS leaf,
+  CAST((SELECT count(*) FROM (SELECT DISTINCT slice, event_type FROM s WHERE slice <= 0)) AS BIGINT) AS n_rows,
+  CAST((SELECT count(*) FROM s WHERE slice <= 0) AS BIGINT) AS key_sum
+UNION ALL
+SELECT 'after_crash', 'raw',
+  CAST((SELECT count(*) FROM s WHERE slice <= 0) AS BIGINT),
+  CAST((SELECT sum(event_id) FROM s WHERE slice <= 0) AS BIGINT)
+UNION ALL
+SELECT 'final', 'agg',
+  CAST((SELECT count(*) FROM (SELECT DISTINCT slice, event_type FROM s)) AS BIGINT),
+  CAST((SELECT count(*) FROM s) AS BIGINT)
+UNION ALL
+SELECT 'final', 'raw',
+  CAST((SELECT count(*) FROM s) AS BIGINT),
+  CAST((SELECT sum(event_id) FROM s) AS BIGINT)
+"""

@@ -162,6 +162,77 @@ class Sink:
         )
 
     @staticmethod
+    def atomic_parquet_group(
+        group_dir: str,
+        leaves: "dict[str, Callable[[DataFrame], DataFrame] | None]",
+    ) -> "Sink":
+        """Cross-sink ATOMIC VISIBILITY for a group of parquet leaves —
+        the upgrade over ``sA + sB`` (eventual convergence) and
+        ``exactly_once_parquet`` (per-sink idempotence): every leaf
+        writes its per-epoch directory first, and ONE commit marker for
+        the whole group is published last by an atomic rename.  Readers
+        (:meth:`read_atomic_group`) list the marker directory and load
+        only committed epochs, so an epoch becomes visible in ALL
+        leaves at the marker rename or in NONE — a crash after some
+        leaves wrote leaves orphan data directories that no reader ever
+        sees, and the checkpoint replay overwrites them and commits.
+        This is atomic visibility + effectively-once durability; what
+        it is NOT is a cross-system transaction (leaves must share one
+        filesystem namespace for the single marker to gate them all —
+        the honest bound without an external transaction manager;
+        reference parity note: Tubes/Sink.hs:118-119 ``<>`` runs both
+        sinks in one IO action and inherits the same
+        no-distributed-transaction caveat).
+
+        ``leaves`` maps leaf name -> optional per-leaf transform (the
+        ``divide``/``contramap`` composition point); leaves write in
+        sorted-name order so failure injection in tests is
+        deterministic.  On a real cluster the marker rename maps to an
+        HDFS rename / S3 conditional put — both atomic publish
+        primitives; task-side data writes stay distributed, only the
+        tiny marker touches the driver."""
+        import os as _os
+        from pathlib import Path
+
+        def run(df: DataFrame) -> None:
+            epoch = _CURRENT_EPOCH.get()
+            ep = -1 if epoch is None else int(epoch)
+            commit = Path(group_dir) / "_commits" / str(ep)
+            if commit.exists():
+                return  # clean replay: whole group already committed
+            for name in sorted(leaves):
+                t = leaves[name]
+                out = t(df) if t is not None else df
+                out.write.mode("overwrite").parquet(
+                    f"{group_dir}/{name}/data/epoch={ep}"
+                )
+            commit.parent.mkdir(parents=True, exist_ok=True)
+            tmp = commit.parent / f".tmp.{ep}"
+            tmp.write_text("")
+            _os.replace(tmp, commit)  # the atomic publish point
+
+        return Sink(run)
+
+    @staticmethod
+    def read_atomic_group(spark, group_dir: str, name: str) -> DataFrame:
+        """Read one leaf of an :meth:`atomic_parquet_group`, seeing only
+        epochs whose GROUP marker committed — uncommitted data
+        directories on disk are invisible by construction."""
+        from pathlib import Path
+
+        cdir = Path(group_dir) / "_commits"
+        epochs = (
+            sorted(int(p.name) for p in cdir.iterdir() if not p.name.startswith("."))
+            if cdir.exists()
+            else []
+        )
+        if not epochs:
+            raise ValueError(f"no committed epochs under {group_dir}")
+        return spark.read.option("basePath", f"{group_dir}/{name}/data").parquet(
+            *[f"{group_dir}/{name}/data/epoch={e}" for e in epochs]
+        )
+
+    @staticmethod
     def memory(out: list) -> "Sink":
         """Collect into a driver-side list — ``display`` test double
         (Tubes.hs:193-196)."""
