@@ -873,3 +873,81 @@ def test_atomic_group_through_foreachbatch_stream(spark, tmp_path):
     sums = Sink.read_atomic_group(spark, g, "sums")
     total = sums.agg(F.sum("s")).first()[0]
     assert total == sum(range(100))
+
+
+def test_atomic_group_compaction_preserves_reads_and_gcs(spark, tmp_path):
+    """compact_atomic_group consolidates committed epochs, readers are
+    identical before/after, superseded epoch dirs are GC'd, later
+    epochs keep flowing into epoch dirs, and a second compaction folds
+    them in (idempotent over reruns)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    g = str(tmp_path / "grp")
+    sink = Sink.atomic_parquet_group(
+        g, {"a": None, "b": lambda d: d.select((F.col("id") * 10).alias("x"))}
+    )
+
+    def write(ep, lo, hi):
+        token = _CURRENT_EPOCH.set(ep)
+        try:
+            sink(spark.range(lo, hi))
+        finally:
+            _CURRENT_EPOCH.reset(token)
+
+    write(0, 0, 10)
+    write(1, 10, 30)
+    before_a = sorted(r["id"] for r in Sink.read_atomic_group(spark, g, "a").collect())
+    k = Sink.compact_atomic_group(spark, g, gc=True)
+    assert k == 1
+    assert not os.path.exists(f"{g}/a/data/epoch=0")  # GC'd
+    assert os.path.exists(f"{g}/_commits/0")          # visibility history kept
+    after = Sink.read_atomic_group(spark, g, "a")
+    assert sorted(r["id"] for r in after.collect()) == before_a
+    assert sorted(
+        r["epoch"] for r in after.select("epoch").distinct().collect()
+    ) == [0, 1]
+    # leaf b went through its transform and compacts too
+    assert sorted(r["x"] for r in Sink.read_atomic_group(spark, g, "b").collect()) == [
+        i * 10 for i in range(30)
+    ]
+    # post-compaction epochs land in epoch dirs and union with compact
+    write(2, 30, 35)
+    mixed = Sink.read_atomic_group(spark, g, "a")
+    assert mixed.count() == 35
+    # second compaction folds them and drops the old compact point
+    k2 = Sink.compact_atomic_group(spark, g, gc=True)
+    assert k2 == 2
+    assert not os.path.exists(f"{g}/a/compact/upto=1")
+    assert Sink.read_atomic_group(spark, g, "a").count() == 35
+
+
+def test_atomic_group_crash_between_compact_and_marker_is_safe(spark, tmp_path):
+    """A compact directory WITHOUT the _compacted marker (crash between
+    the per-leaf publish and the group switch point) is ignored by
+    readers — they keep using the epoch dirs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    g = str(tmp_path / "grp")
+    sink = Sink.atomic_parquet_group(g, {"a": None})
+    token = _CURRENT_EPOCH.set(0)
+    try:
+        sink(spark.range(0, 20))
+    finally:
+        _CURRENT_EPOCH.reset(token)
+    # simulate the torn compaction: data written, marker never renamed
+    df = Sink.read_atomic_group(spark, g, "a")
+    df.withColumn("epoch", F.col("epoch").cast("int")).limit(3).write.mode(
+        "overwrite"
+    ).parquet(f"{g}/a/compact/upto=0")
+    assert Sink.read_atomic_group(spark, g, "a").count() == 20  # not 3
+    # the rerun overwrites the dead dir and publishes for real
+    Sink.compact_atomic_group(spark, g, gc=True)
+    assert Sink.read_atomic_group(spark, g, "a").count() == 20

@@ -3601,4 +3601,14 @@ UNION ALL
 SELECT 'final', 'raw',
   CAST((SELECT count(*) FROM s) AS BIGINT),
   CAST((SELECT sum(event_id) FROM s) AS BIGINT)
+UNION ALL
+-- compaction is a layout change only: the after_compact snapshot must
+-- equal the final one row-for-row
+SELECT 'after_compact', 'agg',
+  CAST((SELECT count(*) FROM (SELECT DISTINCT slice, event_type FROM s)) AS BIGINT),
+  CAST((SELECT count(*) FROM s) AS BIGINT)
+UNION ALL
+SELECT 'after_compact', 'raw',
+  CAST((SELECT count(*) FROM s) AS BIGINT),
+  CAST((SELECT sum(event_id) FROM s) AS BIGINT)
 """

@@ -7050,9 +7050,14 @@ def atomic_multisink_roundtrip(spark, sf_dir):
     atomicity documented-not-promised' gap with a promised — and
     driver-gated — visibility contract.
 
+    A third snapshot runs after compact_atomic_group(gc=True): the
+    epoch dirs are consolidated into one compacted layout and REMOVED,
+    and the reader must still return byte-identical rows — layout
+    change, not data change, under the same hash gate.
+
     Scale shape: leaf writes are distributed parquet writes; only the
-    one-file marker rename touches the driver per epoch.  The 8-row
-    output is driver-side by construction (two snapshots x two
+    one-file marker rename touches the driver per epoch.  The 6-row
+    output is driver-side by construction (three snapshots x two
     leaves)."""
     import shutil
     import tempfile
@@ -7118,6 +7123,11 @@ def atomic_multisink_roundtrip(spark, sf_dir):
         write_epoch(1)  # replay
         write_epoch(2)
         snapshot("final")
+        # consolidate the three epoch dirs into one compacted layout
+        # (small-files remedy) and GC the originals — reads must be
+        # byte-identical, which the gate checks via the third snapshot
+        Sink.compact_atomic_group(spark, tmp, gc=True)
+        snapshot("after_compact")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(

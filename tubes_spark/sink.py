@@ -22,6 +22,7 @@ visibility bound, SURVEY.md §7.4 item 5).
 from __future__ import annotations
 
 import contextvars
+import os
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -214,10 +215,7 @@ class Sink:
         return Sink(run)
 
     @staticmethod
-    def read_atomic_group(spark, group_dir: str, name: str) -> DataFrame:
-        """Read one leaf of an :meth:`atomic_parquet_group`, seeing only
-        epochs whose GROUP marker committed — uncommitted data
-        directories on disk are invisible by construction."""
+    def _committed_epochs(group_dir: str) -> "tuple[list[int], int | None]":
         from pathlib import Path
 
         cdir = Path(group_dir) / "_commits"
@@ -226,11 +224,98 @@ class Sink:
             if cdir.exists()
             else []
         )
+        kdir = Path(group_dir) / "_compacted"
+        ks = (
+            [int(p.name) for p in kdir.iterdir() if not p.name.startswith(".")]
+            if kdir.exists()
+            else []
+        )
+        return epochs, (max(ks) if ks else None)
+
+    @staticmethod
+    def read_atomic_group(spark, group_dir: str, name: str) -> DataFrame:
+        """Read one leaf of an :meth:`atomic_parquet_group`, seeing only
+        epochs whose GROUP marker committed — uncommitted data
+        directories on disk are invisible by construction.  Epochs at
+        or below the latest compaction point come from the consolidated
+        directory; newer epochs from their own dirs (same rows either
+        way — :meth:`compact_atomic_group` is a layout change only)."""
+        from pyspark.sql import functions as F
+
+        epochs, k = Sink._committed_epochs(group_dir)
         if not epochs:
             raise ValueError(f"no committed epochs under {group_dir}")
-        return spark.read.option("basePath", f"{group_dir}/{name}/data").parquet(
-            *[f"{group_dir}/{name}/data/epoch={e}" for e in epochs]
-        )
+        parts = []
+        if k is not None:
+            parts.append(spark.read.parquet(f"{group_dir}/{name}/compact/upto={k}"))
+        live = [e for e in epochs if k is None or e > k]
+        if live:
+            parts.append(
+                spark.read.option("basePath", f"{group_dir}/{name}/data")
+                .parquet(*[f"{group_dir}/{name}/data/epoch={e}" for e in live])
+                .withColumn("epoch", F.col("epoch").cast("int"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @staticmethod
+    def compact_atomic_group(spark, group_dir: str, gc: bool = False) -> int:
+        """Consolidate every COMMITTED epoch of every leaf into one
+        compacted directory per leaf and publish the compaction point
+        atomically — the small-files answer for a streaming sink that
+        has accumulated thousands of per-epoch directories (the thing
+        that kills namenode/list performance at 100 TB).  Readers are
+        never wrong mid-compaction: the consolidated data is written
+        first, the ``_compacted/<K>`` marker renames last, and until it
+        lands readers keep using the epoch dirs; a crash in between
+        just leaves a dead compact dir the next run overwrites.  With
+        ``gc=True`` the superseded epoch DATA dirs are removed after
+        publish (their commit markers stay — they define visibility
+        history and cost one empty file each).  Returns the compaction
+        point K (the highest epoch consolidated)."""
+        import shutil as _shutil
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        epochs, prev_k = Sink._committed_epochs(group_dir)
+        if not epochs:
+            raise ValueError(f"no committed epochs under {group_dir}")
+        k = max(epochs)
+        leaves = [
+            p.name
+            for p in Path(group_dir).iterdir()
+            if p.is_dir() and not p.name.startswith("_")
+        ]
+        for name in sorted(leaves):
+            df = Sink.read_atomic_group(spark, group_dir, name)
+            tmp = f"{group_dir}/{name}/compact/.tmp.upto={k}"
+            df.withColumn("epoch", F.col("epoch").cast("int")).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            final = Path(f"{group_dir}/{name}/compact/upto={k}")
+            if final.exists():
+                _shutil.rmtree(final)
+            os.replace(tmp, final)  # atomic per-leaf publish
+        marker_dir = Path(group_dir) / "_compacted"
+        marker_dir.mkdir(parents=True, exist_ok=True)
+        mtmp = marker_dir / f".tmp.{k}"
+        mtmp.write_text("")
+        os.replace(mtmp, marker_dir / str(k))  # the group-wide switch point
+        if gc:
+            for name in leaves:
+                for e in epochs:
+                    _shutil.rmtree(
+                        f"{group_dir}/{name}/data/epoch={e}", ignore_errors=True
+                    )
+                if prev_k is not None and prev_k != k:
+                    _shutil.rmtree(
+                        f"{group_dir}/{name}/compact/upto={prev_k}",
+                        ignore_errors=True,
+                    )
+        return k
 
     @staticmethod
     def memory(out: list) -> "Sink":
