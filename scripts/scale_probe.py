@@ -335,6 +335,75 @@ def main() -> None:
         shutil.rmtree(x100_dir, ignore_errors=True)
         return
 
+    if "--drain-x100" in sys.argv:
+        # streaming drain at 100x event volume (10M events): the last
+        # extrapolated throughput claim becomes a measurement.  Same
+        # harness shape as the x10 entry; bigger AvailableNow batches
+        # amortize per-trigger commit overhead further, state stays one
+        # (window, type) agg row per hour-bucket regardless of volume.
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        xe_dir = os.environ.get("SCALE_PROBE_X100E_DIR", "/tmp/tubes_scale_x100e")
+        t0 = time.time()
+        build_synth(spark, xe_dir, replicas=100, only={"events"})
+        print(f"# x100 events build: {time.time()-t0:.1f}s", file=sys.stderr)
+        from tubes_spark.streaming.run import file_replay_source
+        import tempfile
+
+        def drain_rate(sf_dir, tag, files_per_trigger):
+            tmp = tempfile.mkdtemp(prefix=f"tubes_drainx100_{tag}_")
+            try:
+                events = load_table(spark, "events", sf_dir)
+                n = events.count()
+                events.repartition(32).write.parquet(f"{tmp}/in")
+                prev = spark.conf.get("spark.sql.shuffle.partitions")
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+                try:
+                    def one(ck):
+                        stream = file_replay_source(
+                            spark, f"{tmp}/in", events.schema,
+                            max_files_per_trigger=files_per_trigger)
+                        agg = (stream.withWatermark("ts", "40 days")
+                               .groupBy(F.window("ts", "1 hour").alias("win"),
+                                        "event_type")
+                               .agg(F.count(F.lit(1)).alias("n"),
+                                    F.sum("value").alias("s")))
+                        t0 = time.perf_counter()
+                        q = (agg.writeStream.format("noop")
+                             .outputMode("update")
+                             .option("checkpointLocation", f"{tmp}/{ck}")
+                             .trigger(availableNow=True).start())
+                        q.awaitTermination(2400)
+                        return time.perf_counter() - t0
+
+                    one("warm")
+                    wall = min(one("a"), one("b"))
+                    return {"events": n, "drain_sec": round(wall, 3),
+                            "events_per_sec": round(n / wall)}
+                finally:
+                    spark.conf.set("spark.sql.shuffle.partitions", prev)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        base_rate = drain_rate(SF_BASE, "b", 8)
+        big_rate = drain_rate(xe_dir, "x100", 8)
+        payload["streaming_drain_x100"] = {
+            "sf0_1": base_rate,
+            "x100": big_rate,
+            "throughput_ratio": round(
+                big_rate["events_per_sec"] / base_rate["events_per_sec"], 2),
+            "note": ("100x event volume (10M events) through the same "
+                     "windowed-agg drain, 4 triggers of 32 files; keyed "
+                     "state is one row per (hour-window, type) — volume-"
+                     "independent"),
+            "run": run_id,
+        }
+        print(json.dumps({"streaming_drain_x100": payload["streaming_drain_x100"]}))
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        shutil.rmtree(xe_dir, ignore_errors=True)
+        return
+
     if "--x100-heavy" in sys.argv:
         # VERDICT-r7 #1: the heavy north-star families (banded MinHash
         # dedup under 100x near-dup pressure, the Jaccard prefix join's
