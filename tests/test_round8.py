@@ -951,3 +951,32 @@ def test_atomic_group_crash_between_compact_and_marker_is_safe(spark, tmp_path):
     # the rerun overwrites the dead dir and publishes for real
     Sink.compact_atomic_group(spark, g, gc=True)
     assert Sink.read_atomic_group(spark, g, "a").count() == 20
+
+
+def test_atomic_group_as_of_epoch_snapshot_reads(spark, tmp_path):
+    """Time travel: as_of_epoch shows exactly the rows visible when
+    that epoch was newest — before AND after compaction folds the
+    epoch dirs away (the epoch column survives the layout change)."""
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    g = str(tmp_path / "grp")
+    sink = Sink.atomic_parquet_group(g, {"a": None})
+
+    def write(ep, lo, hi):
+        token = _CURRENT_EPOCH.set(ep)
+        try:
+            sink(spark.range(lo, hi))
+        finally:
+            _CURRENT_EPOCH.reset(token)
+
+    write(0, 0, 5)
+    write(1, 5, 15)
+    write(2, 15, 20)
+    assert Sink.read_atomic_group(spark, g, "a", as_of_epoch=0).count() == 5
+    assert Sink.read_atomic_group(spark, g, "a", as_of_epoch=1).count() == 15
+    assert Sink.read_atomic_group(spark, g, "a").count() == 20
+    Sink.compact_atomic_group(spark, g, gc=True)
+    assert sorted(
+        r["id"]
+        for r in Sink.read_atomic_group(spark, g, "a", as_of_epoch=1).collect()
+    ) == list(range(15))

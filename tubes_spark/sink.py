@@ -233,16 +233,26 @@ class Sink:
         return epochs, (max(ks) if ks else None)
 
     @staticmethod
-    def read_atomic_group(spark, group_dir: str, name: str) -> DataFrame:
+    def read_atomic_group(
+        spark, group_dir: str, name: str, as_of_epoch: "int | None" = None
+    ) -> DataFrame:
         """Read one leaf of an :meth:`atomic_parquet_group`, seeing only
         epochs whose GROUP marker committed — uncommitted data
         directories on disk are invisible by construction.  Epochs at
         or below the latest compaction point come from the consolidated
         directory; newer epochs from their own dirs (same rows either
-        way — :meth:`compact_atomic_group` is a layout change only)."""
+        way — :meth:`compact_atomic_group` is a layout change only).
+
+        ``as_of_epoch`` gives snapshot reads over the commit history
+        (time travel): only epochs ``<= as_of_epoch`` are visible —
+        exactly what a reader saw when that epoch was the newest
+        commit, because commits are append-only and epoch dirs are
+        immutable once their group marker lands."""
         from pyspark.sql import functions as F
 
         epochs, k = Sink._committed_epochs(group_dir)
+        if as_of_epoch is not None:
+            epochs = [e for e in epochs if e <= as_of_epoch]
         if not epochs:
             raise ValueError(f"no committed epochs under {group_dir}")
         parts = []
@@ -258,6 +268,8 @@ class Sink:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if as_of_epoch is not None:
+            out = out.filter(F.col("epoch") <= F.lit(int(as_of_epoch)))
         return out
 
     @staticmethod
