@@ -190,6 +190,9 @@ HEADLINE = [
     "domain_mixture_weights",         # sqrt-rebalanced domain mixing
     "ccnet_rarity_buckets",           # integer-exact CCNet tertiles
     "atomic_multisink_roundtrip",     # cross-sink atomic visibility
+    "dedup_span_coverage",            # ExactSubstr duplicated-span analysis
+    "dedup_span_rewrite",             # ExactSubstr scrub + rebuilt-text hash
+    "quality_hashed_linear_score",    # hashed linear (fastText-shaped) gate
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

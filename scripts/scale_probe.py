@@ -83,6 +83,9 @@ LINEAR_QUERIES = [
     "dedup_cc_best_quality_survivors",  # CC + partial-agg argmax survivor
     "ccnet_rarity_buckets",          # vocab rank broadcast + per-lang ntile
     "domain_mixture_weights",        # one domain agg + broadcast total
+    "dedup_span_coverage",           # gram groupBy + hinted join + per-doc windows
+    "dedup_span_rewrite",            # + covered-position explode + anti-join rebuild
+    "quality_hashed_linear_score",   # pure-codegen hashed linear model
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not

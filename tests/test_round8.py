@@ -980,3 +980,112 @@ def test_atomic_group_as_of_epoch_snapshot_reads(spark, tmp_path):
         r["id"]
         for r in Sink.read_atomic_group(spark, g, "a", as_of_epoch=1).collect()
     ) == list(range(15))
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr span dedup (round-8 late additions): brute-force ground truth
+# --------------------------------------------------------------------------
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _brute_islands(texts, k, exclude_owner):
+    """Set-of-intervals ground truth computed in plain Python."""
+    grams = {}
+    for d, t in enumerate(texts):
+        w = t.split()
+        for s in range(len(w) - k + 1):
+            grams.setdefault(" ".join(w[s:s + k]), []).append((d, s))
+    out = {}
+    for g, occ in grams.items():
+        docs = {d for d, _ in occ}
+        if len(docs) < 2:
+            continue
+        owner = min(docs)
+        for d, s in occ:
+            if exclude_owner and d == owner:
+                continue
+            out.setdefault(d, set()).update(range(s, s + k))
+    # merge covered position sets into islands
+    res = {}
+    for d, pos in out.items():
+        isl, run = [], []
+        for p in sorted(pos):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    isl.append((run[0], run[-1]))
+                run = [p]
+        if run:
+            isl.append((run[0], run[-1]))
+        res[d] = isl
+    return res
+
+
+def test_duplicated_span_islands_bruteforce(spark):
+    from tubes_spark.operators.dedup import duplicated_span_islands
+
+    texts = [
+        "a b c d e f g h i j",          # shares a..e with doc1, f..j with doc2
+        "x a b c d e y z w v u",        # owner of nothing (doc0 is min)
+        "q r f g h i j s t",            # f..j dup, doc0 owns it
+        "k l m n o p q r s t u v",      # no 5-gram shared (q r s t not contiguous elsewhere)
+        "a b c d e f g h i j",          # exact copy of doc0 -> full coverage
+    ]
+    for excl in (False, True):
+        got = {
+            (r["doc_id"], r["ia"], r["ib"])
+            for r in duplicated_span_islands(
+                _mk_docs(spark, texts), k=5, exclude_owner=excl
+            ).collect()
+        }
+        want = {
+            (d, a, b)
+            for d, isl in _brute_islands(texts, 5, excl).items()
+            for a, b in isl
+        }
+        assert got == want, (excl, got ^ want)
+
+
+def test_span_rewrite_keeps_owner_copy_and_scrubs_rest(spark, tmp_path):
+    """The canonical (min doc_id) copy of a duplicated gram survives the
+    rewrite; every other copy is deleted; non-duplicated tokens stay."""
+    import os
+    texts = ["a b c d e f", "z a b c d e y", "m n o p q r s"]
+    p = str(tmp_path)
+    _mk_docs(spark, texts).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(os.path.join(p, "documents.parquet"))
+    from tubes_spark import queries as Q
+
+    rows = {r["doc_id"]: r for r in Q.dedup_span_rewrite(spark, p).collect()}
+    # doc0 owns both grams (a..e, b..f): nothing removed
+    assert rows[0]["n_removed"] == 0
+    # doc1 loses its a..e copy (5 tokens) but keeps z and y
+    assert rows[1]["n_removed"] == 5
+    # doc2 untouched
+    assert rows[2]["n_removed"] == 0
+    import hashlib
+
+    assert rows[1]["clean_md5"] == hashlib.md5(b"z y").hexdigest()
+    assert rows[2]["clean_md5"] == hashlib.md5(b"m n o p q r s").hexdigest()
+
+
+def test_hashed_linear_label_is_exact_sign_of_integer_sum(spark):
+    """keep_label must be derived from the integer milli-weight sum, not
+    the transcendental score, so it is bit-exact on any engine."""
+    from tubes_spark import queries as Q
+
+    from tests.conftest import SF_SMALL
+
+    rows = Q.quality_hashed_linear_score(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["keep_label"] == (1 if r["sum_milli"] >= 0 else 0)
+        assert 0.0 < r["score"] < 1.0

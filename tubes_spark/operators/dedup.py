@@ -586,3 +586,99 @@ def dedup_minhash_arith(
         .distinct()
     )
     return df.join(dropped, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better") — token-k-gram granularity.  The paper's
+# suffix-array pass finds repeated character substrings; at cluster scale
+# the standard approximation is fixed-k token-gram matching (the same
+# primitive the decontamination pass uses), which is fully expressible as
+# DataFrame ops: explode k-grams WITH their start positions, find grams
+# repeated across documents, merge the hit spans per document.
+# --------------------------------------------------------------------------
+
+def kgram_positions(docs: DataFrame, k: int, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, s, g): every token ``k``-gram with its 0-based start position.
+
+    Built scale-safe the same way queries._bigram_frame builds bigrams:
+    the gram array comes from ``zip_with`` folds over O(n) slices of the
+    token array, so the tokenizing split is evaluated a constant number
+    of times per row — never the O(words^2) per-element `element_at`
+    trap text.py documents.  ``posexplode`` then carries the start
+    position for free (array order == token order)."""
+    from tubes_spark.operators.text import tokenize
+
+    t = docs.select(id_col, tokenize(F.col(text_col)).alias("__toks"))
+    n = F.size(F.col("__toks"))
+    m = F.greatest(n - (k - 1), F.lit(0))
+    g = F.slice(F.col("__toks"), 1, m)
+    for j in range(1, k):
+        g = F.zip_with(
+            g,
+            F.slice(F.col("__toks"), j + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return t.select(id_col, F.posexplode(g).alias("s", "g")).withColumn(
+        "s", F.col("s").cast("long")
+    )
+
+
+def merge_islands(spans: DataFrame, id_col: str = "doc_id",
+                  start: str = "a", end: str = "b") -> DataFrame:
+    """Merge overlapping/adjacent [start, end] spans per document into
+    maximal islands: (id, ia, ib).  Classic gaps-and-islands — a new
+    island opens where the start clears the running max of every
+    previous end.  One window per document; spans per doc are bounded
+    by doc length, so the window never sees more than one doc's rows."""
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col(start).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col(start).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = spans.withColumn(
+        "__new__",
+        (F.col(start) > F.coalesce(F.max(F.col(end)).over(w_prev), F.lit(-1))).cast("int"),
+    )
+    numbered = marked.withColumn("__isl__", F.sum("__new__").over(w_run))
+    return (
+        numbered.groupBy(id_col, "__isl__")
+        .agg(F.min(start).alias("ia"), F.max(end).alias("ib"))
+        .select(id_col, "ia", "ib")
+    )
+
+
+def duplicated_span_islands(docs: DataFrame, k: int = 5, text_col: str = "text",
+                            id_col: str = "doc_id", cross_doc_only: bool = True,
+                            exclude_owner: bool = False) -> DataFrame:
+    """Merged islands of tokens covered by k-grams that occur in >= 2
+    distinct documents: (id, ia, ib).  With ``exclude_owner`` each
+    duplicated gram's canonical occurrence (the MIN doc id holding it)
+    is spared — the keep-first-copy policy of the ExactSubstr scrub.
+
+    Scale shape: one corpus-wide groupBy on the gram string to find the
+    duplicated set, one shuffle join back to the positions (hinted
+    shuffle_hash — the duplicated-gram table scales WITH the corpus, so
+    a stale-estimate auto-broadcast would OOM at 100x exactly like the
+    jaccard candidate table did), then per-doc windows.  At 100 TB,
+    group on xxhash64(g) instead of g to narrow the exchange and accept
+    the ~2^-64 collision rate; here the gram string keeps the whole
+    pipeline DuckDB-reproducible."""
+    kg = kgram_positions(docs, k, text_col, id_col)
+    agg = [F.count_distinct(F.col(id_col)).alias("__nd__")]
+    if exclude_owner:
+        agg.append(F.min(F.col(id_col)).alias("__owner__"))
+    dup = kg.groupBy("g").agg(*agg).filter(F.col("__nd__") >= 2)
+    hits = kg.join(dup.hint("shuffle_hash"), "g")
+    if exclude_owner:
+        hits = hits.filter(F.col(id_col) != F.col("__owner__"))
+    spans = hits.select(
+        id_col, F.col("s").alias("a"), (F.col("s") + (k - 1)).alias("b")
+    )
+    return merge_islands(spans, id_col)

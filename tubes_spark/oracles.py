@@ -3612,3 +3612,120 @@ SELECT 'after_compact', 'raw',
   CAST((SELECT count(*) FROM s) AS BIGINT),
   CAST((SELECT sum(event_id) FROM s) AS BIGINT)
 """
+
+ORACLES["dedup_span_coverage"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  WHERE trim(text) <> ''
+), kg AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s, array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+), dup AS (
+  SELECT g FROM kg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), spans AS (
+  SELECT doc_id, s AS a, s + 4 AS b FROM kg JOIN dup USING (g)
+), marked AS (
+  SELECT doc_id, a, b,
+    CASE WHEN a > COALESCE(MAX(b) OVER (PARTITION BY doc_id ORDER BY a
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+), numbered AS (
+  SELECT *, SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY a
+    ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+), grp AS (
+  SELECT doc_id, isl, MIN(a) AS ia, MAX(b) AS ib FROM numbered GROUP BY doc_id, isl
+), cov AS (
+  SELECT doc_id, CAST(SUM(ib - ia + 1) AS BIGINT) AS covered,
+         COUNT(*) AS n_islands, CAST(MAX(ib - ia + 1) AS BIGINT) AS longest
+  FROM grp GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT base.doc_id, n_tokens,
+  COALESCE(covered, 0) AS dup_covered,
+  CASE WHEN n_tokens > 0 THEN COALESCE(covered, 0) / n_tokens ELSE 0.0 END AS coverage_frac,
+  COALESCE(n_islands, 0) AS n_islands,
+  COALESCE(longest, 0) AS longest_run
+FROM base LEFT JOIN cov USING (doc_id)
+"""
+
+ORACLES["dedup_span_rewrite"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS tk
+  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+), kg AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s, array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+), dup AS (
+  SELECT g, MIN(doc_id) AS owner FROM kg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), spans AS (
+  SELECT kg.doc_id, kg.s AS a, kg.s + 4 AS b
+  FROM kg JOIN dup USING (g) WHERE kg.doc_id <> dup.owner
+), marked AS (
+  SELECT doc_id, a, b,
+    CASE WHEN a > COALESCE(MAX(b) OVER (PARTITION BY doc_id ORDER BY a
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_isl
+  FROM spans
+), numbered AS (
+  SELECT *, SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY a
+    ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+), grp AS (
+  SELECT doc_id, isl, MIN(a) AS ia, MAX(b) AS ib FROM numbered GROUP BY doc_id, isl
+), covpos AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS p
+  FROM grp, unnest(range(ia, ib + 1)) AS u(p)
+), kept AS (
+  SELECT tok.doc_id, tok.p, tok.tk
+  FROM tok LEFT JOIN covpos ON tok.doc_id = covpos.doc_id AND tok.p = covpos.p
+  WHERE covpos.p IS NULL
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(tk, ' ' ORDER BY p)) AS clean_md5
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0
+    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT base.doc_id, n_tokens,
+  n_tokens - COALESCE(n_kept, 0) AS n_removed,
+  COALESCE(clean_md5, md5('')) AS clean_md5
+FROM base LEFT JOIN rebuilt USING (doc_id)
+"""
+
+ORACLES["quality_hashed_linear_score"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, unnest(w) AS tk FROM toks
+), feat AS (
+  SELECT doc_id,
+    CAST(((instr('0123456789abcdef', substring(md5(tk), 1, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substring(md5(tk), 2, 1)) - 1)) % 64 AS BIGINT) AS b
+  FROM tok
+), wt AS (
+  SELECT doc_id,
+    ((instr('0123456789abcdef', substring(md5('w' || CAST(b AS VARCHAR)), 1, 1)) - 1) * 256
+   + (instr('0123456789abcdef', substring(md5('w' || CAST(b AS VARCHAR)), 2, 1)) - 1) * 16
+   + (instr('0123456789abcdef', substring(md5('w' || CAST(b AS VARCHAR)), 3, 1)) - 1)) % 2001
+   - 1000 AS wmilli
+  FROM feat
+), agg AS (
+  SELECT doc_id, CAST(SUM(wmilli) AS BIGINT) AS sum_milli, COUNT(*) AS n_tokens
+  FROM wt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_milli,
+  round(1.0 / (1.0 + exp(-4.0 * sum_milli / (1000.0 * n_tokens))), 6) AS score,
+  CAST(CASE WHEN sum_milli >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_label
+FROM agg
+"""

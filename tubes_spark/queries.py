@@ -7133,3 +7133,135 @@ def atomic_multisink_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "stage string, leaf string, n_rows long, key_sum long"
     )
+
+
+def dedup_span_coverage(spark, sf_dir):
+    """ExactSubstr span-dedup ANALYSIS pass (Lee et al. 2022 at token-
+    k-gram granularity; reference parity: the scan/filter/fold pipeline
+    shape of Tubes/Source.hs:167-174 lifted to positional text data):
+    for every document, how many of its tokens sit inside a token
+    5-gram that also occurs in ANOTHER document — the duplicated-span
+    coverage a scrub pass would remove.  Emits merged-island stats
+    (count, longest run) so heavily-templated docs are visible.
+
+    Scale shape: :func:`dedup.duplicated_span_islands` — one gram
+    groupBy + one hinted shuffle join + per-doc windows; everything
+    else is map-side.  Linear in corpus tokens at any scale; no
+    all-pairs, no broadcast of corpus-sized sets."""
+    K = 5
+    d = _t(spark, sf_dir, "documents")
+    isl = dedup.duplicated_span_islands(d, k=K)
+    cov = isl.groupBy("doc_id").agg(
+        F.sum(F.col("ib") - F.col("ia") + 1).alias("dup_covered"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max(F.col("ib") - F.col("ia") + 1).alias("longest_run"),
+    )
+    base = d.select(
+        "doc_id", F.size(text.tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    # cov/rebuilt are corpus-sized (one row per doc): never broadcast
+    # (the jaccard stale-estimate OOM lesson) - pin the shuffle plan.
+    return base.join(cov.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_covered"), F.lit(0)).alias("dup_covered"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("dup_covered"), F.lit(0)) / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coverage_frac"),
+        F.coalesce(F.col("n_islands"), F.lit(0)).alias("n_islands"),
+        F.coalesce(F.col("longest_run"), F.lit(0)).alias("longest_run"),
+    )
+
+
+def dedup_span_rewrite(spark, sf_dir):
+    """ExactSubstr span-dedup REWRITE pass — the actual transform from
+    Lee et al. 2022: delete every token run covered by a duplicated
+    5-gram EXCEPT its canonical first occurrence (the minimum doc_id
+    holding the gram keeps its copy), then reassemble each document
+    from its surviving tokens.  Emits md5(clean text) so the full
+    rewritten corpus sits under the driver's value-hash gate without
+    shipping long strings through the compare.
+
+    Scale shape: island positions expand via ``sequence`` explode —
+    O(removed tokens), not O(doc^2); the scrub itself is a left_anti
+    join on (doc_id, position); reassembly is one per-doc
+    collect_list/array_sort whose rows are bounded by doc length.  The
+    only corpus-wide exchanges are the gram groupBy, the hinted
+    shuffle join, and the final per-doc shuffles — all linear."""
+    K = 5
+    d = _t(spark, sf_dir, "documents")
+    isl = dedup.duplicated_span_islands(d, k=K, exclude_owner=True)
+    covpos = isl.select(
+        "doc_id", F.explode(F.sequence(F.col("ia"), F.col("ib"))).alias("p")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode(text.tokenize(F.col("text"))).alias("p", "tk")
+    ).withColumn("p", F.col("p").cast("long"))
+    # covpos scales with removed tokens (corpus-scaling at 100x
+    # near-dup pressure): pin the shuffle plan, never broadcast.
+    kept = tok.join(covpos.hint("shuffle_hash"), ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                    lambda x: x["tk"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    base = d.select(
+        "doc_id", F.size(text.tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+def quality_hashed_linear_score(spark, sf_dir):
+    """Hashed linear quality classifier — the fastText-shaped model
+    every production curation stack runs (a frozen linear model over
+    hashed bag-of-words features, e.g. the CCNet/RefinedWeb quality
+    gates): each token hashes into one of 64 feature buckets, each
+    bucket carries a frozen integer milli-weight derived from md5 (a
+    stand-in for trained weights that any engine reproduces exactly),
+    and the doc score is the logistic of the mean feature weight.
+
+    The keep/drop label compares the INTEGER weight sum to zero —
+    mathematically identical to score >= 0.5 but immune to cross-libm
+    ulp drift in exp(), so the label is exact on every engine.
+
+    Scale shape: token explode -> two md5 expressions -> one groupBy
+    per doc; the model is pure codegen (no weight table to join or
+    broadcast — the "table" IS an expression).  One corpus-wide
+    shuffle total.  Swapping in real trained weights turns the md5
+    expression into a 64-row broadcast join; nothing else changes."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(text.tokenize(F.col("text"))).alias("tk"))
+    b = (F.conv(F.substring(F.md5(F.col("tk")), 1, 2), 16, 10).cast("long") % 64)
+    wmilli = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), b.cast("string"))), 1, 3), 16, 10
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    agg = tok.select("doc_id", wmilli.alias("wmilli")).groupBy("doc_id").agg(
+        F.sum("wmilli").alias("sum_milli"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    mean = F.col("sum_milli") / (F.lit(1000.0) * F.col("n_tokens"))
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "sum_milli",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * mean)), 6).alias("score"),
+        (F.col("sum_milli") >= 0).cast("long").alias("keep_label"),
+    )
