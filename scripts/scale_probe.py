@@ -99,6 +99,31 @@ SUPERLINEAR_QUERIES = [
     "jaccard_exact_prefix_join",
 ]
 
+# heavy north-star families probed at 100x (--x100-heavy / --x100-only):
+# what each one's 100x cost measures
+HEAVY_NOTES = {
+    "dedup_minhash_survivors":
+        "banded LSH: in-family candidates grow ~replicas^2 on "
+        "this synth (every doc gains 99 near-dups)",
+    "dedup_minhash_arith_cc_survivors":
+        "bands -> star edges -> CC closure under the same "
+        "candidate growth",
+    "jaccard_exact_prefix_join":
+        "prefix-filtered verification: candidate pairs are the "
+        "cost driver",
+    "knn_ivf_distributed":
+        "8 k-means iterations + cell-bucketed search at 100x "
+        "corpus (cell-size skew is the risk)",
+    "bucketed_dedup_enrich_join":
+        "re-run after corpus-sized buckets + one-file-per-"
+        "bucket write (r7: fixed-8 buckets, 35.9x)",
+    "dedup_span_rewrite":
+        "ExactSubstr scrub at maximal duplication pressure: "
+        "every gram is duplicated on this synth, so hit/"
+        "covered-position volume == corpus token volume — the "
+        "worst case a near-dup-saturated crawl presents",
+}
+
 
 def build_synth(spark, out_dir: str, replicas: int = REPLICAS,
                 only: "set[str] | None" = None) -> None:
@@ -407,6 +432,39 @@ def main() -> None:
         shutil.rmtree(xe_dir, ignore_errors=True)
         return
 
+    if "--x100-only" in sys.argv:
+        # incremental 100x probe of named corpus-side families (new
+        # heavy entries land without rebuilding the full heavy suite).
+        names = sys.argv[sys.argv.index("--x100-only") + 1].split(",")
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        x100 = payload.setdefault("x100", {"replicas": 100, "base": SF_BASE,
+                                           "results": {}})
+        hx_dir = os.environ.get("SCALE_PROBE_X100H_DIR", "/tmp/tubes_scale_x100h")
+        t0 = time.time()
+        build_synth(spark, hx_dir, replicas=100,
+                    only={"documents", "embeddings"})
+        print(f"# x100 synth build: {time.time()-t0:.1f}s", file=sys.stderr)
+        for name in names:
+            fn = getattr(Q, name)
+            small = best_of(fn, spark, SF_BASE)
+            t0 = time.perf_counter()
+            fn(spark, hx_dir).count()   # one run: the 100x cost IS the signal
+            big = round(time.perf_counter() - t0, 3)
+            x100["results"][name] = {
+                "sf0_1_sec": small,
+                "x100_sec": big,
+                "time_ratio": round(big / small, 2) if small > 0 else None,
+                "note": HEAVY_NOTES.get(name, ""),
+                "run": run_id,
+            }
+            print(json.dumps({"query": name, "replicas": 100,
+                              **x100["results"][name]}))
+            probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        shutil.rmtree(hx_dir, ignore_errors=True)
+        return
+
     if "--x100-heavy" in sys.argv:
         # VERDICT-r7 #1: the heavy north-star families (banded MinHash
         # dedup under 100x near-dup pressure, the Jaccard prefix join's
@@ -426,24 +484,7 @@ def main() -> None:
         print(f"# x100-heavy synth build: {time.time()-t0:.1f}s", file=sys.stderr)
         for t in ("documents", "embeddings"):
             load_table(spark, t, hx_dir).count()
-        HEAVY = {
-            "dedup_minhash_survivors":
-                "banded LSH: in-family candidates grow ~replicas^2 on "
-                "this synth (every doc gains 99 near-dups)",
-            "dedup_minhash_arith_cc_survivors":
-                "bands -> star edges -> CC closure under the same "
-                "candidate growth",
-            "jaccard_exact_prefix_join":
-                "prefix-filtered verification: candidate pairs are the "
-                "cost driver",
-            "knn_ivf_distributed":
-                "8 k-means iterations + cell-bucketed search at 100x "
-                "corpus (cell-size skew is the risk)",
-            "bucketed_dedup_enrich_join":
-                "re-run after corpus-sized buckets + one-file-per-"
-                "bucket write (r7: fixed-8 buckets, 35.9x)",
-        }
-        for name, note in HEAVY.items():
+        for name, note in HEAVY_NOTES.items():
             fn = getattr(Q, name)
             small = best_of(fn, spark, SF_BASE)
             t0 = time.perf_counter()

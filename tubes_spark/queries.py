@@ -7149,7 +7149,9 @@ def dedup_span_coverage(spark, sf_dir):
     else is map-side.  Linear in corpus tokens at any scale; no
     all-pairs, no broadcast of corpus-sized sets."""
     K = 5
-    d = _t(spark, sf_dir, "documents")
+    # _fan: the k-gram explode is the CPU-heavy projection; a
+    # single-file corpus scan would run it in ONE task.
+    d = _fan(_t(spark, sf_dir, "documents"))
     isl = dedup.duplicated_span_islands(d, k=K)
     cov = isl.groupBy("doc_id").agg(
         F.sum(F.col("ib") - F.col("ia") + 1).alias("dup_covered"),
@@ -7192,7 +7194,8 @@ def dedup_span_rewrite(spark, sf_dir):
     only corpus-wide exchanges are the gram groupBy, the hinted
     shuffle join, and the final per-doc shuffles — all linear."""
     K = 5
-    d = _t(spark, sf_dir, "documents")
+    # _fan: both the k-gram and the token posexplode are per-row heavy.
+    d = _fan(_t(spark, sf_dir, "documents"))
     isl = dedup.duplicated_span_islands(d, k=K, exclude_owner=True)
     covpos = isl.select(
         "doc_id", F.explode(F.sequence(F.col("ia"), F.col("ib"))).alias("p")
@@ -7244,7 +7247,9 @@ def quality_hashed_linear_score(spark, sf_dir):
     broadcast — the "table" IS an expression).  One corpus-wide
     shuffle total.  Swapping in real trained weights turns the md5
     expression into a 64-row broadcast join; nothing else changes."""
-    d = _t(spark, sf_dir, "documents")
+    # _fan: two md5 evaluations per token make the explode projection
+    # the whole query; parallelize the single-file scan first.
+    d = _fan(_t(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(text.tokenize(F.col("text"))).alias("tk"))
     b = (F.conv(F.substring(F.md5(F.col("tk")), 1, 2), 16, 10).cast("long") % 64)
     wmilli = (
