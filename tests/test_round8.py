@@ -1089,3 +1089,36 @@ def test_hashed_linear_label_is_exact_sign_of_integer_sum(spark):
     for r in rows:
         assert r["keep_label"] == (1 if r["sum_milli"] >= 0 else 0)
         assert 0.0 < r["score"] < 1.0
+
+
+def test_curation_funnel_attribution_all_stages(spark, tmp_path):
+    """Synthetic corpus exercising every funnel branch: an exact dup
+    (including whitespace/case normalization), a quality drop with a
+    known first-failed rule, and a clean keep."""
+    from tubes_spark import queries as Q
+
+    good = " ".join(
+        ["the", "quick", "brown", "fox", "jumps", "over", "and", "then",
+         "rests", "near"] * 6
+    )  # 60 tokens, mean len ~4, >=2 stopwords, alpha
+    docs = [
+        (0, good),
+        (1, "  " + good.upper() + "  "),      # exact dup of 0 after normalize
+        (2, "tiny doc"),                      # too_short fires first
+        (3, " ".join(["zzz"] * 60)),          # length ok -> low_stopword
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in Q.curation_funnel_attribution(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["stage"] == "kept" and rows[0]["fail_mask"] == 0
+    assert rows[1]["stage"] == "exact_dup" and rows[1]["dup_owner"] == 0
+    assert rows[1]["fail_mask"] == 0 and rows[1]["first_failed_rule"] == ""
+    assert rows[2]["stage"] == "quality"
+    assert rows[2]["first_failed_rule"] == "too_short" and rows[2]["fail_mask"] & 1
+    assert rows[3]["stage"] == "quality"
+    assert rows[3]["first_failed_rule"] == "low_stopword"
+    assert rows[3]["fail_mask"] == 16 and rows[3]["dup_owner"] == -1

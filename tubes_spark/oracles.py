@@ -3729,3 +3729,46 @@ SELECT doc_id, n_tokens, sum_milli,
   CAST(CASE WHEN sum_milli >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_label
 FROM agg
 """
+
+ORACLES["curation_funnel_attribution"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    MIN(doc_id) OVER (PARTITION BY {NORM_TEXT}) AS owner
+  FROM documents
+), r AS (
+  SELECT doc_id, owner, string_split_regex(trim(text), '\\s+') AS tk FROM t
+), f AS (
+  SELECT doc_id, owner,
+    len(tk) AS n,
+    list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk) AS mean_len,
+    len(list_intersect(tk, ['the','a','of','to','and','is','in'])) / 7.0 AS stop_frac,
+    len(list_filter(tk, x -> len(x) >= 3)) * 1.0 / len(tk) AS long_frac,
+    len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk) AS alpha_frac
+  FROM r
+), m AS (
+  SELECT doc_id, owner,
+    (CASE WHEN n < 50 THEN 1 ELSE 0 END
+   + CASE WHEN n > 100000 THEN 2 ELSE 0 END
+   + CASE WHEN mean_len < 3.0 THEN 4 ELSE 0 END
+   + CASE WHEN mean_len > 10.0 THEN 8 ELSE 0 END
+   + CASE WHEN stop_frac < 2.0/7.0 THEN 16 ELSE 0 END
+   + CASE WHEN long_frac < 0.6 THEN 32 ELSE 0 END
+   + CASE WHEN alpha_frac < 0.8 THEN 64 ELSE 0 END) AS fail_mask,
+    CASE WHEN n < 50 THEN 'too_short'
+         WHEN n > 100000 THEN 'too_long'
+         WHEN mean_len < 3.0 THEN 'mean_word_len_low'
+         WHEN mean_len > 10.0 THEN 'mean_word_len_high'
+         WHEN stop_frac < 2.0/7.0 THEN 'low_stopword'
+         WHEN long_frac < 0.6 THEN 'short_words'
+         WHEN alpha_frac < 0.8 THEN 'low_alpha'
+         ELSE '' END AS first_failed_rule
+  FROM f
+)
+SELECT doc_id,
+  CASE WHEN doc_id <> owner THEN 'exact_dup'
+       WHEN fail_mask > 0 THEN 'quality' ELSE 'kept' END AS stage,
+  CAST(CASE WHEN doc_id <> owner THEN owner ELSE -1 END AS BIGINT) AS dup_owner,
+  CAST(CASE WHEN doc_id <> owner THEN 0 ELSE fail_mask END AS BIGINT) AS fail_mask,
+  CASE WHEN doc_id <> owner THEN '' ELSE first_failed_rule END AS first_failed_rule
+FROM m
+"""

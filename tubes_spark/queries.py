@@ -7270,3 +7270,74 @@ def quality_hashed_linear_score(spark, sf_dir):
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * mean)), 6).alias("score"),
         (F.col("sum_milli") >= 0).cast("long").alias("keep_label"),
     )
+
+
+def curation_funnel_attribution(spark, sf_dir):
+    """Per-document DROP ATTRIBUTION through the curation funnel — the
+    audit every pipeline operator reaches for when a document goes
+    missing: for each doc, WHICH stage removed it (exact dedup or the
+    Gopher quality gate) and WHY (the canonical survivor it duplicated,
+    the first rule it failed in gate order, and the full failed-rule
+    bitmask).  The stages reuse the exact semantics their standalone
+    queries hash-verify (`dedup_exact_docs`,
+    `pipeline_curation_end_to_end`); this query inverts them from
+    "who survives" to "why did each row leave".
+
+    Scale shape: ONE narrow shuffle on the 64-bit normalized-content
+    hash (the dedup window) and map-side rule projections — attribution
+    costs nothing beyond the pipeline itself, so it can run on every
+    production batch rather than as a special forensic job."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("__h__")
+    t = (
+        d.select("doc_id", "text", F.xxhash64(text.normalize(F.col("text"))).alias("__h__"))
+        .withColumn("owner", F.min("doc_id").over(w))
+        .select("doc_id", "text", "owner")
+    )
+    toks = text.tokenize(F.col("text"))
+    n = F.size("toks").cast("long")
+    sum_len = F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_len = sum_len / n
+    stops = F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and", "is", "in")])
+    stop_frac = F.size(F.array_intersect("toks", stops)) / F.lit(7.0)
+    long_frac = F.size(F.filter("toks", lambda x: F.length(x) >= 3)) / n
+    alpha_frac = F.size(F.filter("toks", lambda x: x.rlike("[A-Za-z]"))) / n
+    # gate-order rule list: (bit, name, FAILS-when predicate) — first
+    # match wins for first_failed_rule, all matches land in fail_mask
+    rules = [
+        (1, "too_short", n < 50),
+        (2, "too_long", n > 100000),
+        (4, "mean_word_len_low", mean_len < 3.0),
+        (8, "mean_word_len_high", mean_len > 10.0),
+        (16, "low_stopword", stop_frac < (2.0 / 7.0)),
+        (32, "short_words", long_frac < 0.6),
+        (64, "low_alpha", alpha_frac < 0.8),
+    ]
+    mask = sum((F.when(p, F.lit(b)).otherwise(F.lit(0)) for b, _, p in rules),
+               F.lit(0)).cast("long")
+    first = F.lit("")
+    for b, name, p in reversed(rules):
+        first = F.when(p, F.lit(name)).otherwise(first)
+    proj = t.select("doc_id", "owner", toks.alias("toks")).select(
+        "doc_id", "owner", mask.alias("fail_mask"), first.alias("first_failed_rule")
+    )
+    return proj.select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("owner"), F.lit("exact_dup"))
+        .when(F.col("fail_mask") > 0, F.lit("quality"))
+        .otherwise(F.lit("kept"))
+        .alias("stage"),
+        F.when(F.col("doc_id") != F.col("owner"), F.col("owner"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("dup_owner"),
+        # the gate never runs for exact dups: zero their rule fields so
+        # the attribution is the stage that ACTUALLY dropped them
+        F.when(F.col("doc_id") != F.col("owner"), F.lit(0))
+        .otherwise(F.col("fail_mask"))
+        .cast("long")
+        .alias("fail_mask"),
+        F.when(F.col("doc_id") != F.col("owner"), F.lit(""))
+        .otherwise(F.col("first_failed_rule"))
+        .alias("first_failed_rule"),
+    )
