@@ -342,3 +342,38 @@ def test_split_assignment_no_shuffle_before_agg(spark):
     3-group aggregate."""
     p = plan_of(Q.split_train_val_test(spark, SF))
     assert n_nodes(p, "Exchange") <= 1, p
+
+
+def test_span_rewrite_plan_no_corpus_broadcast(spark):
+    """Every corpus-scaling join in the ExactSubstr rewrite is pinned
+    shuffle_hash: a stale-estimate BroadcastHashJoin over the gram/
+    position/covered-position tables is the exact 100x OOM the
+    jaccard prefix join hit before its pin."""
+    p = plan_of(Q.dedup_span_rewrite(spark, SF))
+    assert n_nodes(p, "BroadcastHashJoin") == 0
+    assert n_nodes(p, "ShuffledHashJoin") >= 3  # dup-gram, scrub anti, base
+    assert n_nodes(p, "CartesianProduct") == 0
+
+
+def test_funnel_attribution_plan_single_wide_exchange(spark):
+    """Attribution costs one narrow hash shuffle (the dedup window on
+    the 64-bit content hash) beyond the scan + fan — rules are
+    map-side projections, so no join or aggregate exchange appears."""
+    p = plan_of(Q.curation_funnel_attribution(spark, SF))
+    assert n_nodes(p, "Window") == 1
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert n_nodes(p, "ShuffledHashJoin") == 0
+    assert n_nodes(p, "BroadcastHashJoin") == 0
+    # the window's hash-partition exchange is the only one
+    assert n_nodes(p, "Exchange") == 1
+
+
+def test_hashed_linear_score_plan_pure_codegen(spark):
+    """The hashed linear model is an expression, not a table: no join
+    anywhere; one partial/final aggregate pair on doc_id (plus the
+    fan exchange) is the whole plan."""
+    p = plan_of(Q.quality_hashed_linear_score(spark, SF))
+    assert n_nodes(p, "BroadcastHashJoin") == 0
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert n_nodes(p, "ShuffledHashJoin") == 0
+    assert n_nodes(p, "HashAggregate") == 2  # partial + final
