@@ -194,6 +194,7 @@ HEADLINE = [
     "dedup_span_rewrite",             # ExactSubstr scrub + rebuilt-text hash
     "quality_hashed_linear_score",    # hashed linear (fastText-shaped) gate
     "curation_funnel_attribution",    # per-doc drop-stage/rule attribution
+    "chunk_content_defined",          # shift-invariant CDC chunk store
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

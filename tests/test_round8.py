@@ -1122,3 +1122,27 @@ def test_curation_funnel_attribution_all_stages(spark, tmp_path):
     assert rows[3]["stage"] == "quality"
     assert rows[3]["first_failed_rule"] == "low_stopword"
     assert rows[3]["fail_mask"] == 16 and rows[3]["dup_owner"] == -1
+
+
+def test_chunk_content_defined_shift_invariance(spark, tmp_path):
+    """The CDC property itself: prepending a prefix to a document must
+    leave every chunk after the first content-defined boundary
+    byte-identical — fixed-window chunking has no such containment."""
+    from tubes_spark import queries as Q
+
+    body = " ".join(f"w{(i * 37) % 101}tok" for i in range(80))
+    prefix = "intro words inserted at the very top here"
+    spark.createDataFrame(
+        [(0, body), (1, prefix + " " + body)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = Q.chunk_content_defined(spark, str(tmp_path)).collect()
+    a = sorted((r["start_pos"], r["chunk_md5"]) for r in rows if r["doc_id"] == 0)
+    b_hashes = {r["chunk_md5"] for r in rows if r["doc_id"] == 1}
+    # every chunk of the original except its opening (boundary-less)
+    # chunk reappears verbatim in the shifted document
+    tail = [h for _, h in a[1:]]
+    assert len(tail) >= 3, "need several boundaries for the property to bite"
+    assert set(tail) <= b_hashes
+    # and the shared chunks are counted as shared
+    shared = {r["chunk_md5"]: r["n_docs_sharing"] for r in rows if r["doc_id"] == 0}
+    assert all(shared[h] == 2 for h in tail)

@@ -3772,3 +3772,36 @@ SELECT doc_id,
   CASE WHEN doc_id <> owner THEN '' ELSE first_failed_rule END AS first_failed_rule
 FROM m
 """
+
+ORACLES["chunk_content_defined"] = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS tk
+  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+), marked AS (
+  SELECT doc_id, p, tk,
+    CASE WHEN p > 0 AND
+      CAST(('0x' || substring(md5(
+        lag(tk) OVER (PARTITION BY doc_id ORDER BY p) || ' ' || tk
+      ), 1, 4)) AS BIGINT) % 8 = 0
+    THEN 1 ELSE 0 END AS b
+  FROM tok
+), numbered AS (
+  SELECT doc_id, p, tk,
+    SUM(b) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+      AS chunk_idx
+  FROM marked
+), chunks AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+    MIN(p) AS start_pos, COUNT(*) AS n_tokens,
+    md5(string_agg(tk, ' ' ORDER BY p)) AS chunk_md5
+  FROM numbered GROUP BY doc_id, chunk_idx
+), share AS (
+  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS n_docs_sharing
+  FROM chunks GROUP BY chunk_md5
+)
+SELECT doc_id, chunk_idx, start_pos, n_tokens, chunk_md5, n_docs_sharing
+FROM chunks JOIN share USING (chunk_md5)
+"""

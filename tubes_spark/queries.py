@@ -7341,3 +7341,71 @@ def curation_funnel_attribution(spark, sf_dir):
         .otherwise(F.col("first_failed_rule"))
         .alias("first_failed_rule"),
     )
+
+
+def chunk_content_defined(spark, sf_dir):
+    """Content-defined chunking (the Rabin/FastCDC family at token
+    granularity) — the storage-dedup primitive `chunk_documents_ctx`'s
+    fixed windows deliberately are not: a chunk boundary opens wherever
+    the hash of the local 2-token gram lands in 1/8 of the hash space,
+    so boundaries are SHIFT-INVARIANT — insert a paragraph at the top
+    of a document and every downstream chunk still hashes the same,
+    which is what lets a corpus-wide chunk store dedup re-crawled
+    near-identical pages at far sub-document granularity.  Emits each
+    chunk's content hash plus how many distinct documents share it —
+    the dedup opportunity a CDC store would bank.
+
+    Production CDC adds min/max chunk bounds (boundary suppression),
+    which reintroduces sequential dependence; the unbounded form here
+    keeps every step parallel and the expected chunk length is the
+    divisor (8 tokens).
+
+    Scale shape: tokenize + posexplode are map-side; the boundary flag
+    is a codegen'd md5 of the gram; chunk ids are a per-doc prefix sum
+    (one doc_id shuffle); chunk assembly is a (doc, chunk) aggregate;
+    the sharing count is one groupBy on the chunk hash joined back with
+    shuffle_hash pinned (the chunk-hash table scales with the corpus —
+    never broadcast)."""
+    D = 8
+    d = _fan(_t(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.posexplode(text.tokenize(F.col("text"))).alias("p", "tk")
+    ).withColumn("p", F.col("p").cast("long"))
+    w_prev = Window.partitionBy("doc_id").orderBy("p")
+    gram = F.concat_ws(" ", F.lag("tk", 1).over(w_prev), F.col("tk"))
+    boundary = F.when(
+        (F.col("p") > 0)
+        & (F.conv(F.substring(F.md5(gram), 1, 4), 16, 10).cast("long") % D == 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = tok.withColumn("b", boundary).withColumn(
+        "chunk_idx", F.sum("b").over(w_run)
+    )
+    chunks = marked.groupBy("doc_id", "chunk_idx").agg(
+        F.min("p").alias("start_pos"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                    lambda x: x["tk"],
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+    share = chunks.groupBy("chunk_md5").agg(
+        F.count_distinct("doc_id").alias("n_docs_sharing")
+    )
+    return chunks.join(share.hint("shuffle_hash"), "chunk_md5").select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "start_pos",
+        "n_tokens",
+        "chunk_md5",
+        "n_docs_sharing",
+    )
