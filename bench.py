@@ -195,6 +195,7 @@ HEADLINE = [
     "quality_hashed_linear_score",    # hashed linear (fastText-shaped) gate
     "curation_funnel_attribution",    # per-doc drop-stage/rule attribution
     "chunk_content_defined",          # shift-invariant CDC chunk store
+    "pipeline_stage_memoized",        # fingerprint-keyed stage reuse
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

@@ -1146,3 +1146,59 @@ def test_chunk_content_defined_shift_invariance(spark, tmp_path):
     # and the shared chunks are counted as shared
     shared = {r["chunk_md5"]: r["n_docs_sharing"] for r in rows if r["doc_id"] == 0}
     assert all(shared[h] == 2 for h in tail)
+
+
+# --------------------------------------------------------------------------
+# Stage memoization (tubes_spark/memo.py)
+# --------------------------------------------------------------------------
+
+def test_memo_stage_reuses_without_recompute(spark, tmp_path):
+    from tubes_spark.memo import memo_stage
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(10).withColumn("v", F.col("id") * 2)
+
+    d = str(tmp_path / "stage")
+    out1, reused1 = memo_stage(spark, compute, d, "fp-a")
+    out2, reused2 = memo_stage(spark, compute, d, "fp-a")
+    assert (reused1, reused2) == (False, True)
+    assert len(calls) == 1  # the thunk never ran on the reuse path
+    assert sorted(r["v"] for r in out2.collect()) == [i * 2 for i in range(10)]
+
+
+def test_memo_stage_fingerprint_change_recomputes(spark, tmp_path):
+    from tubes_spark.memo import memo_stage
+
+    d = str(tmp_path / "stage")
+    memo_stage(spark, lambda: spark.range(3), d, "fp-a")
+    out, reused = memo_stage(spark, lambda: spark.range(5), d, "fp-b")
+    assert not reused and out.count() == 5
+    # and the new publication sticks
+    out2, reused2 = memo_stage(spark, lambda: spark.range(99), d, "fp-b")
+    assert reused2 and out2.count() == 5
+
+
+def test_memo_stage_crash_orphan_is_invisible(spark, tmp_path):
+    """A data directory without a published marker (crash before the
+    rename) must not satisfy a later call."""
+    from tubes_spark.memo import memo_stage
+
+    d = tmp_path / "stage"
+    spark.range(7).write.parquet(str(d / "data-deadbeef"))  # orphan: no marker
+    out, reused = memo_stage(spark, lambda: spark.range(4), str(d), "fp-a")
+    assert not reused and out.count() == 4
+
+
+def test_content_fingerprint_order_and_null_discipline(spark):
+    from tubes_spark.memo import content_fingerprint
+
+    a = spark.createDataFrame([(1, "x"), (2, None), (3, "z")], "id long, s string")
+    b = a.orderBy(F.desc("id")).repartition(7)
+    assert content_fingerprint(a) == content_fingerprint(b)  # order-free
+    c = spark.createDataFrame([(1, "x"), (2, "null"), (3, "z")], "id long, s string")
+    assert content_fingerprint(a) != content_fingerprint(c)  # NULL != 'null'
+    d = spark.createDataFrame([(1, "x"), (2, None), (3, "zz")], "id long, s string")
+    assert content_fingerprint(a) != content_fingerprint(d)  # value moves it

@@ -3805,3 +3805,17 @@ WITH toks AS (
 SELECT doc_id, chunk_idx, start_pos, n_tokens, chunk_md5, n_docs_sharing
 FROM chunks JOIN share USING (chunk_md5)
 """
+
+ORACLES["pipeline_stage_memoized"] = f"""
+WITH surv AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY {NORM_TEXT})
+), agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_total
+  FROM surv GROUP BY source
+)
+SELECT 'fresh' AS run, * FROM agg
+UNION ALL
+SELECT 'reused' AS run, * FROM agg
+"""

@@ -7409,3 +7409,44 @@ def chunk_content_defined(spark, sf_dir):
         "chunk_md5",
         "n_docs_sharing",
     )
+
+
+def pipeline_stage_memoized(spark, sf_dir):
+    """Stage memoization under the value-hash gate (`memo.memo_stage`):
+    the exact-dedup stage materializes once, keyed by the corpus's
+    distributed content fingerprint + the stage config; a second
+    invocation with the same key MUST take the reuse path (the query
+    raises if it recomputes — so the driver gate itself pins the memo
+    hit) and both paths' downstream per-source aggregates are emitted
+    and must agree row-for-row with plain SQL that knows nothing about
+    the materialization.  This is the iterate-on-a-100TB-pipeline
+    contract: unchanged upstream => the expensive global-dedup shuffle
+    runs zero times on the rerun.
+
+    Scale shape: the fingerprint is one scan + a 3-number aggregate;
+    the memoized stage is the standard dedup hash shuffle; the reuse
+    path is a bare parquet read."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.memo import content_fingerprint, memo_stage
+
+    d = _t(spark, sf_dir, "documents")
+    fp = content_fingerprint(d) + "|dedup_exact:v1"
+    tmp = tempfile.mkdtemp(prefix="tubes_memo_stage_")
+    try:
+        out = []
+        for run in ("fresh", "reused"):
+            stage, reused = memo_stage(
+                spark, lambda: dedup.dedup_exact(d), f"{tmp}/dedup", fp
+            )
+            if reused != (run == "reused"):
+                raise RuntimeError(f"memo_stage path violation on {run} run")
+            agg = stage.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars_total"),
+            )
+            out.append(agg.select(F.lit(run).alias("run"), "*"))
+        return out[0].unionByName(out[1]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
