@@ -87,6 +87,7 @@ LINEAR_QUERIES = [
     "dedup_span_rewrite",            # + covered-position explode + anti-join rebuild
     "quality_hashed_linear_score",   # pure-codegen hashed linear model
     "chunk_content_defined",         # CDC boundaries + chunk-hash share join
+    "pipeline_stage_memoized",       # fingerprint scan + dedup stage + reread
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not

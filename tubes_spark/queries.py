@@ -7431,7 +7431,10 @@ def pipeline_stage_memoized(spark, sf_dir):
 
     from tubes_spark.memo import content_fingerprint, memo_stage
 
-    d = _t(spark, sf_dir, "documents")
+    # _fan: the fingerprint's per-row md5 over every column and the
+    # dedup window's normalize+hash are the CPU; a single-file corpus
+    # scan would run both projections in ONE task.
+    d = _fan(_t(spark, sf_dir, "documents"))
     fp = content_fingerprint(d) + "|dedup_exact:v1"
     tmp = tempfile.mkdtemp(prefix="tubes_memo_stage_")
     try:
