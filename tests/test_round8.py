@@ -918,11 +918,40 @@ def test_atomic_group_compaction_preserves_reads_and_gcs(spark, tmp_path):
     write(2, 30, 35)
     mixed = Sink.read_atomic_group(spark, g, "a")
     assert mixed.count() == 35
-    # second compaction folds them and drops the old compact point
+    # second compaction folds them and gc drops the old compact dir:
+    # only the newly-referenced directory survives under compact/
     k2 = Sink.compact_atomic_group(spark, g, gc=True)
     assert k2 == 2
-    assert not os.path.exists(f"{g}/a/compact/upto=1")
+    _, _, ref = Sink._committed_epochs(g)
+    assert os.listdir(f"{g}/a/compact") == [ref]
     assert Sink.read_atomic_group(spark, g, "a").count() == 35
+
+
+def test_atomic_group_recompaction_unchanged_k_is_noop(spark, tmp_path):
+    """ADVICE r8 (medium): re-compaction at an unchanged K must not
+    delete-then-rewrite the referenced compact dir (the old code's
+    rmtree-before-replace left a crash window where the marker pointed
+    at a missing directory).  Now it's a pure no-op: same marker, same
+    directory, same inode set, readers never at risk."""
+    import os
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    g = str(tmp_path / "grp")
+    sink = Sink.atomic_parquet_group(g, {"a": None})
+    token = _CURRENT_EPOCH.set(0)
+    try:
+        sink(spark.range(0, 12))
+    finally:
+        _CURRENT_EPOCH.reset(token)
+    k1 = Sink.compact_atomic_group(spark, g, gc=True)
+    _, _, ref1 = Sink._committed_epochs(g)
+    files1 = sorted(os.listdir(f"{g}/a/compact/{ref1}"))
+    # no new epochs -> rerun must leave the referenced dir untouched
+    k2 = Sink.compact_atomic_group(spark, g, gc=True)
+    _, _, ref2 = Sink._committed_epochs(g)
+    assert (k1, ref1, files1) == (k2, ref2, sorted(os.listdir(f"{g}/a/compact/{ref2}")))
+    assert Sink.read_atomic_group(spark, g, "a").count() == 12
 
 
 def test_atomic_group_crash_between_compact_and_marker_is_safe(spark, tmp_path):

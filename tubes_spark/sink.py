@@ -215,7 +215,13 @@ class Sink:
         return Sink(run)
 
     @staticmethod
-    def _committed_epochs(group_dir: str) -> "tuple[list[int], int | None]":
+    def _committed_epochs(group_dir: str) -> "tuple[list[int], int | None, str | None]":
+        """Committed epoch ids, the latest compaction point K, and the
+        per-leaf compact DIRECTORY NAME the K marker references.  The
+        marker file's content names the data directory (unique per
+        compaction run) so publishing a new compaction never has to
+        delete the directory readers currently resolve; an empty marker
+        (legacy layout) falls back to the deterministic ``upto=<K>``."""
         from pathlib import Path
 
         cdir = Path(group_dir) / "_commits"
@@ -230,7 +236,11 @@ class Sink:
             if kdir.exists()
             else []
         )
-        return epochs, (max(ks) if ks else None)
+        if not ks:
+            return epochs, None, None
+        k = max(ks)
+        name = (kdir / str(k)).read_text().strip()
+        return epochs, k, (name or f"upto={k}")
 
     @staticmethod
     def read_atomic_group(
@@ -250,14 +260,14 @@ class Sink:
         immutable once their group marker lands."""
         from pyspark.sql import functions as F
 
-        epochs, k = Sink._committed_epochs(group_dir)
+        epochs, k, kdir = Sink._committed_epochs(group_dir)
         if as_of_epoch is not None:
             epochs = [e for e in epochs if e <= as_of_epoch]
         if not epochs:
             raise ValueError(f"no committed epochs under {group_dir}")
         parts = []
         if k is not None:
-            parts.append(spark.read.parquet(f"{group_dir}/{name}/compact/upto={k}"))
+            parts.append(spark.read.parquet(f"{group_dir}/{name}/compact/{kdir}"))
         live = [e for e in epochs if k is None or e > k]
         if live:
             parts.append(
@@ -280,19 +290,26 @@ class Sink:
         has accumulated thousands of per-epoch directories (the thing
         that kills namenode/list performance at 100 TB).  Readers are
         never wrong mid-compaction: the consolidated data is written
-        first, the ``_compacted/<K>`` marker renames last, and until it
-        lands readers keep using the epoch dirs; a crash in between
-        just leaves a dead compact dir the next run overwrites.  With
-        ``gc=True`` the superseded epoch DATA dirs are removed after
-        publish (their commit markers stay — they define visibility
-        history and cost one empty file each).  Returns the compaction
-        point K (the highest epoch consolidated)."""
+        under a run-unique directory name first, the ``_compacted/<K>``
+        marker (whose CONTENT names that directory) renames last, and
+        until it lands readers keep resolving the previously-referenced
+        layout — the currently-referenced compact dir is never deleted
+        before its replacement's marker is live, so a crash at any
+        point leaves readers on a complete copy (a crash in between
+        just leaves a dead unreferenced dir the next gc sweeps).  A
+        rerun at an unchanged K is a pure no-op: nothing is rewritten
+        and nothing touched.  With ``gc=True`` the superseded epoch
+        DATA dirs and any unreferenced compact dirs are removed after
+        publish (commit markers stay — they define visibility history
+        and cost one empty file each).  Returns the compaction point K
+        (the highest epoch consolidated)."""
         import shutil as _shutil
+        import uuid as _uuid
         from pathlib import Path
 
         from pyspark.sql import functions as F
 
-        epochs, prev_k = Sink._committed_epochs(group_dir)
+        epochs, prev_k, _prev_dir = Sink._committed_epochs(group_dir)
         if not epochs:
             raise ValueError(f"no committed epochs under {group_dir}")
         k = max(epochs)
@@ -301,32 +318,33 @@ class Sink:
             for p in Path(group_dir).iterdir()
             if p.is_dir() and not p.name.startswith("_")
         ]
-        for name in sorted(leaves):
-            df = Sink.read_atomic_group(spark, group_dir, name)
-            tmp = f"{group_dir}/{name}/compact/.tmp.upto={k}"
-            df.withColumn("epoch", F.col("epoch").cast("int")).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            final = Path(f"{group_dir}/{name}/compact/upto={k}")
-            if final.exists():
-                _shutil.rmtree(final)
-            os.replace(tmp, final)  # atomic per-leaf publish
-        marker_dir = Path(group_dir) / "_compacted"
-        marker_dir.mkdir(parents=True, exist_ok=True)
-        mtmp = marker_dir / f".tmp.{k}"
-        mtmp.write_text("")
-        os.replace(mtmp, marker_dir / str(k))  # the group-wide switch point
+        if prev_k == k:
+            new_dir = _prev_dir  # nothing new since the last compaction
+        else:
+            new_dir = f"upto={k}.{_uuid.uuid4().hex[:8]}"
+            for name in sorted(leaves):
+                df = Sink.read_atomic_group(spark, group_dir, name)
+                tmp = f"{group_dir}/{name}/compact/.tmp.{new_dir}"
+                df.withColumn("epoch", F.col("epoch").cast("int")).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                os.replace(tmp, f"{group_dir}/{name}/compact/{new_dir}")
+            marker_dir = Path(group_dir) / "_compacted"
+            marker_dir.mkdir(parents=True, exist_ok=True)
+            mtmp = marker_dir / f".tmp.{k}"
+            mtmp.write_text(new_dir)
+            os.replace(mtmp, marker_dir / str(k))  # the group-wide switch point
         if gc:
             for name in leaves:
                 for e in epochs:
                     _shutil.rmtree(
                         f"{group_dir}/{name}/data/epoch={e}", ignore_errors=True
                     )
-                if prev_k is not None and prev_k != k:
-                    _shutil.rmtree(
-                        f"{group_dir}/{name}/compact/upto={prev_k}",
-                        ignore_errors=True,
-                    )
+                cdir = Path(f"{group_dir}/{name}/compact")
+                if cdir.exists():
+                    for p in cdir.iterdir():
+                        if p.name != new_dir:  # dead tmp/torn/superseded dirs
+                            _shutil.rmtree(p, ignore_errors=True)
         return k
 
     @staticmethod

@@ -95,16 +95,47 @@ def size_buckets(df: DataFrame, target_bucket_mb: int = 128,
     (post-pruning bytes / ``target_bucket_mb``), clamped to
     [min, max].  A FIXED bucket count is the classic bucketing mistake:
     right at one corpus size, write-bound at 100x (too few tasks) or
-    small-file-bound at 0.01x (too many near-empty files).  Falls back
-    to ``min_buckets`` when the plan carries no usable estimate."""
+    small-file-bound at 0.01x (too many near-empty files).
+
+    ADVICE r8: the optimizer estimate comes through a private API, so
+    its failure must not silently revert to the fixed-count behavior
+    that caused the r7 x100 write outlier — when it is unusable we
+    fall to a SECONDARY size source (the scan's input file status via
+    the public ``inputFiles()``, scaled ~3x for parquet decompression)
+    and only then to ``min_buckets``, warning on both demotions so the
+    degradation is visible in logs."""
     import math
+    import os as _os
+    import warnings
 
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         size = 0
     if size <= 0 or size >= (1 << 60):  # unknown / default-sentinel stats
-        return min_buckets
+        size = 0
+        try:
+            paths = [p[len("file:"):] if p.startswith("file:") else p
+                     for p in df.inputFiles()]
+            disk = sum(_os.path.getsize(p) for p in paths if _os.path.exists(p))
+            size = disk * 3  # on-disk parquet -> rough in-memory bytes
+        except Exception:
+            size = 0
+        if size <= 0:
+            warnings.warn(
+                "size_buckets: no optimizer estimate and no readable input "
+                f"file status; falling back to min_buckets={min_buckets} — "
+                "pass n_buckets explicitly for corpus-sized bucketing",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return min_buckets
+        warnings.warn(
+            "size_buckets: optimizer size estimate unusable; derived bucket "
+            "count from input file status instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return max(min_buckets,
                min(max_buckets, math.ceil(size / (target_bucket_mb * 1024 * 1024))))
 
