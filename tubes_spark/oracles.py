@@ -763,6 +763,30 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """
 
+# provider-independence under the gate: the RocksDB-backed fold must
+# hash-match the exact same SQL as the default-provider fold
+ORACLES["streaming_fold_rocksdb"] = ORACLES["streaming_resumable_fold"]
+
+ORACLES["dedup_band_cap_stats"] = """
+WITH b AS (
+  SELECT doc_id,
+    CAST(floor(n_chars / 200) AS BIGINT) AS len_band,
+    CAST(('0x' || substring(md5(text), 1, 1)) AS BIGINT) AS band,
+    CAST(('0x' || substring(md5(text), 2, 1)) AS BIGINT) AS band2
+  FROM documents
+), sub AS (
+  SELECT len_band, band, band2, COUNT(*) AS c
+  FROM b GROUP BY len_band, band, band2
+)
+SELECT len_band, band,
+  CAST(SUM(c) AS BIGINT) AS grp_n,
+  CAST(CASE WHEN SUM(c) > 25 THEN 1 ELSE 0 END AS INT) AS capped,
+  CAST(SUM(c) * (SUM(c) - 1) // 2 AS BIGINT) AS pairs_uncapped,
+  CAST(CASE WHEN SUM(c) > 25 THEN SUM(c * (c - 1) // 2)
+       ELSE SUM(c) * (SUM(c) - 1) // 2 END AS BIGINT) AS pairs_kept
+FROM sub GROUP BY len_band, band
+"""
+
 ORACLES["skew_salted_enrich_join"] = """
 WITH fact AS (
   SELECT CASE WHEN event_id % 3 < 2 THEN 0
@@ -1061,11 +1085,20 @@ ORACLES["bucketed_dedup_enrich_join"] = """
 WITH b AS (
   SELECT doc_id, n_chars,
     CAST(floor(n_chars / 10) AS BIGINT) AS len_band,
-    CAST(('0x' || substring(md5(text), 1, 1)) AS BIGINT) AS band
+    CAST(('0x' || substring(md5(text), 1, 1)) AS BIGINT) AS band,
+    CAST(('0x' || substring(md5(text), 2, 1)) AS BIGINT) AS band2
   FROM documents
+), g AS (
+  SELECT len_band, band, COUNT(*) AS grp_n FROM b GROUP BY len_band, band
+), t AS (
+  -- r9 band cap: groups over 200 docs split on the secondary digit
+  -- (same CASE as the Spark side; never fires on the gate corpora)
+  SELECT b.*, CASE WHEN g.grp_n > 200 THEN b.band2 ELSE -1 END AS salt
+  FROM b JOIN g ON b.len_band = g.len_band AND b.band = g.band
 ), cand AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM b x JOIN b y ON x.len_band = y.len_band AND x.band = y.band
+  FROM t x JOIN t y
+    ON x.len_band = y.len_band AND x.band = y.band AND x.salt = y.salt
   WHERE x.doc_id < y.doc_id
 )
 SELECT c.doc_a, c.doc_b,

@@ -1581,6 +1581,27 @@ def streaming_resumable_fold(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_fold_rocksdb(spark, sf_dir):
+    """The resumable keyed fold with its state on the ROCKSDB state
+    store (changelog checkpointing on) — same protocol, same oracle as
+    `streaming_resumable_fold`, so the driver's hash gate itself proves
+    the fold's emissions are state-store-provider-independent.
+
+    Why it matters at 100 TB: the default HDFSBacked provider keeps
+    every key's state on the executor HEAP; at production key
+    cardinality that heap is the first thing to die.  RocksDB puts
+    state on local disk with a block-cache in front and uploads
+    per-batch changelogs instead of full snapshots — Spark's own
+    production answer, enabled purely by configuration
+    (`session.state_store_rocksdb`).  The provider swap must not move
+    a single output byte, and this query makes that a driver-checked
+    invariant rather than a tests-only claim."""
+    from tubes_spark.session import state_store_rocksdb
+
+    with state_store_rocksdb(spark):
+        return streaming_resumable_fold(spark, sf_dir)
+
+
 def skew_salted_enrich_join(spark, sf_dir):
     """The salted JOIN path under the oracle gate (salted aggregation
     already has ``skew_salted_type_counts``): a deliberately skewed
@@ -2286,6 +2307,13 @@ def partitioned_io_pruned(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# per-(len_band, band) group-size cap for the banded blocking below: a
+# group above this size is split by a secondary deterministic key so
+# candidate generation stays bounded under adversarial skew (see the
+# docstring's recall contract)
+_BAND_CAP = 200
+
+
 def bucketed_dedup_enrich_join(spark, sf_dir):
     """The bucketed-table WRITE path plus the shuffle-free REPEATED
     join it buys — the 100 TB move for dedup candidate enrichment.
@@ -2304,6 +2332,23 @@ def bucketed_dedup_enrich_join(spark, sf_dir):
     on disk.  tests/test_round6.py asserts the docs side of this exact
     plan is Exchange-free with broadcast disabled.
 
+    **Band-size cap (r9, VERDICT-r8 #6):** an adversarially skewed crawl
+    (or the 100x synth's 99-replica construction) can concentrate a
+    whole corpus into a few (len_band, band) groups, making in-band
+    candidate generation ~group_size^2 — 156M pairs at the r8 100x
+    probe.  Any group larger than ``_BAND_CAP`` docs is therefore split
+    by a SECONDARY deterministic blocking key (the next md5 hex digit),
+    bounding its pair count at ~(size/16)^2 per subgroup.  Recall
+    contract: a dropped pair always differs in that second digit —
+    pairs agreeing on (len_band, band, band2) are NEVER dropped
+    (tests/test_round9.py pins both) — and in a real multi-band LSH
+    scheme the same pair still collides in its other band tables, so
+    the cap trades a documented sliver of single-band recall for a
+    hard bound on worst-case cost.  The cap never fires on the
+    un-amplified corpus (groups are ~3 docs at sf0.1), so the oracle
+    exercises the uncapped path at every gate SF while the CASE sits
+    identically in both engines.
+
     Correctness is oracle-gated on the full join result, so the
     bucketed write/read round-trip itself is hash-verified."""
     import hashlib
@@ -2314,11 +2359,13 @@ def bucketed_dedup_enrich_join(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     band = F.conv(F.substring(F.md5(F.col("text")), 1, 1), 16, 10).cast("int")
+    band2 = F.conv(F.substring(F.md5(F.col("text")), 2, 1), 16, 10).cast("int")
     slim = d.select(
         "doc_id",
         "n_chars",
         F.floor(F.col("n_chars") / 10).alias("len_band"),
         band.alias("band"),
+        band2.alias("band2"),
     )
     # per-run discriminator: two sessions sharing a warehouse on the
     # same sf_dir must not collide on the table name (or DROP each
@@ -2334,14 +2381,23 @@ def bucketed_dedup_enrich_join(spark, sf_dir):
             slim, tbl, ["doc_id"], None, path=f"{tmp}/docs", sort_cols=["doc_id"]
         )
         bt = sources.read_table(spark, tbl)
-        ca = bt.select(
-            F.col("doc_id").alias("doc_a"), "len_band", "band"
+        # per-group sizes: one tiny aggregate (<= #len_bands x 16 rows,
+        # bounded by the blocking scheme, not the corpus) — broadcast
+        sizes = bt.groupBy("len_band", "band").agg(
+            F.count(F.lit(1)).alias("grp_n")
         )
-        cb = bt.select(
-            F.col("doc_id").alias("doc_b"), "len_band", "band"
+        salted = bt.join(F.broadcast(sizes), ["len_band", "band"]).withColumn(
+            "salt",
+            F.when(F.col("grp_n") > _BAND_CAP, F.col("band2")).otherwise(F.lit(-1)),
+        )
+        ca = salted.select(
+            F.col("doc_id").alias("doc_a"), "len_band", "band", "salt"
+        )
+        cb = salted.select(
+            F.col("doc_id").alias("doc_b"), "len_band", "band", "salt"
         )
         cand = (
-            ca.join(cb, ["len_band", "band"])
+            ca.join(cb, ["len_band", "band", "salt"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
         )
@@ -2368,6 +2424,59 @@ def bucketed_dedup_enrich_join(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def dedup_band_cap_stats(spark, sf_dir):
+    """The band-cap accounting query (VERDICT-r8 #6), sized so the cap
+    FIRES on the gate corpus: blocking groups are the coarse
+    (floor(n_chars/200), first-md5-digit) bands — ~16-30 docs each at
+    sf0.01 — and any group over 25 docs splits on the second md5 digit.
+    Emits, per group: its size, whether the cap engaged, the candidate
+    pairs an uncapped self-join would generate, and the pairs the
+    capped blocking actually admits.  The hash gate thereby pins BOTH
+    sides of the cap's contract: the exact split point (a one-doc
+    miscount moves `capped`) and the exact pair arithmetic
+    (sum of c*(c-1)/2 over subgroups).
+
+    Scale shape: two partial-aggregate shuffles on narrow keys and
+    zero pair materialization — the accounting costs O(groups), not
+    O(pairs), which is the whole point of auditing candidate growth
+    BEFORE running the join that pays for it."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.floor(F.col("n_chars") / 200).alias("len_band"),
+        F.conv(F.substring(F.md5(F.col("text")), 1, 1), 16, 10)
+        .cast("long")
+        .alias("band"),
+        F.conv(F.substring(F.md5(F.col("text")), 2, 1), 16, 10)
+        .cast("long")
+        .alias("band2"),
+    )
+    sub = b.groupBy("len_band", "band", "band2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    CAP = 25
+    return (
+        sub.groupBy("len_band", "band")
+        .agg(
+            F.sum("c").cast("long").alias("grp_n"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("sub_pairs"),
+        )
+        .select(
+            "len_band",
+            "band",
+            "grp_n",
+            (F.col("grp_n") > CAP).cast("int").alias("capped"),
+            (F.col("grp_n") * (F.col("grp_n") - 1) / 2)
+            .cast("long")
+            .alias("pairs_uncapped"),
+            F.when(F.col("grp_n") > CAP, F.col("sub_pairs"))
+            .otherwise(F.col("grp_n") * (F.col("grp_n") - 1) / 2)
+            .cast("long")
+            .alias("pairs_kept"),
+        )
+    )
 
 
 def streaming_sliding_10m(spark, sf_dir):

@@ -223,7 +223,12 @@ def merge_streams_interleaved(
     hidden from Spark's file listing, so the ledger never pollutes the
     parquet read.)  Correctness still requires per-side in-order
     delivery across triggers (time-sliced replay files or log offsets),
-    the same contract as the funnel operator.
+    the same contract as the funnel operator — and since r9 that
+    contract is GUARDED, not just documented: every ledger entry also
+    records each side's max event time, and a batch whose side-minimum
+    undercuts the recorded max raises immediately (a misordered replay
+    would otherwise silently misinterleave).  An in-order replay of the
+    same slices re-reads its own ledger entry and passes untouched.
 
     Returns the interleaved bounded result after an AvailableNow drain,
     in reference order with the plumbing columns dropped —
@@ -240,14 +245,33 @@ def merge_streams_interleaved(
     ledger_dir = os.path.join(out_dir, "_offsets")
     os.makedirs(ledger_dir, exist_ok=True)
 
-    def _pre_offsets(bid: int) -> "dict[int, int]":
-        """Offsets in force before batch ``bid``: this batch's own
-        ledger entry if it exists (we are REPLAYING it), else the
-        ``post`` of the newest committed epoch below it, else zero."""
+    def _ser_ev(v):
+        """JSON-safe, order-preserving encoding of an event-time value:
+        datetimes to fixed-microsecond ISO strings (lexical order ==
+        time order), numerics/strings as-is."""
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        return v
+
+    def _pre_state(bid: int) -> "tuple[dict[int, int], dict[int, object]]":
+        """(offsets, per-side max event time) in force before batch
+        ``bid``: this batch's own ledger entry if it exists (we are
+        REPLAYING it), else the ``post`` of the newest committed epoch
+        below it, else zero/empty.  Entries from the pre-r9 layout have
+        no ``max_ev`` field and load as unguarded."""
+        def load(path, key):
+            with open(path) as f:
+                e = json.load(f)
+            return (
+                {int(k): v for k, v in e[key].items()},
+                {int(k): v for k, v in e.get(f"max_ev_{key}", {}).items()},
+            )
+
         own = os.path.join(ledger_dir, f"epoch={bid}.json")
         if os.path.exists(own):
-            with open(own) as f:
-                return {int(k): v for k, v in json.load(f)["pre"].items()}
+            return load(own, "pre")
         best = None
         for name in os.listdir(ledger_dir):
             if name.startswith("epoch=") and name.endswith(".json"):
@@ -255,15 +279,39 @@ def merge_streams_interleaved(
                 if e < bid and (best is None or e > best):
                     best = e
         if best is None:
-            return {0: 0, 1: 0}
-        with open(os.path.join(ledger_dir, f"epoch={best}.json")) as f:
-            return {int(k): v for k, v in json.load(f)["post"].items()}
+            return {0: 0, 1: 0}, {}
+        return load(os.path.join(ledger_dir, f"epoch={best}.json"), "post")
 
     def handle(bdf, _bid):
         from pyspark.sql import Window
 
         bid = int(_bid)
-        pre = _pre_offsets(bid)
+        pre, pre_max = _pre_state(bid)
+        # in-order delivery guard (VERDICT-r8 #7): a side whose new
+        # minimum event time undercuts its recorded max has been
+        # replayed out of order — the running offsets would assign it
+        # ranks AFTER rows it precedes in event time.  Fail loudly now
+        # instead of silently misinterleaving.
+        oc = F.col(order_by[0])
+        stats = (
+            bdf.groupBy("__src__")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.min(oc).alias("mn"),
+                 F.max(oc).alias("mx"))
+            .collect()
+        )
+        batch_minmax = {
+            int(r["__src__"]): (_ser_ev(r["mn"]), _ser_ev(r["mx"]))
+            for r in stats
+        }
+        for side, (mn, _mx) in batch_minmax.items():
+            prior = pre_max.get(side)
+            if prior is not None and mn is not None and mn < prior:
+                raise RuntimeError(
+                    f"out-of-order delivery on side {side} at epoch {bid}: "
+                    f"batch min event time {mn!r} undercuts the ledger's "
+                    f"delivered max {prior!r}; the interleave contract "
+                    "requires per-side in-order slices"
+                )
         w = Window.partitionBy("__src__").orderBy(*[F.col(c) for c in order_by])
         ranked = (
             bdf.withColumn("__bn__", F.row_number().over(w))
@@ -282,14 +330,22 @@ def merge_streams_interleaved(
         # duplicate (rn, side) rows — idempotence from the path
         ranked.write.mode("overwrite").parquet(f"{out_dir}/epoch={bid}")
         post = dict(pre)
-        for r in bdf.groupBy("__src__").count().collect():
-            post[int(r["__src__"])] += int(r["count"])
+        post_max = dict(pre_max)
+        for r in stats:
+            side = int(r["__src__"])
+            post[side] += int(r["cnt"])
+            mx = _ser_ev(r["mx"])
+            if mx is not None:
+                cur = post_max.get(side)
+                post_max[side] = mx if cur is None else max(cur, mx)
         # ledger entry commits last (atomic rename), AFTER the data
         # write: a crash between the two replays the batch with the
         # same pre-offsets and rewrites the same bytes
         entry = json.dumps(
             {"pre": {str(k): v for k, v in pre.items()},
-             "post": {str(k): v for k, v in post.items()}}
+             "post": {str(k): v for k, v in post.items()},
+             "max_ev_pre": {str(k): v for k, v in pre_max.items()},
+             "max_ev_post": {str(k): v for k, v in post_max.items()}}
         )
         tmp_path = os.path.join(ledger_dir, f".epoch={bid}.json.tmp")
         with open(tmp_path, "w") as f:
