@@ -483,6 +483,17 @@ def main() -> None:
         print(f"# x100 synth build: {time.time()-t0:.1f}s", file=sys.stderr)
         cal_start = calibrate(spark)
         for name in names:
+            # FRESH session per family (r9): the 8g heap carries real
+            # debt between back-to-back 100x families (shuffle/codegen/
+            # broadcast refs) — the r9 rerun OOM'd jaccard AFTER two
+            # minhash families in one session, while the same query
+            # alone survives.  Per-family isolation measures the
+            # family, not its predecessors' garbage.
+            spark.stop()
+            spark = get_spark("tubes_scale_x100h", shuffle_partitions=64)
+            spark.sparkContext.setLogLevel("ERROR")
+            for t in ("documents", "embeddings"):
+                load_table(spark, t, hx_dir).count()
             fn = getattr(Q, name)
             small = best_of(fn, spark, SF_BASE)
             t0 = time.perf_counter()
@@ -495,6 +506,7 @@ def main() -> None:
                 "note": HEAVY_NOTES.get(name, ""),
                 "run": run_id,
                 "calibration_start": cal_start,
+                "driver_mem": os.environ.get("TUBES_SPARK_DRIVER_MEM", "8g"),
             }
             print(json.dumps({"query": name, "replicas": 100,
                               **x100["results"][name]}))
@@ -527,6 +539,12 @@ def main() -> None:
             load_table(spark, t, hx_dir).count()
         cal_start = calibrate(spark)
         for name, note in HEAVY_NOTES.items():
+            # fresh session per family — see the --x100-only note
+            spark.stop()
+            spark = get_spark("tubes_scale_x100h", shuffle_partitions=64)
+            spark.sparkContext.setLogLevel("ERROR")
+            for t in ("documents", "embeddings"):
+                load_table(spark, t, hx_dir).count()
             fn = getattr(Q, name)
             small = best_of(fn, spark, SF_BASE)
             t0 = time.perf_counter()
@@ -539,6 +557,7 @@ def main() -> None:
                 "note": note,
                 "run": run_id,
                 "calibration_start": cal_start,
+                "driver_mem": os.environ.get("TUBES_SPARK_DRIVER_MEM", "8g"),
             }
             print(json.dumps({"query": name, "replicas": 100,
                               **x100["results"][name]}))

@@ -5808,9 +5808,17 @@ def jaccard_exact_prefix_join(spark, sf_dir):
     is the property that survives a 100x corpus on fixed executors."""
     d = _fan(_t(spark, sf_dir, "documents"))
     toks = text.tokenize(F.col("text"))
+    # the shingle stream is reused 4x (freq, sizes, both verification
+    # sides) — checkpoint it ONCE, but serialized with disk spill
+    # (MEMORY_AND_DISK ser), not the default deserialized in-heap
+    # blocks: at 100x the stream is tens of GB and deserialized
+    # caching pins the heap that the SMJ sorts need (the r9 100x rerun
+    # OOM'd exactly here on an 8g driver; serialized+spillable holds)
+    from pyspark.storagelevel import StorageLevel
+
     s = d.select(
         "doc_id", F.explode(text.word_shingles_from_tokens(toks, 5)).alias("sh")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     freq = s.groupBy("sh").agg(F.count(F.lit(1)).alias("fr"))
     sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ordered = s.join(freq.hint("merge"), "sh")
