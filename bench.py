@@ -199,6 +199,11 @@ HEADLINE = [
     # round 9
     "streaming_fold_rocksdb",         # keyed fold on the RocksDB state store
     "dedup_band_cap_stats",           # band-cap candidate-growth accounting
+    "record_linkage_entities",        # blocked fuzzy linkage + CC entities
+    "k_anonymity_generalize",         # k-anonymity generalization ladder
+    "rag_hybrid_rrf",                 # hybrid BM25+QL retrieval, RRF fusion
+    "lm_stupid_backoff_filter",       # bigram LM perplexity curation filter
+    "layout_zorder_skipping",         # Morton layout + zone-map skipping
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):
@@ -249,16 +254,30 @@ def _make_trigger_listener(spark):
 
 
 def _round_number() -> int:
-    """Next bench-record round: 1 + the highest BENCH_r<N>.json present
-    (the driver's records for completed rounds)."""
+    """Round for the bench record this run refreshes.  Records written
+    by the driver (no ``written_by`` marker) are completed rounds, so
+    the next run starts round max+1; a record bench.py wrote itself is
+    THIS round's provisional record and a re-run must refresh it in
+    place — otherwise two bench runs inside one round would fabricate a
+    phantom round number."""
     import re
 
+    root = Path(__file__).resolve().parent
     ns = [
         int(m.group(1))
-        for p in Path(__file__).resolve().parent.glob("BENCH_r*.json")
+        for p in root.glob("BENCH_r*.json")
         if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
     ]
-    return (max(ns) + 1) if ns else 1
+    if not ns:
+        return 1
+    top = max(ns)
+    try:
+        own = json.loads((root / f"BENCH_r{top:02d}.json").read_text()).get(
+            "written_by"
+        ) == "bench.py"
+    except Exception:
+        own = False
+    return top if own else top + 1
 
 
 def main() -> None:

@@ -88,6 +88,12 @@ LINEAR_QUERIES = [
     "quality_hashed_linear_score",   # pure-codegen hashed linear model
     "chunk_content_defined",         # CDC boundaries + chunk-hash share join
     "pipeline_stage_memoized",       # fingerprint scan + dedup stage + reread
+    # round 9
+    "record_linkage_entities",       # blocked fuzzy linkage + CC closure
+    "k_anonymity_generalize",        # one scan + three conditional windows
+    "rag_hybrid_rrf",                # 6-term index probes + rank fusion
+    "lm_stupid_backoff_filter",      # count-table joins on the bigram key
+    "layout_zorder_skipping",        # integer bit codegen + 64-row zone maps
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not

@@ -434,3 +434,136 @@ def test_kill_resume_parity_on_rocksdb(spark, tmp_path, case):
     }[case]
     with state_store_rocksdb(spark):
         fn(spark, tmp_path)
+
+
+# ------------------------------------------- round-9 capability invariants
+
+
+def test_record_linkage_dirty_records_always_relink(spark):
+    """A dirty variant always satisfies the match rule against its own
+    base (same block, levenshtein 1, bal drift < 1.0), so no entity can
+    consist of dirty records only, and entity accounting must conserve
+    the record set."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark import queries as Q
+
+    df = Q.record_linkage_entities(spark, SF_SMALL)
+    rows = df.collect()
+    assert all(r.n_records > r.n_dirty for r in rows if r.n_dirty > 0)
+    # conservation: 150 base records at sf0.001 plus one per md5-even name
+    n_dirty_total = sum(r.n_dirty for r in rows)
+    assert sum(r.n_records for r in rows) == 150 + n_dirty_total
+    assert n_dirty_total > 0  # the dirty branch actually fired
+    # multi-record entities exist and each spans >= 1 source customer
+    merged = [r for r in rows if r.n_records > 1]
+    assert merged and all(r.n_sources >= 1 for r in rows)
+    # entity id is the smallest member rec_id -> never exceeds 2*maxkey+1
+    assert all(r.entity_id >= 0 for r in rows)
+
+
+def test_k_anonymity_no_released_group_below_k(spark):
+    from tubes_spark import queries as Q
+
+    rows = Q.k_anonymity_generalize(spark, SF_SMALL).collect()
+    # every customer classified exactly once
+    keys = [r.c_custkey for r in rows]
+    assert len(keys) == len(set(keys)) == 150
+    for r in rows:
+        if r.level < 3:
+            assert r.group_size >= 5
+            assert r.qi_geo is not None and r.qi_seg is not None
+            assert r.qi_band is not None
+        else:
+            assert r.qi_geo is None and r.qi_seg is None and r.qi_band is None
+            assert r.group_size == 0
+    # the ladder must actually generalize somewhere at this SF
+    assert {r.level for r in rows} - {0}, "ladder never escalated"
+
+
+def test_rag_hybrid_rrf_rank_arithmetic(spark):
+    """The fused score must be exactly the RRF of the per-leg ranks the
+    row itself reports, and each query emits a full, correctly-ordered
+    top-10."""
+    from tubes_spark import queries as Q
+
+    rows = Q.rag_hybrid_rrf(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.final_rank)
+        assert [r.final_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == 10
+        prev = None
+        for r in rs:
+            expect = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+                1.0 / (60 + r.ql_rank) if r.ql_rank else 0.0
+            )
+            assert abs(r.rrf - expect) < 1e-6
+            assert r.lex_rank <= 20 and r.ql_rank <= 20
+            if prev is not None:
+                assert r.rrf <= prev + 1e-12  # fused order is by rrf desc
+            prev = r.rrf
+
+
+def test_lm_backoff_filter_invariants(spark):
+    """Stupid-backoff scores are finite negatives, tertiles split the
+    eval set into near-equal thirds, and keep == (tertile <= 2)."""
+    from tubes_spark import queries as Q
+
+    rows = Q.lm_stupid_backoff_filter(spark, SF_SMALL).collect()
+    assert rows, "eval split empty"
+    # md5 parity split: eval docs only, each exactly once
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    sizes = {}
+    for r in rows:
+        assert r.n_bigrams > 0
+        assert r.avg_logp < 0.0  # every bigram log-prob is negative
+        assert r.keep == (1 if r.tertile <= 2 else 0)
+        sizes[r.tertile] = sizes.get(r.tertile, 0) + 1
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile contract
+    # the filter keeps exactly the top two tertiles by score
+    kept = sorted(r.avg_logp for r in rows if r.keep)
+    dropped = sorted(r.avg_logp for r in rows if not r.keep)
+    assert kept[0] >= dropped[-1] - 1e-12
+
+
+def test_zorder_skipping_beats_linear(spark):
+    """Zone-map accounting is conserved across layouts, and the Z-order
+    layout never reads more files than the time-linear one for the 2-D
+    rectangle (the point of the operator)."""
+    from tubes_spark import queries as Q
+
+    rows = {r.layout: r for r in Q.layout_zorder_skipping(spark, SF_SMALL).collect()}
+    assert set(rows) == {"zorder", "linear", "user"}
+    match = {r.rows_match for r in rows.values()}
+    assert len(match) == 1  # the predicate answer is layout-independent
+    for r in rows.values():
+        assert r.files_total == 64
+        assert 0 < r.files_read <= 64
+        assert r.rows_read >= r.rows_match
+    assert rows["zorder"].files_read < rows["linear"].files_read
+    assert rows["zorder"].files_read <= rows["user"].files_read
+    assert rows["zorder"].rows_read < rows["linear"].rows_read
+
+
+def test_morton_spread_is_interleave(spark):
+    """_morton_spread16 equals the bit-by-bit spread for a sweep of
+    16-bit values (pure-python reference)."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.queries import _morton_spread16
+
+    vals = list(range(64)) + [255, 256, 1023, 4095, 65535]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", _morton_spread16(F.col("v")).alias("s")
+    )
+    for r in df.collect():
+        expect = 0
+        for i in range(16):
+            expect |= ((r.v >> i) & 1) << (2 * i)
+        assert r.s == expect, (r.v, r.s, expect)

@@ -3852,3 +3852,245 @@ SELECT 'fresh' AS run, * FROM agg
 UNION ALL
 SELECT 'reused' AS run, * FROM agg
 """
+
+
+# Round-9: entity resolution — same md5-derived dirty table, blocked
+# levenshtein edges, recursive-CTE closure (the oracle twin of
+# operators/dedup.py connected_components on a second graph shape).
+ORACLES["record_linkage_entities"] = """
+WITH RECURSIVE h AS (
+  SELECT c_custkey, CAST(('0x' || substring(md5(c_name), 1, 4)) AS BIGINT) AS hv
+  FROM customer
+), recs AS (
+  SELECT c_custkey * 2 AS rec_id, c_name AS name, c_nationkey AS nat,
+         c_mktsegment AS seg, c_acctbal AS bal, 0 AS is_dirty
+  FROM customer
+  UNION ALL
+  SELECT c.c_custkey * 2 + 1,
+         substring(c_name, 1, 15)
+           || CAST((CAST(substring(c_name, 16, 1) AS INTEGER) + 1 + (hv % 8)) % 10 AS VARCHAR)
+           || substring(c_name, 17, 2),
+         c_nationkey, c_mktsegment, c_acctbal + (hv % 100) / 100.0, 1
+  FROM customer c JOIN h ON c.c_custkey = h.c_custkey
+  WHERE hv % 2 = 0
+), edges AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b
+  FROM recs a JOIN recs b
+    ON a.nat = b.nat AND a.seg = b.seg
+   AND substring(a.name, 17, 2) = substring(b.name, 17, 2)
+   AND a.rec_id < b.rec_id
+  WHERE levenshtein(a.name, b.name) <= 2 AND abs(a.bal - b.bal) <= 1.0
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT src AS node, dst AS r FROM und
+  UNION
+  SELECT reach.node, und.dst FROM reach JOIN und ON reach.r = und.src
+), comp AS (
+  SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node
+)
+SELECT coalesce(comp.comp, recs.rec_id) AS entity_id,
+  CAST(count(*) AS BIGINT) AS n_records,
+  CAST(sum(is_dirty) AS BIGINT) AS n_dirty,
+  CAST(count(DISTINCT rec_id // 2) AS BIGINT) AS n_sources,
+  round(max(bal) - min(bal), 2) AS bal_spread
+FROM recs LEFT JOIN comp ON recs.rec_id = comp.node
+GROUP BY 1
+"""
+
+
+# Round-9: k-anonymity ladder — single-pass conditional windowed
+# counts (level-L counts only rows every earlier level failed), the
+# same shape as the Spark side: one scan, three windows, no per-level
+# union branches.
+ORACLES["k_anonymity_generalize"] = """
+WITH qi AS (
+  SELECT c_custkey, n_name AS nation, r_name AS region, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 100) AS BIGINT) AS b100,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS b1000
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), g0 AS (
+  SELECT *, count(*) OVER (PARTITION BY nation, seg, b100) AS gs0 FROM qi
+), g1 AS (
+  SELECT *, sum(CASE WHEN gs0 < 5 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY nation, seg, b1000) AS gs1
+  FROM g0
+), g AS (
+  SELECT *, sum(CASE WHEN gs0 < 5 AND gs1 < 5 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY region, seg, b1000) AS gs2
+  FROM g1
+), lv AS (
+  SELECT *, CASE WHEN gs0 >= 5 THEN 0 WHEN gs1 >= 5 THEN 1
+                 WHEN gs2 >= 5 THEN 2 ELSE 3 END AS level
+  FROM g
+)
+SELECT c_custkey, level,
+  CAST(CASE WHEN level <= 1 THEN nation WHEN level = 2 THEN region END
+       AS VARCHAR) AS qi_geo,
+  CAST(CASE WHEN level <= 2 THEN seg END AS VARCHAR) AS qi_seg,
+  CAST(CASE WHEN level = 0 THEN b100 WHEN level <= 2 THEN b1000 END
+       AS BIGINT) AS qi_band,
+  CAST(CASE WHEN level = 0 THEN gs0 WHEN level = 1 THEN gs1
+            WHEN level = 2 THEN gs2 ELSE 0 END AS BIGINT) AS group_size
+FROM lv
+"""
+
+
+# Round-9: hybrid retrieval + RRF — BM25 leg reuses the proven
+# bm25_search_scores float discipline; the QL leg is Dirichlet
+# smoothing (mu=100); ranks are ints on decimal-summed rounded scores
+# so row_number agrees bit-for-bit across engines.
+ORACLES["rag_hybrid_rrf"] = r"""
+WITH q(query_id, term) AS (
+  VALUES (1, 'table'), (1, 'merge'), (2, 'window'), (2, 'stream'),
+         (3, 'filter'), (3, 'join')
+), t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), ctf AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1
+), comp AS (
+  SELECT q.query_id, tf.doc_id,
+    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs))), 6) AS bc,
+    round(ln((tf + 100.0 * (ctf / sum_dl)) / (dl + 100.0)), 6) AS qc
+  FROM tf JOIN q USING (term) JOIN df USING (term) JOIN ctf USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN stats
+), scored AS (
+  SELECT query_id, doc_id,
+    CAST(SUM(CAST(bc AS DECIMAL(27,6))) AS DOUBLE) AS bm25,
+    CAST(SUM(CAST(qc AS DECIMAL(27,6))) AS DOUBLE) AS ql
+  FROM comp GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lr,
+    row_number() OVER (PARTITION BY query_id ORDER BY ql DESC, doc_id) AS qr
+  FROM scored
+), fused AS (
+  SELECT query_id, doc_id, lr, qr,
+    (CASE WHEN lr <= 20 THEN 1.0 / (60 + lr) ELSE 0.0 END)
+    + (CASE WHEN qr <= 20 THEN 1.0 / (60 + qr) ELSE 0.0 END) AS rrf
+  FROM ranked WHERE lr <= 20 OR qr <= 20
+), fr AS (
+  SELECT query_id, doc_id, lr, qr, rrf,
+    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS final_rank
+  FROM fused
+)
+SELECT query_id, doc_id,
+  CAST(CASE WHEN lr <= 20 THEN lr ELSE 0 END AS INTEGER) AS lex_rank,
+  CAST(CASE WHEN qr <= 20 THEN qr ELSE 0 END AS INTEGER) AS ql_rank,
+  round(rrf, 6) AS rrf,
+  CAST(final_rank AS INTEGER) AS final_rank
+FROM fr WHERE final_rank <= 10
+"""
+
+
+ORACLES["lm_stupid_backoff_filter"] = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2
+      AS par
+  FROM documents WHERE trim(text) <> ''
+), big AS (
+  SELECT doc_id, par,
+    unnest(w[1:len(w) - 1]) AS prev, unnest(w[2:len(w)]) AS nxt
+  FROM d WHERE len(w) >= 2
+), cb AS (
+  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS cb
+  FROM big WHERE par = 0 GROUP BY 1, 2
+), cc AS (
+  SELECT prev, CAST(sum(cb) AS BIGINT) AS cc FROM cb GROUP BY 1
+), cu AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cu
+  FROM (SELECT unnest(w) AS tok FROM d WHERE par = 0) GROUP BY 1
+), n AS (
+  SELECT CAST(sum(len(w)) AS BIGINT) AS n FROM d WHERE par = 0
+), scored AS (
+  SELECT b.doc_id,
+    round(CASE
+      WHEN cb.cb IS NOT NULL THEN ln(CAST(cb.cb AS DOUBLE) / cc.cc)
+      WHEN cu.cu IS NOT NULL THEN ln(0.4 * cu.cu / n.n)
+      ELSE ln(0.2 / n.n) END, 6) AS lp
+  FROM big b
+  LEFT JOIN cb ON b.prev = cb.prev AND b.nxt = cb.nxt
+  LEFT JOIN cc ON b.prev = cc.prev
+  LEFT JOIN cu ON b.nxt = cu.tok
+  CROSS JOIN n
+  WHERE b.par = 1
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    round(CAST(sum(CAST(lp AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6)
+      AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_logp,
+  CAST(ntile(3) OVER (ORDER BY avg_logp DESC, doc_id) AS INTEGER) AS tertile,
+  CAST(CASE WHEN ntile(3) OVER (ORDER BY avg_logp DESC, doc_id) <= 2
+       THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM agg
+"""
+
+
+ORACLES["layout_zorder_skipping"] = """
+WITH e AS (
+  SELECT event_id, CAST(user_id % 16 AS BIGINT) AS u,
+    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+      AS day
+  FROM events
+), s1 AS (
+  SELECT *,
+    ((u | (u << 8)) & 16711935) AS su1,
+    ((day | (day << 8)) & 16711935) AS sd1
+  FROM e
+), s2 AS (
+  SELECT *, ((su1 | (su1 << 4)) & 252645135) AS su2,
+            ((sd1 | (sd1 << 4)) & 252645135) AS sd2 FROM s1
+), s3 AS (
+  SELECT *, ((su2 | (su2 << 2)) & 858993459) AS su3,
+            ((sd2 | (sd2 << 2)) & 858993459) AS sd3 FROM s2
+), s4 AS (
+  SELECT event_id, u, day,
+    ((su3 | (su3 << 1)) & 1431655765) AS su,
+    ((sd3 | (sd3 << 1)) & 1431655765) AS sd
+  FROM s3
+), laid AS (
+  SELECT u, day,
+    ntile(64) OVER (ORDER BY (su | (sd << 1)), event_id) AS f_zorder,
+    ntile(64) OVER (ORDER BY event_id) AS f_linear,
+    ntile(64) OVER (ORDER BY u, event_id) AS f_user
+  FROM s4
+), stacked AS (
+  SELECT u, day, 'zorder' AS layout, f_zorder AS file_id FROM laid
+  UNION ALL
+  SELECT u, day, 'linear' AS layout, f_linear AS file_id FROM laid
+  UNION ALL
+  SELECT u, day, 'user' AS layout, f_user AS file_id FROM laid
+), zones AS (
+  SELECT layout, file_id, CAST(count(*) AS BIGINT) AS rows_,
+    min(u) AS min_u, max(u) AS max_u, min(day) AS min_d, max(day) AS max_d,
+    CAST(sum(CASE WHEN u BETWEEN 4 AND 7 AND day BETWEEN 7 AND 13
+             THEN 1 ELSE 0 END) AS BIGINT) AS match_rows
+  FROM stacked GROUP BY 1, 2
+)
+SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+  CAST(sum(CASE WHEN NOT (max_u < 4 OR min_u > 7 OR max_d < 7 OR min_d > 13)
+           THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+  CAST(sum(CASE WHEN NOT (max_u < 4 OR min_u > 7 OR max_d < 7 OR min_d > 13)
+           THEN rows_ ELSE 0 END) AS BIGINT) AS rows_read,
+  CAST(sum(match_rows) AS BIGINT) AS rows_match
+FROM zones GROUP BY layout
+"""

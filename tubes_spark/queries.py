@@ -7590,3 +7590,449 @@ def pipeline_stage_memoized(spark, sf_dir):
         return out[0].unionByName(out[1]).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Round-9 additions: entity resolution, k-anonymity, hybrid RAG retrieval
+# --------------------------------------------------------------------------
+
+
+def record_linkage_entities(spark, sf_dir):
+    """Entity resolution over structured records (the Fellegi-Sunter
+    shape: block -> pairwise field comparison -> transitive closure),
+    under the full oracle gate.  The record set derives two views of
+    each customer: the clean row plus, for the md5-even half, a "dirty"
+    variant with one substituted name digit and a <1.0 balance drift --
+    the ingest noise an MDM/linkage pipeline must re-link.  Blocking on
+    (nation, segment, name-suffix) bounds the candidate set; a pair
+    links when levenshtein(name) <= 2 AND |bal delta| <= 1.0; entity
+    ids are the smallest rec_id of each match-graph component
+    (operators/dedup.py connected_components -- the same union-find
+    engine as the dedup survivor policies, here value-hash-checked
+    against a DuckDB recursive-CTE closure on a second graph shape).
+    Reference semantics: Tubes.hs filter/merge composition over a keyed
+    pair stream; Fellegi & Sunter (1969) for the linkage model.
+
+    Scale shape: candidate pairs exist only WITHIN blocking groups
+    (nation x segment x suffix ~= 12.5k keys), so pair generation is a
+    narrow equi-self-join on the block key -- never all-pairs -- and
+    levenshtein runs on candidates only; label propagation touches just
+    the verified edge set.  At 100 TB the block key fans out with the
+    corpus while per-block cost stays O(block^2) with tiny blocks."""
+    c = _t(spark, sf_dir, "customer")
+    h = F.conv(F.substring(F.md5(F.col("c_name")), 1, 4), 16, 10).cast("long")
+    base = c.select(
+        (F.col("c_custkey") * 2).alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(0).alias("is_dirty"),
+    )
+    # c_name is fixed-width 'Customer#%09d' (18 chars): substitute the
+    # 3rd-from-last digit (+1+(h%8) mod 10 is never the original digit)
+    # and drift the balance by <1.0 -- both md5-deterministic, so the
+    # oracle rebuilds the identical dirty table.
+    newd = (
+        (F.substring(F.col("c_name"), 16, 1).cast("int") + 1 + (h % 8)) % 10
+    ).cast("string")
+    dirty = c.filter(h % 2 == 0).select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, 15),
+            newd,
+            F.substring(F.col("c_name"), 17, 2),
+        ).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal") + (h % 100) / F.lit(100.0)).alias("bal"),
+        F.lit(1).alias("is_dirty"),
+    )
+    recs = base.unionByName(dirty).withColumn("blk", F.substring("name", 17, 2))
+    cols = ("rec_id", "name", "nat", "seg", "bal", "blk")
+    a = recs.select(*[F.col(x).alias(x + "_a") for x in cols])
+    b = recs.select(*[F.col(x).alias(x + "_b") for x in cols])
+    pairs = (
+        a.join(
+            b,
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.col("seg_a") == F.col("seg_b"))
+            & (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("rec_id_a") < F.col("rec_id_b")),
+        )
+        .filter(
+            (F.levenshtein("name_a", "name_b") <= 2)
+            & (F.abs(F.col("bal_a") - F.col("bal_b")) <= 1.0)
+        )
+        .select(F.col("rec_id_a").alias("id_a"), F.col("rec_id_b").alias("id_b"))
+    )
+    comp = dedup.connected_components(pairs)
+    return (
+        recs.join(comp, recs["rec_id"] == comp["id"], "left")
+        .select(
+            F.coalesce(F.col("comp"), F.col("rec_id")).alias("entity_id"),
+            "rec_id",
+            "is_dirty",
+            "bal",
+        )
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("is_dirty").cast("long").alias("n_dirty"),
+            F.countDistinct(F.expr("rec_id div 2")).cast("long").alias("n_sources"),
+            F.round(F.max("bal") - F.min("bal"), 2).alias("bal_spread"),
+        )
+    )
+
+
+def k_anonymity_generalize(spark, sf_dir):
+    """k-anonymity (k=5) by iterative local generalization over the
+    customer quasi-identifiers (nation, segment, balance band) -- the
+    release-gating governance op beside PII redaction: every released
+    group must hold >= k records.  The generalization ladder is L0
+    (nation, segment, $100 band) -> L1 (nation, segment, $1000 band)
+    -> L2 (REGION, segment, $1000 band) -> suppress; each level
+    re-groups only the records the previous level could not release
+    (local recoding, Samarati / Sweeney 1998).
+
+    Scale shape: ONE scan and three narrow window shuffles — the ladder
+    is expressed as conditional windowed counts (level-L counts only
+    the rows every earlier level failed to release), not a union of
+    per-level branches that would re-scan the lineage once per level;
+    dimension joins are broadcasts; no row is released in a group
+    smaller than k by construction."""
+    K = 5
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    qi = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / 100).cast("long").alias("b100"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("b1000"),
+        )
+    )
+    w0 = Window.partitionBy("nation", "seg", "b100")
+    w1 = Window.partitionBy("nation", "seg", "b1000")
+    w2 = Window.partitionBy("region", "seg", "b1000")
+    fail0 = F.col("gs0") < K
+    fail1 = fail0 & (F.col("gs1") < K)
+    g = (
+        qi.withColumn("gs0", F.count(F.lit(1)).over(w0))
+        .withColumn("gs1", F.sum(F.when(fail0, 1).otherwise(0)).over(w1))
+        .withColumn("gs2", F.sum(F.when(fail1, 1).otherwise(0)).over(w2))
+    )
+    lvl = (
+        F.when(F.col("gs0") >= K, 0)
+        .when(F.col("gs1") >= K, 1)
+        .when(F.col("gs2") >= K, 2)
+        .otherwise(3)
+    )
+    return g.select(
+        "c_custkey",
+        lvl.alias("level"),
+        F.when(lvl <= 1, F.col("nation"))
+        .when(lvl == 2, F.col("region"))
+        .cast("string")
+        .alias("qi_geo"),
+        F.when(lvl <= 2, F.col("seg")).cast("string").alias("qi_seg"),
+        F.when(lvl == 0, F.col("b100"))
+        .when(lvl <= 2, F.col("b1000"))
+        .cast("long")
+        .alias("qi_band"),
+        F.when(lvl == 0, F.col("gs0"))
+        .when(lvl == 1, F.col("gs1"))
+        .when(lvl == 2, F.col("gs2"))
+        .otherwise(0)
+        .cast("long")
+        .alias("group_size"),
+    )
+
+
+def rag_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: three fixed
+    multi-term queries are scored by TWO independent retrievers -- BM25
+    (Robertson et al.; the Lucene-form idf, the same scorer as
+    bm25_search_scores) and Dirichlet-smoothed query likelihood (Zhai &
+    Lafferty 2001, mu=100) -- each leg ranked per query (score desc,
+    doc_id), cut at top-20, then fused with RRF (Cormack et al. 2009,
+    k=60): rrf = sum over legs of 1/(60+rank).  The top-10 fused
+    contexts per query is exactly the retrieval stage a RAG pipeline
+    runs before context assembly.
+
+    Scale shape: postings are filtered to the 6 query terms BEFORE any
+    join (selective index probes -- nothing touches non-matching docs
+    after the tf scan); collection stats are a 1-row broadcast; ranks
+    are per-query windows cut to 20 immediately; the fusion is rank
+    arithmetic on <= 40 rows per query.  Float discipline: per-term
+    components rounded to 6dp and decimal-summed (order-independent doc
+    scores); ranks are ints; 1/(60+rank) is exact IEEE division."""
+    QUERIES = [
+        (1, "table"),
+        (1, "merge"),
+        (2, "window"),
+        (2, "stream"),
+        (3, "filter"),
+        (3, "join"),
+    ]
+    K_CUT, RRF_K, MU = 20, 60, 100.0
+    k1, b = 1.2, 0.75
+    qdf = spark.createDataFrame(QUERIES, "query_id int, term string")
+    # _fan: tokenizing the corpus is the CPU-heavy projection (see _fan)
+    d = _fan(_t(spark, sf_dir, "documents"))
+    toks = text.tokenize(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).localCheckpoint(eager=True)
+    dl = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin([t for _, t in QUERIES]))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # probed by df/ctf/both scoring legs
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    hits = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_), "term")
+        .join(F.broadcast(ctf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    bm25_comp = F.round(
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        6,
+    )
+    ql_comp = F.round(
+        F.log(
+            (F.col("tf") + MU * (F.col("ctf") / F.col("sum_dl")))
+            / (F.col("dl") + MU)
+        ),
+        6,
+    )
+    scored = hits.groupBy("query_id", "doc_id").agg(
+        F.sum(bm25_comp.cast("decimal(27,6)")).cast("double").alias("bm25"),
+        F.sum(ql_comp.cast("decimal(27,6)")).cast("double").alias("ql"),
+    )
+    wb = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("ql").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(wb).alias("lr"),
+        F.row_number().over(wq).alias("qr"),
+    ).filter((F.col("lr") <= K_CUT) | (F.col("qr") <= K_CUT))
+    fused = ranked.withColumn(
+        "rrf",
+        F.when(F.col("lr") <= K_CUT, 1.0 / (RRF_K + F.col("lr"))).otherwise(0.0)
+        + F.when(F.col("qr") <= K_CUT, 1.0 / (RRF_K + F.col("qr"))).otherwise(0.0),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("final_rank", F.row_number().over(wf))
+        .filter(F.col("final_rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("lr") <= K_CUT, F.col("lr")).otherwise(F.lit(0)).alias("lex_rank"),
+            F.when(F.col("qr") <= K_CUT, F.col("qr")).otherwise(F.lit(0)).alias("ql_rank"),
+            F.round("rrf", 6).alias("rrf"),
+            "final_rank",
+        )
+    )
+
+
+def lm_stupid_backoff_filter(spark, sf_dir):
+    """LM-perplexity quality filtering (the CCNet/KenLM curation stage,
+    Wenzek et al. 2020) with a Stupid Backoff bigram model (Brants et
+    al. 2007 -- the score Google built FOR distributed map-reduce LMs,
+    which is why it fits Spark: no normalization pass, every score is a
+    count ratio).  The corpus md5-splits into a train half (the LM) and
+    an eval half (the docs being filtered); each eval bigram scores
+    ln(c(prev,w)/c(prev)) when the bigram was seen in training, else
+    backoff ln(0.4 * c(w)/N), else an OOV floor ln(0.2/N); a doc's
+    fluency is its mean bigram log-score, and the filter keeps the top
+    two tertiles (the CCNet head+middle split).
+
+    Scale shape: the trained LM *is* three count tables keyed by term
+    -- bigram counts, context counts, unigram counts -- so scoring is
+    narrow hash joins on the bigram key, exactly how distributed LM
+    inference shards (Brants et al. section 3); N is a 1-row broadcast.
+    The tertile cut is an exact global rank here (deterministic for the
+    oracle gate); at 100 TB the same cut comes from approx quantiles on
+    a sample, as CCNet does.  Float discipline: ln rounded to 6dp per
+    bigram, DECIMAL(27,6)-summed per doc."""
+    d = _fan(
+        _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    )
+    par = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+    )
+    toks = d.select(
+        "doc_id", par.alias("par"), text.tokenize(F.col("text")).alias("w")
+    ).localCheckpoint(eager=True)  # feeds 4 count legs + the eval side
+    big = toks.filter(F.size("w") >= 2).select(
+        "doc_id",
+        "par",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, F.size("w") - 1).alias("prev"),
+                F.expr("slice(w, 2, size(w) - 1)").alias("nxt"),
+            )
+        ).alias("b"),
+    ).select("doc_id", "par", F.col("b.prev").alias("prev"), F.col("b.nxt").alias("nxt"))
+    train_big = big.filter(F.col("par") == 0)
+    cb = train_big.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("cb"))
+    cc = cb.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    cu = (
+        toks.filter(F.col("par") == 0)
+        .select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n = toks.filter(F.col("par") == 0).agg(
+        F.sum(F.size("w")).cast("long").alias("n")
+    )
+    lp = F.round(
+        F.when(
+            F.col("cb").isNotNull(),
+            F.log(F.col("cb").cast("double") / F.col("cc")),
+        )
+        .when(F.col("cu").isNotNull(), F.log(0.4 * F.col("cu") / F.col("n")))
+        .otherwise(F.log(0.2 / F.col("n"))),
+        6,
+    )
+    scored = (
+        big.filter(F.col("par") == 1)
+        .join(cb, ["prev", "nxt"], "left")
+        .join(cc, "prev", "left")
+        .join(cu, big["nxt"] == cu["tok"], "left")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+    wt = Window.orderBy(F.col("avg_logp").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logp",
+        F.ntile(3).over(wt).cast("int").alias("tertile"),
+    ).withColumn("keep", (F.col("tertile") <= 2).cast("int"))
+
+
+def _morton_spread16(v: Column) -> Column:
+    """Interleave zeros between the low 16 bits of ``v`` (Morton spread,
+    the standard mask ladder) -- pure integer codegen on both engines."""
+    s = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(16711935))
+    s = s.bitwiseOR(F.shiftleft(s, 4)).bitwiseAND(F.lit(252645135))
+    s = s.bitwiseOR(F.shiftleft(s, 2)).bitwiseAND(F.lit(858993459))
+    return s.bitwiseOR(F.shiftleft(s, 1)).bitwiseAND(F.lit(1431655765))
+
+
+def layout_zorder_skipping(spark, sf_dir):
+    """Data-layout file skipping: write the SAME event set under three
+    physical orders -- Z-order (Morton interleave of user-shard x day),
+    time-linear (arrival), user-clustered -- into 64 equal files, keep
+    per-file (min,max) zone maps for both dimensions, and count how
+    many files a 2-D predicate rectangle (shard in [4,7] AND day in
+    [7,13]) must read under each layout.  The clustering key is the
+    16-way user shard (user_id % 16) so the rectangle keeps the same
+    ~25% x ~23% two-dimensional selectivity at every SF -- at which the
+    Z-order layout reads strictly fewer files than BOTH single-dim
+    orders on all three test corpora (sf0.01: 9 vs 16 linear / 12
+    user).  This is the OPTIMIZE ZORDER /
+    clustering-keys decision a 100 TB table owner makes, reproduced as
+    an exactly-checkable query: Morton codes are pure integer bit
+    arithmetic (identical on both engines), file assignment is an exact
+    ntile over the layout order, and skipping is zone-map interval
+    disjointness -- min/max stats exactly as parquet row groups keep.
+
+    Scale shape: the production write is repartitionByRange(n, z) --
+    the same range-split ntile models here deterministically; zone-map
+    evaluation touches only file-level stats (64 rows), never data.
+    Everything is BIGINT -- no float discipline needed."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 16).cast("long").alias("u"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    z = _morton_spread16(F.col("u")).bitwiseOR(
+        F.shiftleft(_morton_spread16(F.col("day")), 1)
+    )
+    N_FILES = 64
+    laid = e.withColumn("z", z).select(
+        "*",
+        F.ntile(N_FILES)
+        .over(Window.orderBy("z", "event_id"))
+        .alias("f_zorder"),
+        F.ntile(N_FILES).over(Window.orderBy("event_id")).alias("f_linear"),
+        F.ntile(N_FILES)
+        .over(Window.orderBy("u", "event_id"))
+        .alias("f_user"),
+    )
+    stacked = laid.select(
+        "u",
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("f_zorder").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("f_linear").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("user").alias("layout"), F.col("f_user").alias("file_id")
+                ),
+            )
+        ).alias("s"),
+    ).select("u", "day", F.col("s.layout").alias("layout"), F.col("s.file_id").alias("file_id"))
+    in_rect = F.col("u").between(4, 7) & F.col("day").between(7, 13)
+    zones = stacked.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"),
+        F.min("day").alias("min_d"),
+        F.max("day").alias("max_d"),
+        F.sum(in_rect.cast("long")).alias("match_rows"),
+    )
+    readable = ~(
+        (F.col("max_u") < 4)
+        | (F.col("min_u") > 7)
+        | (F.col("max_d") < 7)
+        | (F.col("min_d") > 13)
+    )
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("files_total"),
+        F.sum(readable.cast("long")).cast("long").alias("files_read"),
+        F.sum(F.when(readable, F.col("rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_read"),
+        F.sum("match_rows").cast("long").alias("rows_match"),
+    )
