@@ -9,7 +9,7 @@ from pathlib import Path
 import pandas as pd
 import pytest
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 # ------------------------------------------------------------------ memo
@@ -567,3 +567,53 @@ def test_morton_spread_is_interleave(spark):
         for i in range(16):
             expect |= ((r.v >> i) & 1) << (2 * i)
         assert r.s == expect, (r.v, r.s, expect)
+
+
+def test_write_zordered_physical_pruning(spark, tmp_path):
+    """The PHYSICAL z-order write: parquet footer stats of the two real
+    dimensions must let a 2-D rectangle skip more files than the
+    time-linear layout of the same rows, and the read-back answer must
+    be identical.  This is the on-disk counterpart of the
+    layout_zorder_skipping accounting query."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark import sources
+    from tubes_spark.catalog import load_table
+
+    e = load_table(spark, "events", SF_MED).select(
+        "event_id",
+        (F.col("user_id") % 16).cast("long").alias("u"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "l")
+    sources.write_zordered(e, zpath, "u", "day", n_files=64)
+    sources.write_sorted_by(e, lpath, ["event_id"], n_files=64)
+
+    def files_read(path):
+        stats = sources.parquet_file_stats(path, ["u", "day"])
+        assert len(stats) == 64 and all(
+            s["u_min"] is not None for s in stats
+        ), "footer stats missing"
+        return [
+            s
+            for s in stats
+            if not (
+                s["u_max"] < 4 or s["u_min"] > 7
+                or s["day_max"] < 7 or s["day_min"] > 13
+            )
+        ]
+
+    zread, lread = files_read(zpath), files_read(lpath)
+    assert len(zread) < len(lread), (len(zread), len(lread))
+
+    rect = (F.col("u").between(4, 7)) & (F.col("day").between(7, 13))
+    expect = sorted(r.event_id for r in e.filter(rect).collect())
+    got = sorted(
+        r.event_id for r in spark.read.parquet(zpath).filter(rect).collect()
+    )
+    assert got == expect
+
+    # the synthetic z key must NOT survive on disk
+    assert "__tubes_zkey" not in spark.read.parquet(zpath).columns

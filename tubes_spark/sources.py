@@ -258,3 +258,72 @@ def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
     for t in terms[1:]:
         out = out.bitwiseOR(t)
     return out
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   n_files: int | None = None, bits: int = 16,
+                   mode: str = "overwrite") -> None:
+    """Physically Z-order a table on two integer dimensions: cluster by
+    the Morton interleave of (col_a, col_b), write ``n_files`` range-
+    disjoint parquet files, and DROP the synthetic key — what survives
+    on disk is the footer min/max stats of the two REAL columns, which
+    is all a reader needs to skip files for predicates on either or
+    both dimensions (the lakehouse OPTIMIZE ZORDER write path;
+    layout_zorder_skipping is the exactly-checkable accounting twin of
+    this operator).
+
+    Scale shape: one range shuffle on the z key (sampled range
+    boundaries, same cost class as any global sort-write) + an in-
+    partition sort; no driver state.  The projection dropping the key
+    preserves the range partitioning — no second exchange."""
+    zcol = "__tubes_zkey"
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        z = df.withColumn(zcol, morton_key(F.col(col_a), F.col(col_b), bits))
+        w = (
+            z.repartitionByRange(*([n_files] if n_files else []), zcol)
+            .sortWithinPartitions(zcol)
+            .drop(zcol)
+        )
+        w.write.mode(mode).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def parquet_file_stats(path: str, cols: Sequence[str]) -> list[dict]:
+    """Per-FILE (min, max, rows) footer statistics for ``cols`` of every
+    parquet data file under ``path`` — the zone maps a scan planner
+    prunes with, read directly from the footers via pyarrow (no Spark
+    job).  Returns one dict per file, sorted by file name."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet") or name.startswith("_"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        row: dict = {"file": name, "rows": md.num_rows}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            row[f"{c}_min"], row[f"{c}_max"] = lo, hi
+        out.append(row)
+    return out
