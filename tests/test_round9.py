@@ -617,3 +617,30 @@ def test_write_zordered_physical_pruning(spark, tmp_path):
 
     # the synthetic z key must NOT survive on disk
     assert "__tubes_zkey" not in spark.read.parquet(zpath).columns
+
+
+def test_retrieval_eval_metrics_invariants(spark):
+    """Metric arithmetic sanity independent of the oracle: bounds,
+    denominator consistency, and MRR/first-hit agreement per leg."""
+    from tubes_spark import queries as Q
+
+    rows = Q.retrieval_eval_metrics(spark, SF_SMALL).collect()
+    assert len(rows) == 6  # 3 queries x 2 legs
+    assert {(r.query_id, r.leg) for r in rows} == {
+        (q, l) for q in (1, 2, 3) for l in ("bm25", "ql")
+    }
+    by_q = {}
+    for r in rows:
+        assert 0 <= r.recall_at_10 <= 1.0
+        assert 0 <= r.mrr_at_20 <= 1.0
+        assert 0 <= r.ndcg_at_10 <= 1.0 + 1e-9
+        assert r.hits_top10 <= 10 and r.hits_top10 <= r.n_relevant
+        assert abs(r.recall_at_10 - round(r.hits_top10 / r.n_relevant, 6)) < 1e-9
+        # a leg with top-10 hits must have found its first hit by rank 10
+        if r.hits_top10 > 0:
+            assert r.mrr_at_20 >= round(1.0 / 10, 6) - 1e-9
+            assert r.ndcg_at_10 > 0
+        by_q.setdefault(r.query_id, []).append(r)
+    # the relevance denominator is leg-independent
+    for q, rs in by_q.items():
+        assert len({r.n_relevant for r in rs}) == 1

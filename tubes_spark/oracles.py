@@ -3944,7 +3944,10 @@ FROM lv
 # bm25_search_scores float discipline; the QL leg is Dirichlet
 # smoothing (mu=100); ranks are ints on decimal-summed rounded scores
 # so row_number agrees bit-for-bit across engines.
-ORACLES["rag_hybrid_rrf"] = r"""
+# shared CTE chain: the two retrieval legs (BM25 + Dirichlet-QL),
+# ranked per query -- consumed by rag_hybrid_rrf (fusion) and
+# retrieval_eval_metrics (measurement)
+_RAG_RANKED = r"""
 WITH q(query_id, term) AS (
   VALUES (1, 'table'), (1, 'merge'), (2, 'window'), (2, 'stream'),
          (3, 'filter'), (3, 'join')
@@ -3980,7 +3983,9 @@ WITH q(query_id, term) AS (
     row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lr,
     row_number() OVER (PARTITION BY query_id ORDER BY ql DESC, doc_id) AS qr
   FROM scored
-), fused AS (
+)"""
+
+ORACLES["rag_hybrid_rrf"] = _RAG_RANKED + r""", fused AS (
   SELECT query_id, doc_id, lr, qr,
     (CASE WHEN lr <= 20 THEN 1.0 / (60 + lr) ELSE 0.0 END)
     + (CASE WHEN qr <= 20 THEN 1.0 / (60 + qr) ELSE 0.0 END) AS rrf
@@ -4093,4 +4098,46 @@ SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
            THEN rows_ ELSE 0 END) AS BIGINT) AS rows_read,
   CAST(sum(match_rows) AS BIGINT) AS rows_match
 FROM zones GROUP BY layout
+"""
+
+
+ORACLES["retrieval_eval_metrics"] = _RAG_RANKED + r""", legs AS (
+  SELECT query_id, doc_id, 'bm25' AS leg, lr AS rank FROM ranked WHERE lr <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 'ql' AS leg, qr AS rank FROM ranked WHERE qr <= 20
+), totals AS (
+  SELECT qq.query_id,
+    CAST(sum(CASE WHEN CAST(('0x' || substring(md5(
+      'q' || CAST(qq.query_id AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)
+    ), 1, 8)) AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+  FROM (SELECT DISTINCT query_id FROM q) qq CROSS JOIN documents d
+  GROUP BY 1
+), gain AS (
+  SELECT CAST(r AS INTEGER) AS rank, round(1.0 / log2(r + 1.0), 6) AS g
+  FROM range(1, 11) t(r)
+), labeled AS (
+  SELECT l.query_id, l.leg, l.rank, g.g,
+    CASE WHEN CAST(('0x' || substring(md5(
+      'q' || CAST(l.query_id AS VARCHAR) || ':' || CAST(l.doc_id AS VARCHAR)
+    ), 1, 8)) AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END AS rel
+  FROM legs l LEFT JOIN gain g ON l.rank = g.rank
+), per_leg AS (
+  SELECT query_id, leg,
+    CAST(sum(CASE WHEN rel = 1 AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      AS hits_top10,
+    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+    CAST(sum(CAST(CASE WHEN rel = 1 AND rank <= 10 THEN g ELSE 0.0 END
+      AS DECIMAL(27,6))) AS DOUBLE) AS dcg
+  FROM labeled GROUP BY 1, 2
+), idcg AS (
+  SELECT t.query_id, t.n_relevant,
+    CAST(sum(CAST(g.g AS DECIMAL(27,6))) AS DOUBLE) AS idcg
+  FROM totals t JOIN gain g ON g.rank <= least(10, t.n_relevant)
+  GROUP BY 1, 2
+)
+SELECT p.query_id, p.leg, i.n_relevant, p.hits_top10,
+  round(CAST(p.hits_top10 AS DOUBLE) / i.n_relevant, 6) AS recall_at_10,
+  round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr_at_20,
+  round(p.dcg / i.idcg, 6) AS ndcg_at_10
+FROM per_leg p JOIN idcg i USING (query_id)
 """

@@ -7754,24 +7754,17 @@ def k_anonymity_generalize(spark, sf_dir):
     )
 
 
-def rag_hybrid_rrf(spark, sf_dir):
-    """Hybrid retrieval with reciprocal-rank fusion: three fixed
-    multi-term queries are scored by TWO independent retrievers -- BM25
-    (Robertson et al.; the Lucene-form idf, the same scorer as
-    bm25_search_scores) and Dirichlet-smoothed query likelihood (Zhai &
-    Lafferty 2001, mu=100) -- each leg ranked per query (score desc,
-    doc_id), cut at top-20, then fused with RRF (Cormack et al. 2009,
-    k=60): rrf = sum over legs of 1/(60+rank).  The top-10 fused
-    contexts per query is exactly the retrieval stage a RAG pipeline
-    runs before context assembly.
+def _hybrid_ranked(spark, sf_dir):
+    """Shared retrieval legs for rag_hybrid_rrf / retrieval_eval_metrics:
+    three fixed multi-term queries scored by BM25 (Lucene-form idf) and
+    Dirichlet-smoothed query likelihood (mu=100), each leg ranked per
+    query (score desc, doc_id).  Returns (query_id, doc_id, lr, qr).
 
     Scale shape: postings are filtered to the 6 query terms BEFORE any
     join (selective index probes -- nothing touches non-matching docs
     after the tf scan); collection stats are a 1-row broadcast; ranks
-    are per-query windows cut to 20 immediately; the fusion is rank
-    arithmetic on <= 40 rows per query.  Float discipline: per-term
-    components rounded to 6dp and decimal-summed (order-independent doc
-    scores); ranks are ints; 1/(60+rank) is exact IEEE division."""
+    are per-query windows.  Float discipline: per-term components
+    rounded to 6dp and decimal-summed (order-independent doc scores)."""
     QUERIES = [
         (1, "table"),
         (1, "merge"),
@@ -7780,7 +7773,7 @@ def rag_hybrid_rrf(spark, sf_dir):
         (3, "filter"),
         (3, "join"),
     ]
-    K_CUT, RRF_K, MU = 20, 60, 100.0
+    MU = 100.0
     k1, b = 1.2, 0.75
     qdf = spark.createDataFrame(QUERIES, "query_id int, term string")
     # _fan: tokenizing the corpus is the CPU-heavy projection (see _fan)
@@ -7828,12 +7821,26 @@ def rag_hybrid_rrf(spark, sf_dir):
     )
     wb = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
     wq = Window.partitionBy("query_id").orderBy(F.col("ql").desc(), F.col("doc_id"))
-    ranked = scored.select(
+    return scored.select(
         "query_id",
         "doc_id",
         F.row_number().over(wb).alias("lr"),
         F.row_number().over(wq).alias("qr"),
-    ).filter((F.col("lr") <= K_CUT) | (F.col("qr") <= K_CUT))
+    )
+
+
+def rag_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: the two
+    _hybrid_ranked legs cut at top-20, fused with RRF (Cormack et al.
+    2009, k=60): rrf = sum over legs of 1/(60+rank).  The top-10 fused
+    contexts per query is exactly the retrieval stage a RAG pipeline
+    runs before context assembly.  The fusion is rank arithmetic on
+    <= 40 rows per query; ranks are ints; 1/(60+rank) is exact IEEE
+    division."""
+    K_CUT, RRF_K = 20, 60
+    ranked = _hybrid_ranked(spark, sf_dir).filter(
+        (F.col("lr") <= K_CUT) | (F.col("qr") <= K_CUT)
+    )
     fused = ranked.withColumn(
         "rrf",
         F.when(F.col("lr") <= K_CUT, 1.0 / (RRF_K + F.col("lr"))).otherwise(0.0)
@@ -8035,4 +8042,113 @@ def layout_zorder_skipping(spark, sf_dir):
         .cast("long")
         .alias("rows_read"),
         F.sum("match_rows").cast("long").alias("rows_match"),
+    )
+
+
+def retrieval_eval_metrics(spark, sf_dir):
+    """Retrieval evaluation harness over the two _hybrid_ranked legs:
+    Recall@10, MRR@20 and nDCG@10 per (query, leg) -- the measurement
+    stage that decides WHICH retriever configuration a RAG pipeline
+    ships.  Relevance labels are md5-deterministic pseudo-judgments
+    (1-in-5 of the corpus per query) so the metric ARITHMETIC -- the
+    part that must be exactly right -- is value-hash-gated end to end;
+    swapping in human qrels is a one-column change.
+
+    Metric discipline: gain terms 1/log2(rank+1) are rounded to 6dp and
+    DECIMAL-summed (rank-indexed, so DCG and the R-truncated ideal DCG
+    share the same term table); recall divides exact BIGINT counts; MRR
+    is 1/first-relevant-rank within the top-20 cut, 0.0 when the leg
+    surfaces nothing relevant.  Scale shape: metrics join the top-20
+    cut (<= 40 rows per query) against the label predicate -- only the
+    corpus-wide relevant COUNT touches the full table, one narrow agg;
+    the 10-row gain table is a broadcast."""
+    ranked = _hybrid_ranked(spark, sf_dir)
+    legs = ranked.select(
+        "query_id",
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("bm25").alias("leg"), F.col("lr").alias("rank")),
+                F.struct(F.lit("ql").alias("leg"), F.col("qr").alias("rank")),
+            )
+        ).alias("s"),
+    ).select(
+        "query_id", "doc_id", F.col("s.leg").alias("leg"), F.col("s.rank").alias("rank")
+    ).filter(F.col("rank") <= 20)
+
+    def rel(qcol, dcol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("q"),
+                            qcol.cast("string"),
+                            F.lit(":"),
+                            dcol.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            == 0
+        )
+
+    # corpus-wide relevant count per query (the recall denominator)
+    qids = spark.range(1, 4).select(F.col("id").cast("int").alias("query_id"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    totals = (
+        docs.crossJoin(F.broadcast(qids))
+        .groupBy("query_id")
+        .agg(
+            F.sum(rel(F.col("query_id"), F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_relevant")
+        )
+    )
+    gain = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("rank"),
+        F.round(1.0 / F.log2(F.col("id") + 1.0), 6).alias("g"),
+    )
+    labeled = legs.withColumn(
+        "rel", rel(F.col("query_id"), F.col("doc_id")).cast("int")
+    ).join(F.broadcast(gain), "rank", "left")
+    per_leg = labeled.groupBy("query_id", "leg").agg(
+        F.sum(F.when((F.col("rel") == 1) & (F.col("rank") <= 10), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_top10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(
+            F.when((F.col("rel") == 1) & (F.col("rank") <= 10), F.col("g"))
+            .otherwise(0.0)
+            .cast("decimal(27,6)")
+        )
+        .cast("double")
+        .alias("dcg"),
+    )
+    idcg = (
+        totals.crossJoin(F.broadcast(gain))
+        .filter(F.col("rank") <= F.least(F.lit(10), F.col("n_relevant")))
+        .groupBy("query_id", "n_relevant")
+        .agg(F.sum(F.col("g").cast("decimal(27,6)")).cast("double").alias("idcg"))
+    )
+    return (
+        per_leg.join(F.broadcast(idcg), "query_id")
+        .select(
+            "query_id",
+            "leg",
+            "n_relevant",
+            "hits_top10",
+            F.round(F.col("hits_top10") / F.col("n_relevant"), 6).alias(
+                "recall_at_10"
+            ),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr_at_20"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        )
     )
