@@ -205,6 +205,7 @@ HEADLINE = [
     "lm_stupid_backoff_filter",       # bigram LM perplexity curation filter
     "layout_zorder_skipping",         # Morton layout + zone-map skipping
     "retrieval_eval_metrics",         # recall/MRR/nDCG over the hybrid legs
+    "gdpr_delete_roundtrip",          # atomic right-to-be-forgotten rewrite
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

@@ -644,3 +644,129 @@ def test_retrieval_eval_metrics_invariants(spark):
     # the relevance denominator is leg-independent
     for q, rs in by_q.items():
         assert len({r.n_relevant for r in rs}) == 1
+
+
+# ------------------------------------------- right-to-be-forgotten delete
+
+
+def _write_group_epochs(spark, g, frames):
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    sink = Sink.atomic_parquet_group(g, {"a": None, "b": None})
+    for ep, df in enumerate(frames):
+        token = _CURRENT_EPOCH.set(ep)
+        try:
+            sink(df)
+        finally:
+            _CURRENT_EPOCH.reset(token)
+    return sink
+
+
+def test_delete_rows_atomic_scrubs_history_and_disk(spark, tmp_path):
+    """The delete must (1) remove matching rows from the live view,
+    (2) remove them from EVERY as-of snapshot (GDPR beats time travel),
+    (3) leave no byte of them on disk after the purge, (4) keep the
+    epoch lineage of surviving rows, and (5) be idempotent."""
+    import glob
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import Sink
+
+    g = str(tmp_path / "grp")
+    frames = [
+        spark.range(0, 10).withColumn("u", F.col("id") % 4),
+        spark.range(10, 20).withColumn("u", F.col("id") % 4),
+        spark.range(20, 30).withColumn("u", F.col("id") % 4),
+    ]
+    _write_group_epochs(spark, g, frames)
+
+    n = Sink.delete_rows_atomic(spark, g, "u = 3")
+    assert n == {"a": 7, "b": 7}  # ids 3,7,11,15,19,23,27
+
+    live = Sink.read_atomic_group(spark, g, "a")
+    ids = sorted(r.id for r in live.collect())
+    assert ids == [i for i in range(30) if i % 4 != 3]
+    # epoch lineage survives for the keepers
+    eps = {r.id: r.epoch for r in live.collect()}
+    assert eps[0] == 0 and eps[12] == 1 and eps[29] == 2
+
+    # time travel still works but never returns a purged row
+    snap0 = Sink.read_atomic_group(spark, g, "b", as_of_epoch=0)
+    assert sorted(r.id for r in snap0.collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    snap1 = Sink.read_atomic_group(spark, g, "b", as_of_epoch=1)
+    assert all(r.u != 3 for r in snap1.collect())
+
+    # disk-level scrub: no remaining parquet file contains u = 3
+    con = duckdb.connect()
+    for f in glob.glob(f"{g}/**/*.parquet", recursive=True):
+        cnt = con.execute(
+            f"SELECT count(*) FROM read_parquet('{f}') WHERE u = 3"
+        ).fetchone()[0]
+        assert cnt == 0, f
+    con.close()
+
+    # idempotent rerun
+    assert Sink.delete_rows_atomic(spark, g, "u = 3") == {"a": 0, "b": 0}
+
+
+def test_delete_rows_atomic_crash_before_marker_is_invisible(spark, tmp_path, monkeypatch):
+    """A crash after the consolidated no-match copies land but BEFORE
+    the marker repoints must leave readers on the full pre-delete
+    table; the rerun completes the scrub."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import Sink
+
+    g = str(tmp_path / "grp")
+    _write_group_epochs(
+        spark, g, [spark.range(0, 12).withColumn("u", F.col("id") % 3)]
+    )
+
+    real_replace = _os.replace
+    def crashing_replace(src, dst):
+        if "_compacted" in str(dst):
+            raise RuntimeError("injected crash at the marker")
+        return real_replace(src, dst)
+
+    import tubes_spark.sink as sinkmod
+    monkeypatch.setattr(sinkmod.os, "replace", crashing_replace)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected"):
+        Sink.delete_rows_atomic(spark, g, "u = 1")
+    monkeypatch.setattr(sinkmod.os, "replace", real_replace)
+
+    # torn delete is invisible
+    assert Sink.read_atomic_group(spark, g, "a").count() == 12
+    # rerun completes and sweeps the dead dir
+    n = Sink.delete_rows_atomic(spark, g, "u = 1")
+    assert n["a"] == 4
+    assert Sink.read_atomic_group(spark, g, "a").count() == 8
+
+
+def test_delete_rows_atomic_per_leaf_predicates_and_later_epochs(spark, tmp_path):
+    """Per-leaf predicates apply independently; an epoch committed
+    AFTER the delete is untouched by it (documented bound)."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    g = str(tmp_path / "grp")
+    sink = _write_group_epochs(
+        spark, g, [spark.range(0, 10).withColumn("u", F.col("id") % 4)]
+    )
+    n = Sink.delete_rows_atomic(spark, g, {"a": "u = 0", "b": "u = 1"})
+    assert n["a"] == 3 and n["b"] == 3  # u=0: ids 0,4,8; u=1: ids 1,5,9
+    assert all(r.u != 0 for r in Sink.read_atomic_group(spark, g, "a").collect())
+    assert all(r.u != 1 for r in Sink.read_atomic_group(spark, g, "b").collect())
+
+    token = _CURRENT_EPOCH.set(1)
+    try:
+        sink(spark.range(100, 104).withColumn("u", F.col("id") % 4))
+    finally:
+        _CURRENT_EPOCH.reset(token)
+    a = Sink.read_atomic_group(spark, g, "a")
+    assert a.filter("id >= 100").count() == 4  # new epoch unaffected

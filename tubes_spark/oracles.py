@@ -4141,3 +4141,28 @@ SELECT p.query_id, p.leg, i.n_relevant, p.hits_top10,
   round(p.dcg / i.idcg, 6) AS ndcg_at_10
 FROM per_leg p JOIN idcg i USING (query_id)
 """
+
+
+ORACLES["gdpr_delete_roundtrip"] = """
+WITH g AS (
+  SELECT user_id, event_id % 2 AS ep, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT 'before' AS stage, 'raw' AS leaf, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(event_id) AS BIGINT) AS key_sum FROM events
+UNION ALL
+SELECT 'before', 'agg', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT) FROM g
+UNION ALL
+SELECT 'after_delete', 'raw', CAST(count(*) AS BIGINT),
+  CAST(sum(event_id) AS BIGINT) FROM events WHERE user_id % 7 <> 3
+UNION ALL
+SELECT 'after_delete', 'agg', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+FROM g WHERE user_id % 7 <> 3
+UNION ALL
+SELECT 'asof0_after', 'raw', CAST(count(*) AS BIGINT),
+  CAST(sum(event_id) AS BIGINT) FROM events
+WHERE user_id % 7 <> 3 AND event_id % 2 = 0
+UNION ALL
+SELECT 'asof0_after', 'agg', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+FROM g WHERE user_id % 7 <> 3 AND ep = 0
+"""

@@ -8152,3 +8152,70 @@ def retrieval_eval_metrics(spark, sf_dir):
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
         )
     )
+
+
+def gdpr_delete_roundtrip(spark, sf_dir):
+    """Right-to-be-forgotten under the ORACLE gate: events land in an
+    atomic_parquet_group as two epochs (event_id parity) across two
+    leaves -- raw rows and per-(user, epoch) aggregates -- then
+    sink.Sink.delete_rows_atomic scrubs one user cohort (user_id % 7 =
+    3) from BOTH leaves and the WHOLE commit history.  Three snapshots
+    reduce the protocol to plain SQL over the input: 'before' (full
+    table), 'after_delete' (live view minus the cohort), and
+    'asof0_after' (the as-of-epoch-0 time-travel read AFTER the delete
+    -- the purged rows must be gone from history too, the GDPR
+    requirement that wins over snapshot immutability).  Any marker/
+    rewrite bug -- a leaf scrubbed but not published, a snapshot
+    leaking purged rows, epoch lineage lost in the rewrite -- lands as
+    a value-hash mismatch.
+
+    Scale shape: the delete is one filtered scan + consolidated write
+    per leaf (compaction cost class) and one atomic marker rename; the
+    6-row output is driver-side by construction."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .localCheckpoint(eager=True)
+    )
+    tmp = tempfile.mkdtemp(prefix="tubes_gdpr_")
+    sink = Sink.atomic_parquet_group(
+        tmp,
+        {
+            "raw": None,
+            "agg": lambda df: df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        },
+    )
+    rows = []
+
+    def snapshot(stage, as_of=None):
+        for leaf, key in (("raw", F.sum("event_id")), ("agg", F.sum("n"))):
+            r = (
+                Sink.read_atomic_group(spark, tmp, leaf, as_of_epoch=as_of)
+                .agg(F.count(F.lit(1)).alias("nr"), key.alias("ks"))
+                .first()
+            )
+            rows.append((stage, leaf, int(r["nr"]), int(r["ks"])))
+
+    try:
+        for ep in (0, 1):
+            token = _CURRENT_EPOCH.set(ep)
+            try:
+                sink(e.filter(F.col("event_id") % 2 == ep))
+            finally:
+                _CURRENT_EPOCH.reset(token)
+        snapshot("before")
+        Sink.delete_rows_atomic(spark, tmp, "user_id % 7 = 3")
+        snapshot("after_delete")
+        snapshot("asof0_after", as_of=0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "stage string, leaf string, n_rows long, key_sum long"
+    )

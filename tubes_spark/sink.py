@@ -348,6 +348,97 @@ class Sink:
         return k
 
     @staticmethod
+    def delete_rows_atomic(
+        spark,
+        group_dir: str,
+        predicate: "str | dict[str, str]",
+        leaves: "Sequence[str] | None" = None,
+        purge: bool = True,
+    ) -> "dict[str, int]":
+        """Right-to-be-forgotten over an :meth:`atomic_parquet_group`:
+        rewrite the table WITHOUT the rows matching ``predicate`` (a
+        SQL boolean, or one per leaf) and publish the deletion with the
+        same marker discipline as compaction — readers see either the
+        full pre-delete table or the post-delete one, never a leaf
+        half-scrubbed.  Unlike compaction this is NOT a pure layout
+        change: the delete applies to the whole commit HISTORY, so
+        ``as_of_epoch`` snapshots stop returning the purged rows too —
+        the GDPR requirement that wins over time travel (the same
+        resolution Delta/Iceberg reach via VACUUM, except here history
+        MINUS the purged rows stays queryable because the consolidated
+        layout keeps the epoch column).
+
+        Crash contract: consolidated no-match copies land under
+        run-unique dirs first, the ``_compacted/<K>`` marker atomically
+        repoints last (rename-over-existing is atomic), and the
+        physical purge of superseded dirs runs after publish — a crash
+        anywhere leaves readers on a complete view, and RERUNNING the
+        delete finishes both the logical scrub (idempotent: second run
+        deletes 0) and the physical sweep.  Compliance note: data is
+        only physically gone when this returns with ``purge=True``;
+        epochs committed AFTER the delete are untouched by it.
+
+        Scale shape: one filtered scan + consolidated write per leaf
+        (the same cost class as compaction), counts are bounded driver
+        scalars, markers are single files."""
+        import shutil as _shutil
+        import uuid as _uuid
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
+        epochs, _prev_k, _prev_dir = Sink._committed_epochs(group_dir)
+        if not epochs:
+            raise ValueError(f"no committed epochs under {group_dir}")
+        k = max(epochs)
+        if leaves is None:
+            leaves = [
+                p.name
+                for p in Path(group_dir).iterdir()
+                if p.is_dir() and not p.name.startswith("_")
+            ]
+        preds = (
+            predicate if isinstance(predicate, dict)
+            else {name: predicate for name in leaves}
+        )
+        missing = set(leaves) - set(preds)
+        if missing:
+            raise ValueError(f"no delete predicate for leaves {sorted(missing)}")
+        deleted: "dict[str, int]" = {}
+        new_dir = f"upto={k}.del.{_uuid.uuid4().hex[:8]}"
+        for name in sorted(leaves):
+            df = Sink.read_atomic_group(spark, group_dir, name)
+            hit = F.coalesce(F.expr(preds[name]), F.lit(False))
+            deleted[name] = df.filter(hit).count()
+            tmp = f"{group_dir}/{name}/compact/.tmp.{new_dir}"
+            df.filter(~hit).withColumn(
+                "epoch", F.col("epoch").cast("int")
+            ).write.mode("overwrite").parquet(tmp)
+            os.replace(tmp, f"{group_dir}/{name}/compact/{new_dir}")
+        marker_dir = Path(group_dir) / "_compacted"
+        marker_dir.mkdir(parents=True, exist_ok=True)
+        mtmp = marker_dir / f".tmp.{k}"
+        mtmp.write_text(new_dir)
+        os.replace(mtmp, marker_dir / str(k))  # the atomic delete-visibility point
+        if purge:
+            for name in leaves:
+                for e in epochs:
+                    _shutil.rmtree(
+                        f"{group_dir}/{name}/data/epoch={e}", ignore_errors=True
+                    )
+                cdir = Path(f"{group_dir}/{name}/compact")
+                if cdir.exists():
+                    for p in cdir.iterdir():
+                        if p.name != new_dir:
+                            _shutil.rmtree(p, ignore_errors=True)
+            for p in marker_dir.iterdir():
+                if p.name.startswith("."):
+                    p.unlink(missing_ok=True)
+                elif int(p.name) < k:
+                    p.unlink(missing_ok=True)  # superseded compaction markers
+        return deleted
+
+    @staticmethod
     def memory(out: list) -> "Sink":
         """Collect into a driver-side list — ``display`` test double
         (Tubes.hs:193-196)."""
