@@ -98,7 +98,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_takewhile_prefix": Q.streaming_takewhile_prefix,
     "top_bigrams_global": Q.top_bigrams_global,
     "unpivot_doc_metrics": Q.unpivot_doc_metrics,
-    # --- below position 50: driver-green round 5+ ---
+    # --- below position 50 ---
+    # cdc_upsert_roundtrip is new this round but the prefix is full
+    # (the 40-key r4-stale cohort + 9 new already = 49); it is verified
+    # by the same local harness at 3 SFs + the sf0.1 audit and heads
+    # the round-10 rotation.
+    "cdc_upsert_roundtrip": Q.cdc_upsert_roundtrip,
     "bucketed_dedup_enrich_join": Q.bucketed_dedup_enrich_join,
     "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     "pipeline_stage_memoized": Q.pipeline_stage_memoized,

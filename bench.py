@@ -206,6 +206,7 @@ HEADLINE = [
     "layout_zorder_skipping",         # Morton layout + zone-map skipping
     "retrieval_eval_metrics",         # recall/MRR/nDCG over the hybrid legs
     "gdpr_delete_roundtrip",          # atomic right-to-be-forgotten rewrite
+    "cdc_upsert_roundtrip",           # MoR upsert + tombstones + CoW flip
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

@@ -94,6 +94,7 @@ LINEAR_QUERIES = [
     "layout_zorder_skipping",        # integer bit codegen + 64-row zone maps
     "retrieval_eval_metrics",        # top-20 legs + one narrow label agg
     "gdpr_delete_roundtrip",         # per-leaf filtered rewrite + marker
+    "cdc_upsert_roundtrip",          # epoch append + key window + CoW
     # NOT probed: record_linkage_entities / k_anonymity_generalize read
     # the TPC-H dim tables, which build_synth pins at base scale — a
     # "10x" row for them would time an unchanged input (the r8 probe-

@@ -770,3 +770,56 @@ def test_delete_rows_atomic_per_leaf_predicates_and_later_epochs(spark, tmp_path
         _CURRENT_EPOCH.reset(token)
     a = Sink.read_atomic_group(spark, g, "a")
     assert a.filter("id >= 100").count() == 4  # new epoch unaffected
+
+
+def test_read_atomic_latest_and_compact_to_latest(spark, tmp_path):
+    """Latest-wins resolution, tombstone deletes, CoW equivalence, and
+    the documented forfeit of pre-compaction versions."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    g = str(tmp_path / "grp")
+    sink = Sink.atomic_parquet_group(g, {"s": None})
+
+    def write(ep, rows):
+        df = spark.createDataFrame(rows, "k long, v long, deleted boolean")
+        token = _CURRENT_EPOCH.set(ep)
+        try:
+            sink(df)
+        finally:
+            _CURRENT_EPOCH.reset(token)
+
+    write(0, [(1, 10, False), (2, 20, False), (3, 30, False)])
+    write(1, [(2, 21, False), (3, 31, True), (4, 40, False)])  # upd/del/ins
+
+    latest = Sink.read_atomic_latest(spark, g, "s", ["k"], tombstone="deleted")
+    got = {r.k: (r.v, r.epoch) for r in latest.collect()}
+    assert got == {1: (10, 0), 2: (21, 1), 4: (40, 1)}
+
+    # without the tombstone filter the deleted key's latest row is visible
+    raw_latest = Sink.read_atomic_latest(spark, g, "s", ["k"])
+    assert {r.k for r in raw_latest.collect()} == {1, 2, 3, 4}
+
+    kept = Sink.compact_to_latest(spark, g, ["k"], tombstone="deleted")
+    assert kept == {"s": 3}
+    after = Sink.read_atomic_group(spark, g, "s")
+    assert {r.k: (r.v, r.epoch) for r in after.collect()} == got
+    # superseded version (k=2, v=20) is physically gone
+    import glob
+
+    import duckdb
+
+    con = duckdb.connect()
+    for f in glob.glob(f"{g}/**/*.parquet", recursive=True):
+        assert (
+            con.execute(
+                f"SELECT count(*) FROM read_parquet('{f}') WHERE k = 2 AND v = 20"
+            ).fetchone()[0]
+            == 0
+        ), f
+    con.close()
+    # pre-compaction time travel is forfeited: as-of 0 now shows only
+    # surviving epoch-0 rows (k=1), not the superseded k=2/k=3 versions
+    asof0 = Sink.read_atomic_group(spark, g, "s", as_of_epoch=0)
+    assert {r.k for r in asof0.collect()} == {1}

@@ -4166,3 +4166,33 @@ UNION ALL
 SELECT 'asof0_after', 'agg', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
 FROM g WHERE user_id % 7 <> 3 AND ep = 0
 """
+
+
+ORACLES["cdc_upsert_roundtrip"] = """
+WITH d AS (
+  SELECT user_id,
+    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+      AS day
+  FROM events
+), base AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM d WHERE day < 20
+  GROUP BY 1
+), late AS (
+  SELECT DISTINCT user_id FROM d WHERE day >= 20
+), full_tot AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+), latest AS (
+  SELECT f.user_id, f.n FROM full_tot f JOIN late l USING (user_id)
+  WHERE f.user_id % 10 <> 4
+  UNION ALL
+  SELECT b.user_id, b.n FROM base b
+  WHERE b.user_id NOT IN (SELECT user_id FROM late)
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(n) AS BIGINT) AS sum_n,
+    CAST(sum(user_id) AS BIGINT) AS sum_uid
+  FROM latest
+)
+SELECT 'merged' AS stage, n_users, sum_n, sum_uid FROM agg
+UNION ALL
+SELECT 'compacted', n_users, sum_n, sum_uid FROM agg
+"""

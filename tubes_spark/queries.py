@@ -8219,3 +8219,81 @@ def gdpr_delete_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "stage string, leaf string, n_rows long, key_sum long"
     )
+
+
+def cdc_upsert_roundtrip(spark, sf_dir):
+    """MERGE / upsert semantics under the ORACLE gate, merge-on-read
+    form: epoch 0 of an atomic_parquet_group holds per-user event
+    totals for the first 20 days; epoch 1 is an UPSERT batch -- every
+    user active on day >= 20 gets a replacement row with the all-days
+    total, and the user_id % 10 = 4 cohort among them gets a TOMBSTONE
+    instead.  sink.Sink.read_atomic_latest resolves the log latest-
+    wins-with-tombstones (upsert = one appended epoch, merge at read);
+    sink.Sink.compact_to_latest then rewrites to the surviving rows
+    (the copy-on-write flip) and the second snapshot must aggregate
+    identically -- so a wrong window frame, a tombstone leak, or a
+    compaction that resurrects a superseded version is a value-hash
+    mismatch.  With delete_rows_atomic this completes the DML triad
+    (append / delete / merge) on the atomic-group layout.
+
+    Scale shape: the MoR read costs one key-window over committed
+    epochs; the CoW rewrite is compaction-class; the upsert itself is
+    a plain epoch append.  4-row output by construction."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    d = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day"),
+    )
+    base = (
+        d.filter(F.col("day") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("deleted", F.lit(False))
+    )
+    upd = (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max((F.col("day") >= 20).cast("int")).alias("active_late"),
+        )
+        .filter(F.col("active_late") == 1)
+        .select(
+            "user_id", "n", (F.col("user_id") % 10 == 4).alias("deleted")
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="tubes_cdc_")
+    sink = Sink.atomic_parquet_group(tmp, {"state": None})
+    rows = []
+
+    def snapshot(stage, df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("nu"),
+            F.sum("n").alias("sn"),
+            F.sum("user_id").alias("su"),
+        ).first()
+        rows.append((stage, int(r["nu"]), int(r["sn"]), int(r["su"])))
+
+    try:
+        for ep, batch in ((0, base), (1, upd)):
+            token = _CURRENT_EPOCH.set(ep)
+            try:
+                sink(batch)
+            finally:
+                _CURRENT_EPOCH.reset(token)
+        snapshot(
+            "merged",
+            Sink.read_atomic_latest(
+                spark, tmp, "state", ["user_id"], tombstone="deleted"
+            ),
+        )
+        Sink.compact_to_latest(spark, tmp, ["user_id"], tombstone="deleted")
+        snapshot("compacted", Sink.read_atomic_group(spark, tmp, "state"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "stage string, n_users long, sum_n long, sum_uid long"
+    )

@@ -348,6 +348,110 @@ class Sink:
         return k
 
     @staticmethod
+    def read_atomic_latest(
+        spark,
+        group_dir: str,
+        name: str,
+        key_cols: "Sequence[str]",
+        tombstone: "str | None" = None,
+    ) -> DataFrame:
+        """MERGE-ON-READ view of an :meth:`atomic_parquet_group` leaf:
+        the epoch log is an append-only CDC stream, and this read
+        resolves it to latest-wins per key — a row in a newer committed
+        epoch REPLACES the same key's older row, and (with
+        ``tombstone``) a latest row whose tombstone column is true
+        DELETES the key.  Upsert therefore costs one appended epoch
+        (no rewrite at all) and the merge happens at read time — the
+        Iceberg/Hudi MoR trade, with :meth:`compact_to_latest` as the
+        copy-on-write counterpart when read amplification grows.
+
+        Requires at most one row per key per epoch (an aggregated
+        upsert batch satisfies this by construction; ties within an
+        epoch would make latest-wins nondeterministic, so don't).
+
+        Scale shape: one window over the key — the same shuffle a
+        MERGE's join would pay, but against only the committed epochs
+        a reader touches anyway; no driver state."""
+        from pyspark.sql import Window
+
+        df = Sink.read_atomic_group(spark, group_dir, name)
+        w = Window.partitionBy(*key_cols).orderBy(F.col("epoch").desc())
+        out = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if tombstone is not None:
+            out = out.filter(~F.coalesce(F.col(tombstone), F.lit(False)))
+        return out
+
+    @staticmethod
+    def compact_to_latest(
+        spark,
+        group_dir: str,
+        key_cols: "Sequence[str]",
+        tombstone: "str | None" = None,
+        leaves: "Sequence[str] | None" = None,
+        purge: bool = True,
+    ) -> "dict[str, int]":
+        """Copy-on-write counterpart of :meth:`read_atomic_latest`:
+        rewrite each leaf to ONLY the latest-wins surviving rows
+        (tombstoned keys dropped for good) and publish with the same
+        run-unique-dir + atomic-marker discipline as
+        :meth:`delete_rows_atomic`.  Run it when the epoch log's read
+        amplification outgrows the merge-on-read window — after it,
+        reads need no window at all.
+
+        Honesty bound: this FORFEITS pre-compaction time travel — an
+        ``as_of_epoch`` read afterwards sees only surviving rows (each
+        still stamped with the epoch that produced it), not superseded
+        versions; keep reading merge-on-read if you need full history.
+        Returns per-leaf surviving-row counts."""
+        import shutil as _shutil
+        import uuid as _uuid
+        from pathlib import Path
+
+        epochs, _pk, _pd = Sink._committed_epochs(group_dir)
+        if not epochs:
+            raise ValueError(f"no committed epochs under {group_dir}")
+        k = max(epochs)
+        if leaves is None:
+            leaves = [
+                p.name
+                for p in Path(group_dir).iterdir()
+                if p.is_dir() and not p.name.startswith("_")
+            ]
+        kept: "dict[str, int]" = {}
+        new_dir = f"upto={k}.latest.{_uuid.uuid4().hex[:8]}"
+        for name in sorted(leaves):
+            df = Sink.read_atomic_latest(
+                spark, group_dir, name, key_cols, tombstone=tombstone
+            )
+            kept[name] = df.count()
+            tmp = f"{group_dir}/{name}/compact/.tmp.{new_dir}"
+            df.withColumn("epoch", F.col("epoch").cast("int")).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            os.replace(tmp, f"{group_dir}/{name}/compact/{new_dir}")
+        marker_dir = Path(group_dir) / "_compacted"
+        marker_dir.mkdir(parents=True, exist_ok=True)
+        mtmp = marker_dir / f".tmp.{k}"
+        mtmp.write_text(new_dir)
+        os.replace(mtmp, marker_dir / str(k))
+        if purge:
+            for name in leaves:
+                for e in epochs:
+                    _shutil.rmtree(
+                        f"{group_dir}/{name}/data/epoch={e}", ignore_errors=True
+                    )
+                cdir = Path(f"{group_dir}/{name}/compact")
+                if cdir.exists():
+                    for p in cdir.iterdir():
+                        if p.name != new_dir:
+                            _shutil.rmtree(p, ignore_errors=True)
+        return kept
+
+    @staticmethod
     def delete_rows_atomic(
         spark,
         group_dir: str,
