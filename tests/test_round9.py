@@ -823,3 +823,41 @@ def test_read_atomic_latest_and_compact_to_latest(spark, tmp_path):
     # surviving epoch-0 rows (k=1), not the superseded k=2/k=3 versions
     asof0 = Sink.read_atomic_group(spark, g, "s", as_of_epoch=0)
     assert {r.k for r in asof0.collect()} == {1}
+
+
+def test_read_atomic_group_schema_evolution(spark, tmp_path):
+    """Additive evolution: a later epoch adds a column; evolve_schema
+    reads fill old rows with NULL, the default keeps the pre-evolution
+    schema (new column invisible, no surprise NULLs), and a latest-wins
+    compaction bakes the merged schema in."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    g = str(tmp_path / "grp")
+    sink = Sink.atomic_parquet_group(g, {"s": None})
+
+    def write(ep, df):
+        token = _CURRENT_EPOCH.set(ep)
+        try:
+            sink(df)
+        finally:
+            _CURRENT_EPOCH.reset(token)
+
+    write(0, spark.createDataFrame([(1, 10)], "k long, v long"))
+    write(1, spark.createDataFrame([(2, 20, "en")], "k long, v long, lang string"))
+
+    evolved = Sink.read_atomic_group(spark, g, "s", evolve_schema=True)
+    got = {r.k: (r.v, r.lang) for r in evolved.collect()}
+    assert got == {1: (10, None), 2: (20, "en")}
+
+    # default read: pre-evolution consumers keep their schema
+    strict = Sink.read_atomic_group(spark, g, "s")
+    assert "lang" not in strict.columns
+    assert {r.k for r in strict.collect()} == {1, 2}
+
+    # after evolution, an evolve-aware compaction bakes the merged
+    # schema into the consolidated layout; plain reads then see it
+    Sink.compact_to_latest(spark, g, ["k"], evolve_schema=True)
+    after = Sink.read_atomic_group(spark, g, "s")
+    assert {r.k: (r.v, r.lang) for r in after.collect()} == got

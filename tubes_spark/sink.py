@@ -244,7 +244,11 @@ class Sink:
 
     @staticmethod
     def read_atomic_group(
-        spark, group_dir: str, name: str, as_of_epoch: "int | None" = None
+        spark,
+        group_dir: str,
+        name: str,
+        as_of_epoch: "int | None" = None,
+        evolve_schema: bool = False,
     ) -> DataFrame:
         """Read one leaf of an :meth:`atomic_parquet_group`, seeing only
         epochs whose GROUP marker committed — uncommitted data
@@ -257,7 +261,18 @@ class Sink:
         (time travel): only epochs ``<= as_of_epoch`` are visible —
         exactly what a reader saw when that epoch was the newest
         commit, because commits are append-only and epoch dirs are
-        immutable once their group marker lands."""
+        immutable once their group marker lands.
+
+        ``evolve_schema=True`` tolerates ADDITIVE schema changes across
+        epochs (a later epoch introduced new columns): the live epochs
+        read with parquet ``mergeSchema`` and the compact/live union
+        fills columns a side lacks with NULL — the standard lakehouse
+        add-a-column evolution.  The default keeps parquet's
+        first-footer semantics: columns a later epoch introduced are
+        simply INVISIBLE until the reader opts into evolution, so
+        pre-evolution consumers keep their schema (no surprise NULL
+        columns).  A latest-wins compaction after evolution bakes the
+        merged schema into the consolidated layout."""
         from pyspark.sql import functions as F
 
         epochs, k, kdir = Sink._committed_epochs(group_dir)
@@ -270,14 +285,16 @@ class Sink:
             parts.append(spark.read.parquet(f"{group_dir}/{name}/compact/{kdir}"))
         live = [e for e in epochs if k is None or e > k]
         if live:
+            rd = spark.read.option("basePath", f"{group_dir}/{name}/data")
+            if evolve_schema:
+                rd = rd.option("mergeSchema", "true")
             parts.append(
-                spark.read.option("basePath", f"{group_dir}/{name}/data")
-                .parquet(*[f"{group_dir}/{name}/data/epoch={e}" for e in live])
+                rd.parquet(*[f"{group_dir}/{name}/data/epoch={e}" for e in live])
                 .withColumn("epoch", F.col("epoch").cast("int"))
             )
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            out = out.unionByName(p, allowMissingColumns=evolve_schema)
         if as_of_epoch is not None:
             out = out.filter(F.col("epoch") <= F.lit(int(as_of_epoch)))
         return out
@@ -354,6 +371,7 @@ class Sink:
         name: str,
         key_cols: "Sequence[str]",
         tombstone: "str | None" = None,
+        evolve_schema: bool = False,
     ) -> DataFrame:
         """MERGE-ON-READ view of an :meth:`atomic_parquet_group` leaf:
         the epoch log is an append-only CDC stream, and this read
@@ -374,7 +392,9 @@ class Sink:
         a reader touches anyway; no driver state."""
         from pyspark.sql import Window
 
-        df = Sink.read_atomic_group(spark, group_dir, name)
+        df = Sink.read_atomic_group(
+            spark, group_dir, name, evolve_schema=evolve_schema
+        )
         w = Window.partitionBy(*key_cols).orderBy(F.col("epoch").desc())
         out = (
             df.withColumn("__rn", F.row_number().over(w))
@@ -393,6 +413,7 @@ class Sink:
         tombstone: "str | None" = None,
         leaves: "Sequence[str] | None" = None,
         purge: bool = True,
+        evolve_schema: bool = False,
     ) -> "dict[str, int]":
         """Copy-on-write counterpart of :meth:`read_atomic_latest`:
         rewrite each leaf to ONLY the latest-wins surviving rows
@@ -425,7 +446,8 @@ class Sink:
         new_dir = f"upto={k}.latest.{_uuid.uuid4().hex[:8]}"
         for name in sorted(leaves):
             df = Sink.read_atomic_latest(
-                spark, group_dir, name, key_cols, tombstone=tombstone
+                spark, group_dir, name, key_cols, tombstone=tombstone,
+                evolve_schema=evolve_schema,
             )
             kept[name] = df.count()
             tmp = f"{group_dir}/{name}/compact/.tmp.{new_dir}"
