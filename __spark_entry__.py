@@ -104,6 +104,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # by the same local harness at 3 SFs + the sf0.1 audit and heads
     # the round-10 rotation.
     "cdc_upsert_roundtrip": Q.cdc_upsert_roundtrip,
+    "streaming_cdc_upsert": Q.streaming_cdc_upsert,
     "bucketed_dedup_enrich_join": Q.bucketed_dedup_enrich_join,
     "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     "pipeline_stage_memoized": Q.pipeline_stage_memoized,

@@ -207,6 +207,7 @@ HEADLINE = [
     "retrieval_eval_metrics",         # recall/MRR/nDCG over the hybrid legs
     "gdpr_delete_roundtrip",          # atomic right-to-be-forgotten rewrite
     "cdc_upsert_roundtrip",           # MoR upsert + tombstones + CoW flip
+    "streaming_cdc_upsert",           # MoR upsert through real triggers
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

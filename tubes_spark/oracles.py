@@ -4196,3 +4196,26 @@ SELECT 'merged' AS stage, n_users, sum_n, sum_uid FROM agg
 UNION ALL
 SELECT 'compacted', n_users, sum_n, sum_uid FROM agg
 """
+
+
+ORACLES["streaming_cdc_upsert"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), b AS (
+  SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e
+), s AS (
+  SELECT user_id, event_id,
+    least((ts_us - mn) * 3 // (mx - mn + 1), 2) AS sl
+  FROM e CROSS JOIN b
+), per AS (
+  SELECT user_id, sl, CAST(count(*) AS BIGINT) AS n,
+    CAST(max(event_id) AS BIGINT) AS last_event
+  FROM s GROUP BY 1, 2
+), latest AS (
+  SELECT user_id, n, last_event, sl,
+    row_number() OVER (PARTITION BY user_id ORDER BY sl DESC) AS rn
+  FROM per
+)
+SELECT user_id, n, last_event, CAST(sl AS INTEGER) AS last_slice
+FROM latest WHERE rn = 1 AND NOT (user_id % 10 = 4 AND sl = 2)
+"""

@@ -8297,3 +8297,82 @@ def cdc_upsert_roundtrip(spark, sf_dir):
     return spark.createDataFrame(
         rows, "stage string, n_users long, sum_n long, sum_uid long"
     )
+
+
+def streaming_cdc_upsert(spark, sf_dir):
+    """CDC upsert through the REAL streaming engine under the ORACLE
+    gate: events replay as three time-sliced triggers; each micro-batch
+    publishes its per-user snapshot (event count + last event id in the
+    batch) as one atomic-group epoch via foreachBatch, with the
+    user_id % 10 = 4 cohort TOMBSTONED in the final trigger; the result
+    is sink.Sink.read_atomic_latest -- last-snapshot-wins per user with
+    tombstone deletes.  Slice boundaries are integer-micros arithmetic
+    ((ts-mn)*3 div span), so batch k == slice k exactly and DuckDB
+    rebuilds every surviving row: a replayed epoch, a latest-wins
+    window off by one, or a tombstone applied in the wrong trigger is
+    a value-hash mismatch.  This is the streaming proof of the MoR
+    path cdc_upsert_roundtrip gates in batch form.
+
+    Scale shape: per trigger one narrow user agg + a distributed
+    parquet write + a single marker rename; the MoR read is one key
+    window over committed epochs.  Contrast with
+    streaming_upsert_latest (the CDC-APPLY pattern: every batch pays a
+    keyed merge shuffle into a mirror table): here a batch pays only
+    its own append, and the merge is deferred to read time -- the MoR
+    half of the same trade, with compact_to_latest as the flip."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    b = e.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")).first()
+    mn, mx = b["mn"], b["mx"]
+    conds = [
+        F.least(F.expr(f"(ts_us - {mn}) * 3 DIV {mx - mn + 1}"), F.lit(2)) == i
+        for i in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="tubes_scdc_")
+    try:
+        write_ordered_slices(e, conds, f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long, event_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+
+        def state_leaf(df):
+            ep = _CURRENT_EPOCH.get() or 0
+            return df.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.max("event_id").alias("last_event"),
+            ).withColumn(
+                "deleted", (F.col("user_id") % 10 == 4) & F.lit(int(ep) == 2)
+            )
+
+        sink = Sink.atomic_parquet_group(f"{tmp}/out", {"state": state_leaf})
+        q = (
+            stream.writeStream.foreachBatch(sink.for_each_batch())
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        res = (
+            Sink.read_atomic_latest(
+                spark, f"{tmp}/out", "state", ["user_id"], tombstone="deleted"
+            )
+            .select(
+                "user_id",
+                "n",
+                "last_event",
+                F.col("epoch").cast("int").alias("last_slice"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
