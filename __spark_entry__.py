@@ -105,6 +105,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the round-10 rotation.
     "cdc_upsert_roundtrip": Q.cdc_upsert_roundtrip,
     "streaming_cdc_upsert": Q.streaming_cdc_upsert,
+    "dp_noisy_group_counts": Q.dp_noisy_group_counts,
+    "bootstrap_poisson_ci": Q.bootstrap_poisson_ci,
     "bucketed_dedup_enrich_join": Q.bucketed_dedup_enrich_join,
     "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     "pipeline_stage_memoized": Q.pipeline_stage_memoized,

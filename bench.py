@@ -208,6 +208,8 @@ HEADLINE = [
     "gdpr_delete_roundtrip",          # atomic right-to-be-forgotten rewrite
     "cdc_upsert_roundtrip",           # MoR upsert + tombstones + CoW flip
     "streaming_cdc_upsert",           # MoR upsert through real triggers
+    "dp_noisy_group_counts",          # seeded Laplace mechanism + eps ledger
+    "bootstrap_poisson_ci",           # one-pass Poisson bootstrap CI
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

@@ -861,3 +861,38 @@ def test_read_atomic_group_schema_evolution(spark, tmp_path):
     Sink.compact_to_latest(spark, g, ["k"], evolve_schema=True)
     after = Sink.read_atomic_group(spark, g, "s")
     assert {r.k: (r.v, r.lang) for r in after.collect()} == got
+
+
+def test_dp_noisy_counts_mechanism_invariants(spark):
+    """released = true + noise exactly; epsilon/sensitivity constant;
+    noise is Laplace-shaped (signed, unbounded-ish but finite here)."""
+    from tubes_spark import queries as Q
+
+    rows = Q.dp_noisy_group_counts(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.released_count - round(r.n_user_days + r.laplace_noise, 6)) < 1e-9
+        assert r.epsilon_spent == 0.5 and r.sensitivity == 1
+        # Laplace(2) noise: |x| beyond 40 has probability ~e^-20
+        assert abs(r.laplace_noise) < 40.0
+    assert any(r.laplace_noise < 0 for r in rows) or any(
+        r.laplace_noise > 0 for r in rows
+    )
+
+
+def test_bootstrap_poisson_ci_invariants(spark):
+    """CI bounds ordered, point estimate finite, every source present,
+    and the interval is non-degenerate somewhere (B=32 replicas over
+    500 docs must show sampling variation)."""
+    from tubes_spark import queries as Q
+
+    rows = Q.bootstrap_poisson_ci(spark, SF_SMALL).collect()
+    assert len(rows) == 20  # sources at sf0.001
+    nondegenerate = 0
+    for r in rows:
+        assert r.ci_lo <= r.ci_hi
+        assert r.b_reps == 32
+        assert r.point_mean > 0
+        if r.ci_hi > r.ci_lo:
+            nondegenerate += 1
+    assert nondegenerate >= 15

@@ -4219,3 +4219,72 @@ WITH e AS (
 SELECT user_id, n, last_event, CAST(sl AS INTEGER) AS last_slice
 FROM latest WHERE rn = 1 AND NOT (user_id % 10 = 4 AND sl = 2)
 """
+
+
+ORACLES["dp_noisy_group_counts"] = """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_user_days
+  FROM (
+    SELECT DISTINCT event_type, user_id,
+      CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)
+        AS day
+    FROM events
+  ) GROUP BY 1
+), m AS (
+  SELECT event_type, n_user_days,
+    (CAST(('0x' || substring(md5('dp-r9:' || event_type), 1, 5)) AS BIGINT)
+      + 0.5) / 1048576.0 AS u
+  FROM c
+)
+SELECT event_type, n_user_days,
+  round(-(1.0 / 0.5) * sign(u - 0.5)
+    * round(ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS laplace_noise,
+  round(n_user_days
+    + round(-(1.0 / 0.5) * sign(u - 0.5)
+        * round(ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6), 6) AS released_count,
+  CAST(0.5 AS DOUBLE) AS epsilon_spent, 1 AS sensitivity
+FROM m
+"""
+
+
+ORACLES["bootstrap_poisson_ci"] = """
+WITH reps AS (
+  SELECT d.source, d.n_chars, d.doc_id, b.b
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+), wtd AS (
+  SELECT source, n_chars, b,
+    (CAST(('0x' || substring(md5(
+       CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 5))
+      AS BIGINT) + 0.5) / 1048576.0 AS u
+  FROM reps
+), ww AS (
+  SELECT source, n_chars, b,
+    CASE WHEN u < 0.3678794412 THEN 0
+         WHEN u < 0.7357588823 THEN 1
+         WHEN u < 0.9196986029 THEN 2
+         WHEN u < 0.9810118431 THEN 3
+         WHEN u < 0.9963401532 THEN 4
+         WHEN u < 0.9994058152 THEN 5
+         WHEN u < 0.9999167589 THEN 6
+         ELSE 7 END AS w
+  FROM wtd
+), means AS (
+  SELECT source, b,
+    round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 6) AS m
+  FROM ww GROUP BY 1, 2
+), ranked AS (
+  SELECT source, m, row_number() OVER (PARTITION BY source ORDER BY m, b) AS rn
+  FROM means
+), point AS (
+  SELECT source,
+    round(CAST(CAST(sum(n_chars) AS DECIMAL(27,6)) AS DOUBLE) / count(*), 6)
+      AS point_mean
+  FROM documents GROUP BY 1
+), ci AS (
+  SELECT source, max(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+    max(CASE WHEN rn = 31 THEN m END) AS ci_hi
+  FROM ranked GROUP BY 1
+)
+SELECT p.source, p.point_mean, c.ci_lo, c.ci_hi, 32 AS b_reps
+FROM point p JOIN ci c USING (source)
+"""

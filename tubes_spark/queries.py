@@ -8376,3 +8376,137 @@ def streaming_cdc_upsert(spark, sf_dir):
         return res
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def dp_noisy_group_counts(spark, sf_dir):
+    """Differentially-private release of grouped counts (Laplace
+    mechanism, Dwork et al. 2006) -- the third leg of the governance
+    battery beside PII redaction and k-anonymity: each event_type's
+    daily-active count is released with Laplace(sensitivity/eps) noise
+    and the per-release epsilon is accounted so a budget ledger can sum
+    it.  The noise is SEEDED (md5 of the release id + group key) so the
+    whole mechanism -- inverse-CDF transform included -- is exactly
+    reproducible and value-hash-gated; a production release swaps the
+    seed column for a secret drawn once per release and nothing else
+    changes.  Sensitivity is 1 (unit contribution per user-day by
+    construction: the count is over distinct user-days).
+
+    Float discipline: the uniform is an exact dyadic rational
+    (h + 0.5) / 2^20; ln rounded to 6dp; the noisy count rounds once
+    more at the end.  Scale shape: one distinct-aggregate shuffle plus
+    map-side arithmetic -- the mechanism adds zero distributed cost."""
+    EPS = 0.5
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("day"),
+    )
+    counts = (
+        e.select("event_type", "user_id", "day")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_user_days"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dp-r9:"), F.col("event_type"))), 1, 5),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 0.5) / F.lit(float(1 << 20))  # exact dyadic uniform in (0,1)
+    centered = u - 0.5
+    noise = F.round(
+        -(1.0 / EPS)
+        * F.signum(centered)
+        * F.round(F.log(1.0 - 2.0 * F.abs(centered)), 6),
+        6,
+    )
+    return counts.select(
+        "event_type",
+        "n_user_days",
+        noise.alias("laplace_noise"),
+        F.round(F.col("n_user_days") + noise, 6).alias("released_count"),
+        F.lit(EPS).alias("epsilon_spent"),
+        F.lit(1).alias("sensitivity"),
+    )
+
+
+def bootstrap_poisson_ci(spark, sf_dir):
+    """Uncertainty for corpus metrics by POISSON BOOTSTRAP (Chamandy et
+    al., Google 2012) -- the bootstrap that works in one distributed
+    pass: instead of resampling n rows with replacement (which needs
+    global coordination), each row enters replica b with weight ~
+    Poisson(1), computed map-side from a seeded uniform; replica means
+    then bound the metric.  Here: mean document length (n_chars) per
+    source, B=32 replicas, CI = the 2nd-smallest / 2nd-largest replica
+    mean (exact order statistics -- engine-independent, unlike
+    interpolated percentiles).  The weight is the exact Poisson(1)
+    inverse CDF as a CASE ladder over literal cumulative thresholds,
+    and the uniform is the dyadic (md5 + 0.5) / 2^20, so every replica
+    is bit-reproducible and the whole estimator value-hash-gates.
+
+    Scale shape: one explode by B on the metric columns only (B*n
+    narrow rows), one (source, b) agg, one tiny per-source rank window
+    -- no shuffle of the original wide rows, no driver-side resampling."""
+    B = 32
+    # Poisson(1) cumulative probabilities, k = 0..6 (literal 10dp)
+    CUM = [
+        0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+        0.9963401532, 0.9994058152, 0.9999167589,
+    ]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    reps = d.select(
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+        "doc_id",
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            5,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 0.5) / F.lit(float(1 << 20))
+    w = F.lit(7)
+    for k in range(len(CUM) - 1, -1, -1):
+        w = F.when(u < CUM[k], k).otherwise(w)
+    means = (
+        reps.withColumn("w", w.cast("long"))
+        .groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("sw"),
+            F.sum("w").cast("long").alias("nw"),
+        )
+        .select(
+            "source", "b", F.round(F.col("sw") / F.col("nw"), 6).alias("m")
+        )
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("m").asc(), F.col("b").asc())
+    ranked = means.select(
+        "source", "m", F.row_number().over(wr).alias("rn")
+    )
+    point = d.groupBy("source").agg(
+        F.round(
+            F.sum("n_chars").cast("decimal(27,6)").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean")
+    )
+    ci = ranked.groupBy("source").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == B - 1, F.col("m"))).alias("ci_hi"),
+    )
+    return point.join(ci, "source").select(
+        "source",
+        "point_mean",
+        "ci_lo",
+        "ci_hi",
+        F.lit(B).alias("b_reps"),
+    )
