@@ -210,6 +210,7 @@ HEADLINE = [
     "streaming_cdc_upsert",           # MoR upsert through real triggers
     "dp_noisy_group_counts",          # seeded Laplace mechanism + eps ledger
     "bootstrap_poisson_ci",           # one-pass Poisson bootstrap CI
+    "retrieval_hard_negatives",       # DPR-style hard-negative mining
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

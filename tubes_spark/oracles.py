@@ -4288,3 +4288,24 @@ WITH reps AS (
 SELECT p.source, p.point_mean, c.ci_lo, c.ci_hi, 32 AS b_reps
 FROM point p JOIN ci c USING (source)
 """
+
+
+ORACLES["retrieval_hard_negatives"] = _RAG_RANKED + r""", lab AS (
+  SELECT query_id, doc_id, lr,
+    CASE WHEN CAST(('0x' || substring(md5(
+      'q' || CAST(query_id AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)
+    ), 1, 8)) AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END AS rel
+  FROM ranked WHERE lr <= 20
+), pos AS (
+  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_positives_top20
+  FROM lab GROUP BY 1
+), negs AS (
+  SELECT query_id, doc_id, lr,
+    row_number() OVER (PARTITION BY query_id ORDER BY lr) AS neg_rank
+  FROM lab WHERE rel = 0
+)
+SELECT n.query_id, CAST(n.neg_rank AS INTEGER) AS neg_rank, n.doc_id,
+  CAST(n.lr AS INTEGER) AS bm25_rank, p.n_positives_top20
+FROM negs n JOIN pos p USING (query_id)
+WHERE n.neg_rank <= 5
+"""

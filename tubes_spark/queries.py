@@ -8510,3 +8510,62 @@ def bootstrap_poisson_ci(spark, sf_dir):
         "ci_hi",
         F.lit(B).alias("b_reps"),
     )
+
+
+def retrieval_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive retriever training (DPR /
+    ANCE recipe): the strongest NON-relevant BM25 hits per query are
+    exactly the negatives an embedding model must learn to push away.
+    Takes the top-20 BM25 leg from _hybrid_ranked, joins the same
+    md5-deterministic judgments as retrieval_eval_metrics, keeps the
+    top-5 non-relevant per query, and emits (query, positive_count,
+    negative doc, its rank) -- the training-pair manifest a data
+    pipeline hands to the trainer.
+
+    Scale shape: reuses the ranked legs (selective index probes);
+    label arithmetic is map-side; the per-query cut is a window over
+    <= 20 rows.  Everything downstream of the tf scan touches only
+    top-k rows."""
+    ranked = _hybrid_ranked(spark, sf_dir).filter(F.col("lr") <= 20)
+    rel = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("q"),
+                        F.col("query_id").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    labeled = ranked.withColumn("rel", rel.cast("int"))
+    pos = labeled.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_positives_top20")
+    )
+    wn = Window.partitionBy("query_id").orderBy(F.col("lr").asc())
+    negs = (
+        labeled.filter(F.col("rel") == 0)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("lr").alias("bm25_rank"),
+            F.row_number().over(wn).alias("neg_rank"),
+        )
+        .filter(F.col("neg_rank") <= 5)
+    )
+    return negs.join(F.broadcast(pos), "query_id").select(
+        "query_id",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        "doc_id",
+        F.col("bm25_rank").cast("int").alias("bm25_rank"),
+        "n_positives_top20",
+    )
