@@ -211,6 +211,7 @@ HEADLINE = [
     "dp_noisy_group_counts",          # seeded Laplace mechanism + eps ledger
     "bootstrap_poisson_ci",           # one-pass Poisson bootstrap CI
     "retrieval_hard_negatives",       # DPR-style hard-negative mining
+    "psi_drift_monitor",              # PSI drift bands, densified bins
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

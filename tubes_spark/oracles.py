@@ -4309,3 +4309,47 @@ SELECT n.query_id, CAST(n.neg_rank AS INTEGER) AS neg_rank, n.doc_id,
 FROM negs n JOIN pos p USING (query_id)
 WHERE n.neg_rank <= 5
 """
+
+
+ORACLES["psi_drift_monitor"] = """
+WITH e AS (
+  SELECT event_type,
+    CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+         THEN 'ref' ELSE 'cur' END AS period,
+    CAST(least(floor(value / 25.0), 9) AS INTEGER) AS bin
+  FROM events
+), counts AS (
+  SELECT event_type, period, bin, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2, 3
+), lattice AS (
+  SELECT t.event_type, CAST(b.b AS INTEGER) AS bin
+  FROM (SELECT DISTINCT event_type FROM e) t
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS b) b
+), dense AS (
+  SELECT l.event_type, l.bin,
+    coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+  FROM lattice l
+  LEFT JOIN counts r ON r.event_type = l.event_type AND r.bin = l.bin
+    AND r.period = 'ref'
+  LEFT JOIN counts c ON c.event_type = l.event_type AND c.bin = l.bin
+    AND c.period = 'cur'
+), tot AS (
+  SELECT event_type, CAST(sum(n_ref) AS BIGINT) AS t_ref,
+    CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM dense GROUP BY 1
+), c AS (
+  SELECT d.event_type, t.t_ref, t.t_cur,
+    round(((d.n_ref + 0.5) / (t.t_ref + 5.0) - (d.n_cur + 0.5) / (t.t_cur + 5.0))
+      * ln(((d.n_ref + 0.5) / (t.t_ref + 5.0))
+           / ((d.n_cur + 0.5) / (t.t_cur + 5.0))), 6) AS contrib
+  FROM dense d JOIN tot t USING (event_type)
+), agg AS (
+  SELECT event_type, max(t_ref) AS n_ref_rows, max(t_cur) AS n_cur_rows,
+    round(CAST(sum(CAST(contrib AS DECIMAL(27,6))) AS DOUBLE), 6) AS psi
+  FROM c GROUP BY 1
+)
+SELECT event_type, n_ref_rows, n_cur_rows, psi,
+  CASE WHEN psi < 0.1 THEN 'stable' WHEN psi < 0.25 THEN 'moderate'
+       ELSE 'shifted' END AS drift_band
+FROM agg
+"""

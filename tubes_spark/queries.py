@@ -8572,3 +8572,80 @@ def retrieval_hard_negatives(spark, sf_dir):
         F.col("bm25_rank").cast("int").alias("bm25_rank"),
         "n_positives_top20",
     )
+
+
+def psi_drift_monitor(spark, sf_dir):
+    """Population Stability Index per event_type -- THE production
+    drift metric a data-quality monitor computes between a reference
+    window and the current one (here: Jan days < 15 vs >= 15), with
+    add-half smoothing so empty bins stay finite.  PSI = sum over bins
+    of (p_ref - p_cur) * ln(p_ref / p_cur) on the smoothed shares;
+    bands at the industry thresholds (< 0.1 stable, < 0.25 moderate,
+    else shifted).  The bin lattice is densified (every type x bin x
+    period combination present) so the metric is exact, not
+    sparse-join-lucky.
+
+    Float discipline: shares are (n + 0.5) / (N + 5.0) -- identical
+    IEEE ops on both engines; per-bin contributions rounded to 6dp and
+    DECIMAL-summed.  Scale shape: one narrow (type, period, bin)
+    count, a broadcast densify, arithmetic -- drift monitoring costs
+    one aggregation pass regardless of corpus size."""
+    B = 10
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) < 15,
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("period"),
+        F.least(F.floor(F.col("value") / 25.0), F.lit(9)).cast("int").alias("bin"),
+    )
+    counts = e.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    lattice = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(B).select(F.col("id").cast("int").alias("bin"))))
+    )
+    dense = (
+        lattice.join(
+            counts.filter(F.col("period") == "ref").drop("period"),
+            ["event_type", "bin"],
+            "left",
+        )
+        .withColumnRenamed("n", "n_ref")
+        .join(
+            counts.filter(F.col("period") == "cur").drop("period"),
+            ["event_type", "bin"],
+            "left",
+        )
+        .withColumnRenamed("n", "n_cur")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    totals = dense.groupBy("event_type").agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    j = dense.join(F.broadcast(totals), "event_type")
+    p = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    q = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    contrib = F.round((p - q) * F.log(p / q), 6)
+    out = j.groupBy("event_type").agg(
+        F.max("t_ref").alias("n_ref_rows"),
+        F.max("t_cur").alias("n_cur_rows"),
+        F.round(
+            F.sum(contrib.cast("decimal(27,6)")).cast("double"), 6
+        ).alias("psi"),
+    )
+    return out.select(
+        "event_type",
+        "n_ref_rows",
+        "n_cur_rows",
+        "psi",
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("drift_band"),
+    )
