@@ -212,6 +212,7 @@ HEADLINE = [
     "bootstrap_poisson_ci",           # one-pass Poisson bootstrap CI
     "retrieval_hard_negatives",       # DPR-style hard-negative mining
     "psi_drift_monitor",              # PSI drift bands, densified bins
+    "pit_feature_join",               # bitemporal PIT join + leak flags
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

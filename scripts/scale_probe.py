@@ -98,6 +98,7 @@ LINEAR_QUERIES = [
     "bootstrap_poisson_ci",          # B*n narrow explode + (source,b) agg
     "retrieval_hard_negatives",      # ranked-leg reuse + top-k window
     "psi_drift_monitor",             # one (type, period, bin) agg pass
+    "pit_feature_join",              # two union/window as-of passes
     # NOT probed: record_linkage_entities / k_anonymity_generalize read
     # the TPC-H dim tables, which build_synth pins at base scale — a
     # "10x" row for them would time an unchanged input (the r8 probe-

@@ -4353,3 +4353,24 @@ SELECT event_type, n_ref_rows, n_cur_rows, psi,
        ELSE 'shifted' END AS drift_band
 FROM agg
 """
+
+
+ORACLES["pit_feature_join"] = """
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT v.event_id, v.user_id,
+    (SELECT r.value FROM events r
+     WHERE r.event_type = 'purchase' AND r.user_id = v.user_id
+       AND r.ts <= v.ts
+     ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS naive_value,
+    (SELECT r.value FROM events r
+     WHERE r.event_type = 'purchase' AND r.user_id = v.user_id
+       AND r.ts + INTERVAL 1 HOUR <= v.ts
+     ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS pit_value
+  FROM v
+)
+SELECT event_id, user_id, naive_value, pit_value,
+  CAST(naive_value IS DISTINCT FROM pit_value AS INTEGER) AS leaked
+FROM j
+"""

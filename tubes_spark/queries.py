@@ -8649,3 +8649,46 @@ def psi_drift_monitor(spark, sf_dir):
         .otherwise("shifted")
         .alias("drift_band"),
     )
+
+
+def pit_feature_join(spark, sf_dir):
+    """Point-in-time-correct feature join, bitemporal form -- the
+    feature-store op that prevents training-serving skew: each view
+    event asks for the user's latest purchase value, but a purchase
+    only becomes KNOWN to the serving system one hour after it happens
+    (ingestion lag).  The NAIVE as-of join on valid time (what
+    actually held) silently trains on information serving never had;
+    the PIT join on knowledge time (valid_from + 1h) reproduces
+    exactly what was servable.  The query emits both values per view
+    plus a leak flag, so the skew surface -- the rows where offline
+    training would diverge from online serving -- is value-hash-gated,
+    not just documented.
+
+    Scale shape: two union/window as-of passes (joins.asof_join: one
+    user_id shuffle each, no range self-join) over the same keyed
+    partitioning; the flag is map-side null-safe comparison."""
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    known = purch.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    naive = joins.asof_join(
+        left, purch, on_time="ts", by=["user_id"], right_cols=["value"],
+        suffix="_naive", tiebreak="event_id",
+    ).select("event_id", "user_id", "ts", F.col("value_naive").alias("naive_value"))
+    pit = joins.asof_join(
+        left, known, on_time="ts", by=["user_id"], right_cols=["value"],
+        suffix="_pit", tiebreak="event_id",
+    ).select("event_id", F.col("value_pit").alias("pit_value"))
+    return naive.join(pit, "event_id").select(
+        "event_id",
+        "user_id",
+        "naive_value",
+        "pit_value",
+        (~F.col("naive_value").eqNullSafe(F.col("pit_value")))
+        .cast("int")
+        .alias("leaked"),
+    )
