@@ -213,6 +213,7 @@ HEADLINE = [
     "retrieval_hard_negatives",       # DPR-style hard-negative mining
     "psi_drift_monitor",              # PSI drift bands, densified bins
     "pit_feature_join",               # bitemporal PIT join + leak flags
+    "l_diversity_audit",              # homogeneity-attack audit of the release
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

@@ -99,12 +99,13 @@ LINEAR_QUERIES = [
     "retrieval_hard_negatives",      # ranked-leg reuse + top-k window
     "psi_drift_monitor",             # one (type, period, bin) agg pass
     "pit_feature_join",              # two union/window as-of passes
-    # NOT probed: record_linkage_entities / k_anonymity_generalize read
-    # the TPC-H dim tables, which build_synth pins at base scale — a
-    # "10x" row for them would time an unchanged input (the r8 probe-
-    # honesty finding).  Their scale arguments are structural: blocked
-    # pair generation / three conditional windowed counts, documented
-    # in the query docstrings.
+    # NOT probed: record_linkage_entities / k_anonymity_generalize /
+    # l_diversity_audit read the TPC-H dim tables, which build_synth
+    # pins at base scale — a "10x" row for them would time an
+    # unchanged input (the r8 probe-honesty finding).  Their scale
+    # arguments are structural: blocked pair generation / conditional
+    # windowed counts / one audit aggregation, documented in the query
+    # docstrings.
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not

@@ -4374,3 +4374,29 @@ SELECT event_id, user_id, naive_value, pit_value,
   CAST(naive_value IS DISTINCT FROM pit_value AS INTEGER) AS leaked
 FROM j
 """
+
+
+ORACLES["l_diversity_audit"] = (
+    # the k-anonymity release as a CTE, audited for sensitive-value
+    # diversity on top (sensitive = latest order priority, 'NONE' for
+    # customers without orders)
+    "WITH release AS (" + ORACLES["k_anonymity_generalize"].strip() + ")"
+    + """
+, sens AS (
+  SELECT c.c_custkey, coalesce(l.pri, 'NONE') AS cc
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey, o_orderpriority AS pri FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+  ) l ON c.c_custkey = l.o_custkey
+)
+SELECT r.level, r.qi_geo, r.qi_seg, r.qi_band,
+  CAST(count(*) AS BIGINT) AS group_size,
+  CAST(count(DISTINCT s.cc) AS BIGINT) AS distinct_sensitive,
+  CAST(CASE WHEN count(DISTINCT s.cc) >= 3 THEN 1 ELSE 0 END AS INTEGER)
+    AS l_diverse
+FROM release r JOIN sens s ON r.c_custkey = s.c_custkey
+WHERE r.level < 3
+GROUP BY 1, 2, 3, 4
+"""
+)
