@@ -896,3 +896,49 @@ def test_bootstrap_poisson_ci_invariants(spark):
         if r.ci_hi > r.ci_lo:
             nondegenerate += 1
     assert nondegenerate >= 15
+
+
+def test_record_linkage_block_cap_fires_and_keeps_recall(spark, tmp_path):
+    """Adversarial block: 500 customers share one (nation, segment,
+    name-suffix) block, so the _LINK_CAP stable-prefix split MUST fire
+    (block ~750 records > 200).  Under the fired cap (1) the engines
+    still hash-agree (the oracle carries the identical split), and
+    (2) every dirty variant still relinks to its base — the split key
+    is the md5 of the name prefix the dirty perturbation never
+    touches."""
+    import duckdb
+    import pandas as pd
+
+    from tests.oracle_harness import _norm
+    from tubes_spark import queries
+    from tubes_spark.oracles import ORACLES
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": [100 * i + 7 for i in range(500)],
+            "c_name": [f"Customer#{100 * i + 7:09d}" for i in range(500)],
+            "c_nationkey": [0] * 500,
+            "c_acctbal": [float(i) * 3.0 for i in range(500)],
+            "c_mktsegment": ["BUILDING"] * 500,
+        }
+    )
+    assert len(set(n[16:18] for n in cust.c_name)) == 1  # one suffix block
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    cust.to_parquet(sf / "customer.parquet")
+
+    sp = queries.record_linkage_entities(spark, str(sf)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{sf / 'customer.parquet'}')"
+    )
+    du = con.execute(ORACLES["record_linkage_entities"]).fetchdf()
+    con.close()
+    a, b = _norm(sp), _norm(du)
+    assert a.astype(str).equals(b.astype(str)), "hash parity under fired cap"
+
+    # recall contract: no dirty-only entity, full conservation
+    assert all(r.n_records > r.n_dirty for _, r in sp.iterrows() if r.n_dirty > 0)
+    n_dirty_total = int(sp.n_dirty.sum())
+    assert n_dirty_total > 0
+    assert int(sp.n_records.sum()) == 500 + n_dirty_total

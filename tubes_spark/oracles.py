@@ -3873,11 +3873,22 @@ WITH RECURSIVE h AS (
          c_nationkey, c_mktsegment, c_acctbal + (hv % 100) / 100.0, 1
   FROM customer c JOIN h ON c.c_custkey = h.c_custkey
   WHERE hv % 2 = 0
+), blocked AS (
+  -- _LINK_CAP mirror: oversized (nat, seg, suffix) blocks split 16
+  -- ways on an md5 digit of the STABLE name prefix (chars 1-15)
+  SELECT *,
+    CASE WHEN count(*) OVER (PARTITION BY nat, seg, substring(name, 17, 2))
+              > 200
+         THEN CAST(('0x' || substring(md5(substring(name, 1, 15)), 1, 1))
+                   AS INTEGER)
+         ELSE -1 END AS blk2
+  FROM recs
 ), edges AS (
   SELECT a.rec_id AS id_a, b.rec_id AS id_b
-  FROM recs a JOIN recs b
+  FROM blocked a JOIN blocked b
     ON a.nat = b.nat AND a.seg = b.seg
    AND substring(a.name, 17, 2) = substring(b.name, 17, 2)
+   AND a.blk2 = b.blk2
    AND a.rec_id < b.rec_id
   WHERE levenshtein(a.name, b.name) <= 2 AND abs(a.bal - b.bal) <= 1.0
 ), und AS (

@@ -2312,6 +2312,7 @@ def partitioned_io_pruned(spark, sf_dir):
 # candidate generation stays bounded under adversarial skew (see the
 # docstring's recall contract)
 _BAND_CAP = 200
+_LINK_CAP = 200  # record-linkage block cap (see record_linkage_entities)
 
 
 def bucketed_dedup_enrich_join(spark, sf_dir):
@@ -7618,7 +7619,10 @@ def record_linkage_entities(spark, sf_dir):
     narrow equi-self-join on the block key -- never all-pairs -- and
     levenshtein runs on candidates only; label propagation touches just
     the verified edge set.  At 100 TB the block key fans out with the
-    corpus while per-block cost stays O(block^2) with tiny blocks."""
+    corpus while per-block cost stays O(block^2) with tiny blocks; an
+    ADVERSARIAL block (one name repeated en masse) is bounded by the
+    _LINK_CAP stable-prefix split (never fires at gate SFs; recall
+    contract tested in tests/test_round9.py)."""
     c = _t(spark, sf_dir, "customer")
     h = F.conv(F.substring(F.md5(F.col("c_name")), 1, 4), 16, 10).cast("long")
     base = c.select(
@@ -7649,7 +7653,25 @@ def record_linkage_entities(spark, sf_dir):
         F.lit(1).alias("is_dirty"),
     )
     recs = base.unionByName(dirty).withColumn("blk", F.substring("name", 17, 2))
-    cols = ("rec_id", "name", "nat", "seg", "bal", "blk")
+    # Block-size cap (same contract as _BAND_CAP in the dedup families):
+    # a (nat, seg, blk) block larger than _LINK_CAP records splits
+    # 16 ways on an md5 digit of the STABLE name prefix (chars 1-15 —
+    # the dirty perturbation only touches position 16+, so a dirty
+    # variant always lands in its base's subgroup and the relink
+    # recall contract survives the split).  Never fires at gate SFs
+    # (largest block ~ n/12500); bounds the worst case an adversarial
+    # corpus of identical names can present to ~(size/16)^2 per
+    # subgroup.
+    wblk = Window.partitionBy("nat", "seg", "blk")
+    recs = recs.withColumn("blk_n", F.count(F.lit(1)).over(wblk)).withColumn(
+        "blk2",
+        F.when(
+            F.col("blk_n") > _LINK_CAP,
+            F.conv(F.substring(F.md5(F.substring("name", 1, 15)), 1, 1), 16, 10)
+            .cast("int"),
+        ).otherwise(F.lit(-1)),
+    )
+    cols = ("rec_id", "name", "nat", "seg", "bal", "blk", "blk2")
     a = recs.select(*[F.col(x).alias(x + "_a") for x in cols])
     b = recs.select(*[F.col(x).alias(x + "_b") for x in cols])
     pairs = (
@@ -7658,6 +7680,7 @@ def record_linkage_entities(spark, sf_dir):
             (F.col("nat_a") == F.col("nat_b"))
             & (F.col("seg_a") == F.col("seg_b"))
             & (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("blk2_a") == F.col("blk2_b"))
             & (F.col("rec_id_a") < F.col("rec_id_b")),
         )
         .filter(
