@@ -34,12 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDERING NOTE: the driver's correctness gate samples the FIRST 50
     # keys of this dict each round.  Round-9 prefix (oldest-first
-    # rotation, VERDICT-r8 #4) = flagship + the first 9 of the 17 new
+    # rotation, VERDICT-r8 #4) = flagship + the first 9 of the 18 new
     # round-9 queries + all 40 keys last sampled in round 4 = exactly
-    # 50.  The eight later round-9 additions (cdc_upsert_roundtrip,
+    # 50.  The nine later round-9 additions (cdc_upsert_roundtrip,
     # streaming_cdc_upsert, dp_noisy_group_counts,
     # bootstrap_poisson_ci, retrieval_hard_negatives,
-    # psi_drift_monitor, pit_feature_join, l_diversity_audit) landed after the
+    # psi_drift_monitor, pit_feature_join, l_diversity_audit,
+    # compression_ratio_quality) landed after the
     # prefix was full; they sit first below the fold, carry local
     # 3-SF hash evidence (sf0.001/0.01/0.1, vanilla sessions), and
     # head the round-10 rotation.  The four round-9-touched queries
@@ -113,6 +114,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift_monitor": Q.psi_drift_monitor,
     "pit_feature_join": Q.pit_feature_join,
     "l_diversity_audit": Q.l_diversity_audit,
+    "compression_ratio_quality": Q.compression_ratio_quality,  # rows-only; brute-force twin in tests
     # --- driver-green round 5+ ---
     "bucketed_dedup_enrich_join": Q.bucketed_dedup_enrich_join,
     "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,

@@ -214,6 +214,7 @@ HEADLINE = [
     "psi_drift_monitor",              # PSI drift bands, densified bins
     "pit_feature_join",               # bitemporal PIT join + leak flags
     "l_diversity_audit",              # homogeneity-attack audit of the release
+    "compression_ratio_quality",      # zlib curation signal (Arrow batches)
 ]
 
 # queries deriving a session-shared structure (queries._session_cached):

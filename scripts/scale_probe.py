@@ -99,6 +99,7 @@ LINEAR_QUERIES = [
     "retrieval_hard_negatives",      # ranked-leg reuse + top-k window
     "psi_drift_monitor",             # one (type, period, bin) agg pass
     "pit_feature_join",              # two union/window as-of passes
+    "compression_ratio_quality",     # embarrassingly parallel Arrow map
     # NOT probed: record_linkage_entities / k_anonymity_generalize /
     # l_diversity_audit read the TPC-H dim tables, which build_synth
     # pins at base scale — a "10x" row for them would time an

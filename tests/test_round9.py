@@ -942,3 +942,37 @@ def test_record_linkage_block_cap_fires_and_keeps_recall(spark, tmp_path):
     n_dirty_total = int(sp.n_dirty.sum())
     assert n_dirty_total > 0
     assert int(sp.n_records.sum()) == 500 + n_dirty_total
+
+
+def test_compression_ratio_matches_pure_python(spark):
+    """Rows-only battery twin: the Arrow-batched zlib ratios must equal
+    a driver-side pure-python computation exactly, for every doc in the
+    sf0.001 corpus."""
+    import zlib
+
+    import duckdb
+
+    from tubes_spark import queries as Q
+
+    got = {
+        r.doc_id: (r.raw_len, r.deflate_len, r.ratio, r.band)
+        for r in Q.compression_ratio_quality(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    assert len(got) == len(docs) > 0
+    for doc_id, text in docs:
+        raw = (text or "").encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        ratio = round(comp / (len(raw) if len(raw) > 0 else 1), 6)
+        band = (
+            "repetitive" if ratio < 0.35
+            else "high_entropy" if ratio > 0.95
+            else "normal"
+        )
+        assert got[doc_id] == (len(raw), comp, ratio, band), doc_id
+    # the signal is non-degenerate on the corpus
+    assert len({v[3] for v in got.values()}) >= 2

@@ -8773,3 +8773,60 @@ def l_diversity_audit(spark, sf_dir):
             (F.col("distinct_sensitive") >= L).cast("int").alias("l_diverse"),
         )
     )
+
+
+def compression_ratio_quality(spark, sf_dir):
+    """Compression-ratio quality signal (the C4/Gopher curation staple
+    the rule battery can't fake): highly compressible text IS
+    repetitive text, measured by the codec itself instead of by proxy
+    n-gram rules.  zlib level 6 over the UTF-8 bytes; ratio =
+    deflate_len / raw_len; docs under 0.35 flagged as repetitive junk,
+    over 0.95 flagged as high-entropy (binary-ish / encoded blobs) --
+    both tails are what a curation pass drops.
+
+    This is the honest slow-path op: no SQL engine exposes deflate, so
+    it runs as Arrow-batched mapInPandas (vectorized transfer, one
+    Python pass per batch -- never row-at-a-time UDF) and lands in the
+    rows-only battery cohort; exact values are pinned by a brute-force
+    pure-python equality test over the full sf0.001 corpus
+    (tests/test_round9.py).  Scale shape: embarrassingly parallel map
+    over _fan'd batches; output is 4 narrow columns."""
+    import pandas as pd  # noqa: F401 (imported for the closure)
+
+    def ratios(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            raw_len = raw.str.len().astype("int64")
+            comp_len = raw.map(lambda b: len(zlib.compress(b, 6))).astype(
+                "int64"
+            )
+            ratio = (
+                (comp_len / raw_len.where(raw_len > 0, 1)).astype(float).round(6)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw_len,
+                    "deflate_len": comp_len,
+                    "ratio": ratio,
+                }
+            )
+
+    d = _fan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    out = d.mapInPandas(
+        ratios, schema="doc_id long, raw_len long, deflate_len long, ratio double"
+    )
+    return out.select(
+        "doc_id",
+        "raw_len",
+        "deflate_len",
+        "ratio",
+        F.when(F.col("ratio") < 0.35, "repetitive")
+        .when(F.col("ratio") > 0.95, "high_entropy")
+        .otherwise("normal")
+        .alias("band"),
+    )
