@@ -100,13 +100,14 @@ LINEAR_QUERIES = [
     "psi_drift_monitor",             # one (type, period, bin) agg pass
     "pit_feature_join",              # two union/window as-of passes
     "compression_ratio_quality",     # embarrassingly parallel Arrow map
-    # NOT probed: record_linkage_entities / k_anonymity_generalize /
-    # l_diversity_audit read the TPC-H dim tables, which build_synth
-    # pins at base scale — a "10x" row for them would time an
-    # unchanged input (the r8 probe-honesty finding).  Their scale
-    # arguments are structural: blocked pair generation / conditional
-    # windowed counts / one audit aggregation, documented in the query
-    # docstrings.
+    # record_linkage_entities / k_anonymity_generalize /
+    # l_diversity_audit read the customer dim, which full runs pin at
+    # base scale; --only runs naming them OPT IN to a key-remapped 10x
+    # customer (c_name layout preserved), so their rows measure a
+    # genuinely grown input without moving the fact-family baselines.
+    "record_linkage_entities",       # blocked fuzzy linkage + CC closure
+    "k_anonymity_generalize",        # one scan + three conditional windows
+    "l_diversity_audit",             # release CTE + one audit aggregation
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not
@@ -155,7 +156,13 @@ def build_synth(spark, out_dir: str, replicas: int = REPLICAS,
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
     base = {t: load_table(spark, t, SF_BASE) for t in TABLES}
-    for t in ("region", "nation", "customer", "supplier", "part"):
+    # customer is normally a base-scale dim; amplifying it is OPT-IN
+    # (only={"customer", ...}) so the established fact-family baselines
+    # (q3 etc.) never silently change shape underneath their history.
+    amp_customer = only is not None and "customer" in only
+    for t in ("region", "nation", "supplier", "part") + (
+        () if amp_customer else ("customer",)
+    ):
         base[t].write.parquet(f"{out_dir}/{t}.parquet")
 
     def amplified(t, fn):
@@ -169,6 +176,29 @@ def build_synth(spark, out_dir: str, replicas: int = REPLICAS,
         df.repartition(min(replicas * 4, 400)).write.parquet(f"{out_dir}/{t}.parquet")
 
     OK = 10_000_000_000
+    if amp_customer:
+        # key remap stays within 9 digits so c_name keeps the exact
+        # 'Customer#%09d' 18-char layout record_linkage's positional
+        # digit logic depends on (max base custkey 15k; r*100000 + k
+        # <= 1.015M at 10x)
+        parts = [
+            base["customer"]
+            .withColumn("c_custkey", F.col("c_custkey") + F.lit(r * 100_000))
+            .withColumn(
+                "c_name",
+                F.concat(
+                    F.lit("Customer#"),
+                    F.lpad(F.col("c_custkey").cast("string"), 9, "0"),
+                ),
+            )
+            for r in range(replicas)
+        ]
+        df = parts[0]
+        for p_ in parts[1:]:
+            df = df.unionByName(p_)
+        df.repartition(min(replicas * 4, 400)).write.parquet(
+            f"{out_dir}/customer.parquet"
+        )
     amplified("orders", lambda d, r: d.withColumn(
         "o_orderkey", F.col("o_orderkey") + F.lit(r * OK)))
     amplified("lineitem", lambda d, r: d.withColumn(
@@ -356,7 +386,11 @@ def main() -> None:
         names = sys.argv[sys.argv.index("--only") + 1].split(",")
         run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
         t0 = time.time()
-        build_synth(spark, out_dir, only={"documents", "embeddings", "events"})
+        synth_tables = {"documents", "embeddings", "events"}
+        if {"record_linkage_entities", "k_anonymity_generalize",
+            "l_diversity_audit"} & set(names):
+            synth_tables |= {"customer", "orders"}
+        build_synth(spark, out_dir, only=synth_tables)
         print(f"# synth build: {time.time()-t0:.1f}s", file=sys.stderr)
         payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
         for name in names:
