@@ -139,6 +139,10 @@ HEAVY_NOTES = {
     "bucketed_dedup_enrich_join":
         "re-run after corpus-sized buckets + one-file-per-"
         "bucket write (r7: fixed-8 buckets, 35.9x)",
+    "record_linkage_entities":
+        "blocked linkage at 100x customers: ~120 records/block -> "
+        "O(block^2) pair growth inside fixed 12.5k blocks; the "
+        "_LINK_CAP split bounds the adversarial tail",
     "dedup_span_rewrite":
         "ExactSubstr scrub at maximal duplication pressure: "
         "every gram is duplicated on this synth, so hit/"
@@ -532,8 +536,11 @@ def main() -> None:
                                            "results": {}})
         hx_dir = os.environ.get("SCALE_PROBE_X100H_DIR", "/tmp/tubes_scale_x100h")
         t0 = time.time()
-        build_synth(spark, hx_dir, replicas=100,
-                    only={"documents", "embeddings"})
+        x100_tables = {"documents", "embeddings"}
+        if {"record_linkage_entities", "k_anonymity_generalize",
+            "l_diversity_audit"} & set(names):
+            x100_tables |= {"customer", "orders"}
+        build_synth(spark, hx_dir, replicas=100, only=x100_tables)
         print(f"# x100 synth build: {time.time()-t0:.1f}s", file=sys.stderr)
         cal_start = calibrate(spark)
         for name in names:
@@ -546,7 +553,7 @@ def main() -> None:
             spark.stop()
             spark = get_spark("tubes_scale_x100h", shuffle_partitions=64)
             spark.sparkContext.setLogLevel("ERROR")
-            for t in ("documents", "embeddings"):
+            for t in sorted(x100_tables):
                 load_table(spark, t, hx_dir).count()
             fn = getattr(Q, name)
             small = best_of(fn, spark, SF_BASE)
