@@ -1,0 +1,122 @@
+"""Round-10 tests: operator-level MinHash band cap (VERDICT-r9 #1),
+lm_stupid_backoff broadcast-threshold cut (#3), PPJoin positional
+filter (#5), incremental MinHash index (#6), and the r9 ADVICE fixes
+(sink schema-evolution consolidation guards, subset-leaves marker
+safety, memo fingerprint mapping guards)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tubes_spark.operators import dedup
+
+
+# --------------------------------------------------- operator band cap
+
+
+def _expected_pairs(rows, cap, split_factor):
+    """Pure-python ground truth for the capped candidate set given the
+    collected (id, band, h, h2) band frame."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r["band"], r["h"])].append(r)
+    pairs, fired = set(), False
+    for (_, _), members in groups.items():
+        if cap is not None and len(members) > cap:
+            fired = True
+            subs = defaultdict(list)
+            for m in members:
+                subs[m["h2"] % split_factor].append(m["doc_id"])
+            buckets = subs.values()
+        else:
+            buckets = [[m["doc_id"] for m in members]]
+        for ids in buckets:
+            for a, b in combinations(sorted(set(ids)), 2):
+                pairs.add((a, b))
+    return pairs, fired
+
+
+def _skewed_corpus(spark, n_hot=450, n_cold=40):
+    """n_hot docs sharing ~300 shingles with ~50 unique words each:
+    per-hash P(min = shared min) ~= 300/350, per-band (4 rows) ~= 0.54,
+    so the modal (band, h) bucket holds ~240 > _cap docs while the
+    docs' NEXT band hashes genuinely differ -> the split must fire and
+    actually spread the bucket."""
+    shared = " ".join(f"w{i}" for i in range(302))
+    texts = [f"{shared} " + " ".join(f"u{d}x{j}" for j in range(50)) for d in range(n_hot)]
+    texts += [" ".join(f"cold{d}y{j}" for j in range(60)) for d in range(n_cold)]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    return spark.createDataFrame(pdf)
+
+
+def test_minhash_band_cap_recall_contract(spark):
+    """The operator cap must (a) FIRE on a skewed corpus, (b) keep
+    EXACTLY the pairs the documented contract promises — every pair
+    agreeing on (band, h, pmod(h2, split)) kept, every dropped pair
+    differing in the secondary key — checked against a pure-python
+    reconstruction from the band frame itself, and (c) be a strict
+    subset of the uncapped candidate set."""
+    cap, split = 200, 16
+    d = _skewed_corpus(spark)
+    sh = dedup.shingle_frame(d, shingle_k=3).localCheckpoint(eager=True)
+
+    banded = dedup.band_frame(sh, with_next=True).collect()
+    want_capped, fired = _expected_pairs(banded, cap, split)
+    want_uncapped, _ = _expected_pairs(banded, None, split)
+    assert fired, "test corpus failed to overflow any (band, h) bucket"
+
+    got_capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates(d, shingles=sh, band_cap=cap, split_factor=split).collect()
+    }
+    got_uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates(d, shingles=sh, band_cap=None).collect()
+    }
+    assert got_capped == want_capped
+    assert got_uncapped == want_uncapped
+    assert got_capped < got_uncapped  # cap dropped something, never added
+
+
+def test_minhash_band_cap_noop_on_unskewed_corpus(spark):
+    """At gate SFs no (band, h) bucket approaches the cap, so the
+    default-on cap must be output-identical to band_cap=None on the
+    real test corpus (the rows-only battery queries keep their
+    semantics)."""
+    from tubes_spark.catalog import load_table
+
+    d = load_table(spark, "documents", SF_SMALL)
+    sh = dedup.shingle_frame(d).localCheckpoint(eager=True)
+    capped = {
+        (r["id_a"], r["id_b"]) for r in dedup.minhash_candidates(d, shingles=sh).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates(d, shingles=sh, band_cap=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_minhash_band_cap_single_band_degenerates_gracefully(spark):
+    """bands == 1 has no backup band: h2 == h, every member of a bucket
+    gets the same salt, and the cap must keep the bucket intact (no
+    silent recall loss where no other band can re-find the pair)."""
+    d = _skewed_corpus(spark, n_hot=250, n_cold=0)
+    sh = dedup.shingle_frame(d).localCheckpoint(eager=True)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates(
+            d, shingles=sh, num_hashes=4, bands=1, band_cap=10
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates(
+            d, shingles=sh, num_hashes=4, bands=1, band_cap=None
+        ).collect()
+    }
+    assert capped == uncapped
