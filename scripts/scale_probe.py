@@ -399,16 +399,33 @@ def main() -> None:
         payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
         for name in names:
             fn = getattr(Q, name)
-            small = best_of(fn, spark, SF_BASE)
-            big = best_of(fn, spark, out_dir)
-            row = {
-                "sf0_1_sec": small,
-                "x10_sec": big,
-                "time_ratio": round(big / small, 2) if small > 0 else None,
-                "expected": "linear(<=10x)" if name in LINEAR_QUERIES
-                else "superlinear-by-construction",
-                "run": run_id,
-            }
+            if name in GRAPH_PROBE:
+                # like-to-like cold/marginal pairs — the same discipline
+                # the full run applies (VERDICT-r9 #4: the --only path
+                # previously re-wrote graph rows in the stale
+                # cached-marginal-vs-cold shape)
+                s_cold, s_marg = cold_and_marginal(fn, spark, SF_BASE)
+                b_cold, b_marg = cold_and_marginal(fn, spark, out_dir)
+                row = {
+                    "sf0_1": {"cold": s_cold, "marginal": s_marg},
+                    "x10": {"cold": b_cold, "marginal": b_marg},
+                    "time_ratio_cold": round(b_cold / s_cold, 2) if s_cold > 0 else None,
+                    "time_ratio_marginal": round(b_marg / s_marg, 2) if s_marg > 0 else None,
+                    "expected": "linear(<=10x)" if name in LINEAR_QUERIES
+                    else "superlinear-by-construction",
+                    "run": run_id,
+                }
+            else:
+                small = best_of(fn, spark, SF_BASE)
+                big = best_of(fn, spark, out_dir)
+                row = {
+                    "sf0_1_sec": small,
+                    "x10_sec": big,
+                    "time_ratio": round(big / small, 2) if small > 0 else None,
+                    "expected": "linear(<=10x)" if name in LINEAR_QUERIES
+                    else "superlinear-by-construction",
+                    "run": run_id,
+                }
             payload.setdefault("results", {})[name] = row
             print(json.dumps({"query": name, **row}))
             probe_path.write_text(json.dumps(payload, indent=1) + "\n")

@@ -101,6 +101,25 @@ def test_minhash_band_cap_noop_on_unskewed_corpus(spark):
     assert capped == uncapped
 
 
+def test_lm_backoff_tertile_cut_is_broadcast_threshold(spark):
+    """VERDICT-r9 #3: the tertile cut must be percentile thresholds
+    broadcast from a 1-row aggregate — the plan carries NO window (the
+    old global ntile planned Exchange SinglePartition over every
+    per-doc row) and shows the map-side partial_percentile combine; the
+    only SinglePartition exchange left moves pre-combined aggregate
+    buffers, never rows through a sort."""
+    from tubes_spark import queries as Q
+    from tubes_spark.plans import plan_of
+
+    import re
+
+    p = plan_of(Q.lm_stupid_backoff_filter(spark, SF_SMALL))
+    assert "Window" not in p, p
+    assert not re.search(r"\bntile\b", p), p  # \b: 'percentile' contains 'ntile'
+    assert "partial_percentile" in p, p
+    assert "Sort" not in p.split("== Physical Plan ==")[-1].split("(1) Scan")[0], p
+
+
 def test_minhash_band_cap_single_band_degenerates_gracefully(spark):
     """bands == 1 has no backup band: h2 == h, every member of a bucket
     gets the same salt, and the cap must keep the bucket intact (no

@@ -4052,12 +4052,17 @@ WITH d AS (
     round(CAST(sum(CAST(lp AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6)
       AS avg_logp
   FROM scored GROUP BY doc_id
+), bounds AS (
+  SELECT quantile_cont(avg_logp, CAST(2 AS DOUBLE) / 3) AS b1,
+         quantile_cont(avg_logp, CAST(1 AS DOUBLE) / 3) AS b2
+  FROM agg
 )
 SELECT doc_id, n_bigrams, avg_logp,
-  CAST(ntile(3) OVER (ORDER BY avg_logp DESC, doc_id) AS INTEGER) AS tertile,
-  CAST(CASE WHEN ntile(3) OVER (ORDER BY avg_logp DESC, doc_id) <= 2
-       THEN 1 ELSE 0 END AS INTEGER) AS keep
-FROM agg
+  CAST(CASE WHEN avg_logp > b1 THEN 1
+            WHEN avg_logp > b2 THEN 2
+            ELSE 3 END AS INTEGER) AS tertile,
+  CAST(CASE WHEN avg_logp > b2 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM agg, bounds
 """
 
 

@@ -7900,10 +7900,14 @@ def lm_stupid_backoff_filter(spark, sf_dir):
     -- bigram counts, context counts, unigram counts -- so scoring is
     narrow hash joins on the bigram key, exactly how distributed LM
     inference shards (Brants et al. section 3); N is a 1-row broadcast.
-    The tertile cut is an exact global rank here (deterministic for the
-    oracle gate); at 100 TB the same cut comes from approx quantiles on
-    a sample, as CCNet does.  Float discipline: ln rounded to 6dp per
-    bigram, DECIMAL(27,6)-summed per doc."""
+    The tertile cut is TWO exact percentile thresholds broadcast from a
+    1-row aggregate back onto the per-doc scores (the curriculum_phases
+    pattern) -- never a global ntile, whose unpartitioned window plans
+    Exchange SinglePartition over every row (VERDICT-r9 #3); at 100 TB
+    swap the exact percentile for percentile_approx, as CCNet does.
+    Float discipline: ln rounded to 6dp per bigram, DECIMAL(27,6)-summed
+    per doc; thresholds compare with strict > so an interpolated cut
+    between two distinct 6dp scores can never flip a doc cross-engine."""
     d = _fan(
         _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     )
@@ -7962,14 +7966,26 @@ def lm_stupid_backoff_filter(spark, sf_dir):
                 6,
             ).alias("avg_logp"),
         )
+        # materialize once: both the threshold aggregate and the final
+        # select read it, and the subtree above is 4 joins deep
+        .localCheckpoint(eager=True)
     )
-    wt = Window.orderBy(F.col("avg_logp").desc(), F.col("doc_id"))
-    return scored.select(
+    bounds = scored.agg(
+        F.percentile(F.col("avg_logp"), F.lit(2.0 / 3)).alias("b1"),
+        F.percentile(F.col("avg_logp"), F.lit(1.0 / 3)).alias("b2"),
+    )
+    tert = (
+        F.when(F.col("avg_logp") > F.col("b1"), 1)
+        .when(F.col("avg_logp") > F.col("b2"), 2)
+        .otherwise(3)
+    )
+    return scored.join(F.broadcast(bounds)).select(
         "doc_id",
         "n_bigrams",
         "avg_logp",
-        F.ntile(3).over(wt).cast("int").alias("tertile"),
-    ).withColumn("keep", (F.col("tertile") <= 2).cast("int"))
+        tert.cast("int").alias("tertile"),
+        (F.col("avg_logp") > F.col("b2")).cast("int").alias("keep"),
+    )
 
 
 def _morton_spread16(v: Column) -> Column:
