@@ -112,6 +112,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_domain_blocklist": Q.url_domain_blocklist,
     "window_funcs_battery": Q.window_funcs_battery,
     # new in round 10 (local 3-SF hash evidence; r11 rotation after the r5 tail)
+    "dedup_incremental_minhash": Q.dedup_incremental_minhash,
     # remaining battery, staleness round ascending then alphabetical
     # last sampled round 6
     "ansi_try_funcs": Q.ansi_try_funcs,

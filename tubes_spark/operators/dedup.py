@@ -620,6 +620,89 @@ def arith_minhash_bands(
     return banded
 
 
+def write_minhash_index(
+    df: DataFrame,
+    group_dir: str,
+    epoch: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> None:
+    """Persist a corpus's MinHash band signatures as one committed
+    epoch of an atomic parquet group (``leaf 'bands'``) — the stored
+    side of INCREMENTAL near-dedup (VERDICT-r9 #6).  A daily crawl
+    appends its own signatures as the next epoch after checking, so
+    the index grows strictly by |batch| band rows per day and no run
+    ever recomputes signatures for documents already ingested.
+
+    The arithmetic (md5-based) hash family is used so the stored index
+    — and every incremental decision made against it — stays under the
+    full value-hash oracle gate; the atomic-group marker protocol
+    makes a crashed index update invisible to readers (sink.py
+    atomic_parquet_group)."""
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    banded = arith_minhash_bands(df, text_col, id_col, shingle_k, num_hashes, bands)
+    sink = Sink.atomic_parquet_group(group_dir, {"bands": None})
+    token = _CURRENT_EPOCH.set(int(epoch))
+    try:
+        sink(banded)
+    finally:
+        _CURRENT_EPOCH.reset(token)
+
+
+def incremental_minhash_new(
+    arriving: DataFrame,
+    spark,
+    group_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    update_index: bool = False,
+) -> DataFrame:
+    """Arriving-batch near-dedup against a PERSISTED banded signature
+    index: compute signatures for the arriving docs ONLY, semi-join
+    their band rows against the stored (band, key) set, and keep the
+    docs that collide with no already-ingested document.  The old
+    corpus's TEXT is never read — the whole seen-side cost is a scan
+    of the (id, band, key) index parquet (tests assert the plan holds
+    no scan of the old documents at all).
+
+    Scale shape: one narrow shuffle of the arriving band rows against
+    the index on (band, key) string keys — at 100 TB write the index
+    bucketed on (band, key) so the daily join only shuffles the batch
+    side.  ``update_index=True`` appends the arriving batch's band
+    rows as the next committed epoch (the daily maintenance step),
+    atomic under the group marker."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    idx = (
+        Sink.read_atomic_group(spark, group_dir, "bands")
+        .select("band", "key")
+        .distinct()
+    )
+    ab = arith_minhash_bands(
+        arriving, text_col, id_col, shingle_k, num_hashes, bands
+    ).localCheckpoint(eager=True)
+    dup = ab.join(idx, ["band", "key"], "left_semi").select(id_col).distinct()
+    out = arriving.join(dup, id_col, "left_anti")
+    if update_index:
+        epochs, _, _ = Sink._committed_epochs(group_dir)
+        sink = Sink.atomic_parquet_group(group_dir, {"bands": None})
+        token = _CURRENT_EPOCH.set((max(epochs) if epochs else -1) + 1)
+        try:
+            sink(ab)
+        finally:
+            _CURRENT_EPOCH.reset(token)
+    return out
+
+
 def dedup_minhash_arith(
     df: DataFrame,
     text_col: str = "text",

@@ -1619,6 +1619,27 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+# Incremental near-dedup vs the persisted index: same band-key CTEs,
+# but the drop rule is "arriving doc collides with any SEEN (src0)
+# doc's band bucket" — the SQL restatement of the stored-index
+# semi-join (the oracle recomputes what Spark reads back from the
+# atomic-group parquet).
+ORACLES["dedup_incremental_minhash"] = (
+    ORACLES["dedup_minhash_arith_survivors"].split("), dropped AS")[0]
+    + """), side AS (
+  SELECT b.doc_id, b.band, b.key, d.source FROM bands b
+  JOIN documents d USING (doc_id)
+), dup AS (
+  SELECT DISTINCT a.doc_id FROM side a JOIN side s
+  ON a.band = s.band AND a.key = s.key
+  WHERE a.source <> 'src0' AND s.source = 'src0'
+)
+SELECT d.doc_id, d.source, d.n_chars FROM documents d
+WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+)
+
+
 # CC survivor policy over the arith band family: reuse the band-key
 # CTEs verbatim (split at the survivor tail) and replace the greedy
 # bucket-min drop with star edges -> recursive transitive closure ->

@@ -3457,6 +3457,48 @@ def dedup_incremental_new_docs(spark, sf_dir):
     )
 
 
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dedup against a PERSISTED banded-signature
+    index (VERDICT-r9 #6 — the missing fuzzy twin of
+    dedup_incremental_new_docs): the already-ingested corpus (source
+    'src0') has its arithmetic-MinHash band rows written as a committed
+    atomic-group epoch; the arriving batch (every other source)
+    computes ONLY its own signatures and semi-joins the stored (band,
+    key) set — an arriving doc that shares any band bucket with a seen
+    doc is a near-dup, the rest survive.  The index then absorbs the
+    arriving batch's rows as the next committed epoch (the daily
+    maintenance step) — each day's run costs |batch| signature
+    computations, never a corpus recompute.
+
+    Scale shape: the seen side of the check is a scan of the
+    (id, band, key) index parquet — old document TEXT is never read
+    (tests/test_round10.py pins the plan) — and the decision join is
+    one narrow shuffle on (band, key); at 100 TB bucket the index on
+    the join key so only the batch side moves.  The md5-arithmetic
+    family keeps every stored key and every survivor row under the
+    full value-hash oracle gate."""
+    import shutil
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.filter(F.col("source") == "src0")
+    arriving = d.filter(F.col("source") != "src0")
+    tmp = tempfile.mkdtemp(prefix="tubes_mh_idx_")
+    try:
+        dedup.write_minhash_index(seen, tmp, epoch=0)
+        out = (
+            dedup.incremental_minhash_new(
+                arriving, spark, tmp, update_index=True
+            )
+            .select("doc_id", "source", "n_chars")
+            # pin rows before the index dir is removed
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def dedup_minhash_arith_survivors(spark, sf_dir):
     """MinHash-LSH dedup under the FULL value-hash oracle gate: the
     md5-derived arithmetic hash family (operators/dedup.py
@@ -5828,13 +5870,44 @@ def jaccard_exact_prefix_join(spark, sf_dir):
         sz.hint("merge"), "doc_id"
     )
     prefix_len = (F.col("n") - F.floor(F.lit(0.8) * F.col("n")) + 1).cast("int")
-    pre = ranked.filter(F.col("__r__") <= prefix_len).select("doc_id", "sh")
+    pre = ranked.filter(F.col("__r__") <= prefix_len).select("doc_id", "sh", "__r__", "n")
+    # PPJoin pruning (Xiao et al. WWW'08 — VERDICT-r9 #5), both layers
+    # provably lossless so the independently-computed oracle is
+    # untouched:
+    #  * LENGTH filter: J >= 0.8 forces 4*na <= 5*nb and 4*nb <= 5*na
+    #    (integer-exact, no float threshold).
+    #  * POSITIONAL filter: a common prefix shingle at ranks (ra, rb)
+    #    bounds the overlap at min(ra,rb)-1 common elements strictly
+    #    before it + itself + min(na-ra, nb-rb) after; a true pair needs
+    #    overlap >= alpha = ceil(4*(na+nb)/9) (J>=t <=> i >= t/(1+t)*(na+nb)),
+    #    and since ub >= overlap >= alpha holds for EVERY common shingle
+    #    of a qualifying pair, per-row ub < alpha prunes safely and the
+    #    per-pair min(ub) < alpha prunes the remainder after the
+    #    dedup aggregation.
+    ub = (
+        F.least(F.col("a.__r__"), F.col("b.__r__"))
+        + F.least(F.col("a.n") - F.col("a.__r__"), F.col("b.n") - F.col("b.__r__"))
+    ).cast("long")
+    alpha = F.ceil((F.col("a.n") + F.col("b.n")) * 4 / 9).cast("long")
     cand = (
         pre.alias("a")
         .join(pre.alias("b").hint("merge"), "sh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .filter(
+            (4 * F.col("a.n") <= 5 * F.col("b.n"))
+            & (4 * F.col("b.n") <= 5 * F.col("a.n"))
+        )
+        .filter(ub >= alpha)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ub.alias("__ub__"),
+            alpha.alias("__alpha__"),
+        )
+        .groupBy("doc_a", "doc_b", "__alpha__")
+        .agg(F.min("__ub__").alias("__mu__"))
+        .filter(F.col("__mu__") >= F.col("__alpha__"))
+        .select("doc_a", "doc_b")
         .hint("merge")
     )
     sa = s.select(F.col("doc_id").alias("doc_a"), "sh")
