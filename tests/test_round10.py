@@ -101,6 +101,129 @@ def test_minhash_band_cap_noop_on_unskewed_corpus(spark):
     assert capped == uncapped
 
 
+# ---------------------------------------------- ADVICE r9: sink guards
+
+
+def _write_two_leaf_epochs(spark, g, n_epochs=2):
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    sink = Sink.atomic_parquet_group(g, {"a": None, "b": None})
+    for ep in range(n_epochs):
+        df = spark.range(ep * 10, ep * 10 + 10).withColumn("u", F.col("id") % 4)
+        token = _CURRENT_EPOCH.set(ep)
+        try:
+            sink(df)
+        finally:
+            _CURRENT_EPOCH.reset(token)
+
+
+def test_delete_rows_atomic_subset_leaves_keeps_group_readable(spark, tmp_path):
+    """ADVICE r9: a `leaves` subset used to publish a group-wide marker
+    naming a directory only the rewritten leaves had — reads of every
+    OTHER leaf then resolved a nonexistent dir and failed.  Now the
+    untouched leaves are consolidated content-identically in the same
+    run: after a subset delete, BOTH leaves read, the named leaf is
+    scrubbed, the other is bit-identical to its pre-delete content."""
+    from tubes_spark.sink import Sink
+
+    g = str(tmp_path / "grp")
+    _write_two_leaf_epochs(spark, g)
+    before_b = sorted(r["id"] for r in Sink.read_atomic_group(spark, g, "b").collect())
+
+    deleted = Sink.delete_rows_atomic(spark, g, "u = 1", leaves=["a"])
+    assert deleted == {"a": 5}
+
+    got_a = sorted(r["id"] for r in Sink.read_atomic_group(spark, g, "a").collect())
+    got_b = sorted(r["id"] for r in Sink.read_atomic_group(spark, g, "b").collect())
+    assert got_a == [i for i in range(20) if i % 4 != 1]
+    assert got_b == before_b
+
+
+def test_compact_to_latest_subset_leaves_keeps_group_readable(spark, tmp_path):
+    """Same marker-safety property for the CoW compaction: a subset
+    rewrite must leave every leaf resolvable and the untouched leaf's
+    full epoch log intact."""
+    from tubes_spark.sink import Sink
+
+    g = str(tmp_path / "grp")
+    _write_two_leaf_epochs(spark, g)
+    before_b = sorted(r["id"] for r in Sink.read_atomic_group(spark, g, "b").collect())
+
+    kept = Sink.compact_to_latest(spark, g, ["id"], leaves=["a"])
+    assert set(kept) == {"a"}
+
+    got_a = sorted(r["id"] for r in Sink.read_atomic_group(spark, g, "a").collect())
+    got_b = sorted(r["id"] for r in Sink.read_atomic_group(spark, g, "b").collect())
+    assert got_a == list(range(20))  # distinct ids: latest-wins is identity here
+    assert got_b == before_b
+
+
+def test_delete_rows_atomic_unknown_leaf_rejected(spark, tmp_path):
+    from tubes_spark.sink import Sink
+
+    g = str(tmp_path / "grp")
+    _write_two_leaf_epochs(spark, g)
+    with pytest.raises(ValueError, match="unknown leaves"):
+        Sink.delete_rows_atomic(spark, g, "u = 1", leaves=["nope"])
+
+
+def _write_evolved_group(spark, g):
+    """Epoch 0 has (id, u); epoch 1 additionally carries `extra`."""
+    from pyspark.sql import functions as F
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    sink = Sink.atomic_parquet_group(g, {"a": None})
+    frames = [
+        spark.range(0, 10).withColumn("u", F.col("id") % 4),
+        spark.range(10, 20)
+        .withColumn("u", F.col("id") % 4)
+        .withColumn("extra", F.col("id") * 2),
+    ]
+    for ep, df in enumerate(frames):
+        token = _CURRENT_EPOCH.set(ep)
+        try:
+            sink(df)
+        finally:
+            _CURRENT_EPOCH.reset(token)
+
+
+@pytest.mark.parametrize("op", ["delete", "compact", "compact_latest"])
+def test_consolidation_refuses_schema_divergence_without_opt_in(spark, tmp_path, op):
+    """ADVICE r9: consolidating a schema-evolved group with first-footer
+    semantics silently dropped the columns later epochs introduced, and
+    purge/gc then deleted the only copy.  Every consolidating op must
+    now REFUSE on divergence unless evolve_schema=True — and with the
+    opt-in the evolved column survives the rewrite (NULL-filled for
+    pre-evolution epochs)."""
+    from tubes_spark.sink import Sink
+
+    g = str(tmp_path / "grp")
+    _write_evolved_group(spark, g)
+
+    def run(evolve):
+        if op == "delete":
+            return Sink.delete_rows_atomic(spark, g, "u = 1", evolve_schema=evolve)
+        if op == "compact":
+            return Sink.compact_atomic_group(spark, g, gc=True, evolve_schema=evolve)
+        return Sink.compact_to_latest(spark, g, ["id"], evolve_schema=evolve)
+
+    with pytest.raises(ValueError, match="schema divergence"):
+        run(False)
+    # nothing was rewritten or purged by the refusal: strict read still works
+    assert Sink.read_atomic_group(spark, g, "a").count() == 20
+
+    run(True)
+    out = Sink.read_atomic_group(spark, g, "a", evolve_schema=True)
+    assert "extra" in out.columns
+    rows = {r["id"]: r["extra"] for r in out.collect()}
+    assert rows[15] == 30 and rows[2] is None
+    if op == "delete":
+        assert all(i % 4 != 1 or i not in rows for i in range(20))
+
+
 # ------------------------------------------- incremental minhash index
 
 

@@ -300,7 +300,50 @@ class Sink:
         return out
 
     @staticmethod
-    def compact_atomic_group(spark, group_dir: str, gc: bool = False) -> int:
+    def _guard_schema_divergence(
+        spark, group_dir: str, name: str, evolve_schema: bool
+    ) -> None:
+        """Refuse to CONSOLIDATE a leaf whose committed sources disagree
+        on columns unless the caller opted into schema evolution
+        (ADVICE r9): a first-footer read of a divergent leaf silently
+        drops columns later epochs introduced, and a consolidating
+        rewrite followed by purge/gc would make them PERMANENTLY
+        unrecoverable.  Footer-only check — one schema read per source
+        directory, no data scan."""
+        from pathlib import Path
+
+        if evolve_schema:
+            return
+        epochs, k, kdir = Sink._committed_epochs(group_dir)
+        srcs = []
+        if k is not None and Path(f"{group_dir}/{name}/compact/{kdir}").exists():
+            srcs.append(f"{group_dir}/{name}/compact/{kdir}")
+        srcs += [
+            f"{group_dir}/{name}/data/epoch={e}"
+            for e in epochs
+            if (k is None or e > k)
+            and Path(f"{group_dir}/{name}/data/epoch={e}").exists()
+        ]
+        cols = [
+            set(spark.read.parquet(s).schema.names) - {"epoch"} for s in srcs
+        ]
+        if not cols:
+            return
+        diverged = set().union(*cols) - set.intersection(*cols)
+        if diverged:
+            raise ValueError(
+                f"leaf {name!r} has schema divergence across committed "
+                f"epochs (columns {sorted(diverged)} are not present in "
+                "every epoch); consolidating with first-footer semantics "
+                "would silently drop them and purge would make that "
+                "permanent — pass evolve_schema=True to consolidate with "
+                "mergeSchema + NULL-fill"
+            )
+
+    @staticmethod
+    def compact_atomic_group(
+        spark, group_dir: str, gc: bool = False, evolve_schema: bool = False
+    ) -> int:
         """Consolidate every COMMITTED epoch of every leaf into one
         compacted directory per leaf and publish the compaction point
         atomically — the small-files answer for a streaming sink that
@@ -340,7 +383,10 @@ class Sink:
         else:
             new_dir = f"upto={k}.{_uuid.uuid4().hex[:8]}"
             for name in sorted(leaves):
-                df = Sink.read_atomic_group(spark, group_dir, name)
+                Sink._guard_schema_divergence(spark, group_dir, name, evolve_schema)
+                df = Sink.read_atomic_group(
+                    spark, group_dir, name, evolve_schema=evolve_schema
+                )
                 tmp = f"{group_dir}/{name}/compact/.tmp.{new_dir}"
                 df.withColumn("epoch", F.col("epoch").cast("int")).write.mode(
                     "overwrite"
@@ -427,7 +473,14 @@ class Sink:
         ``as_of_epoch`` read afterwards sees only surviving rows (each
         still stamped with the epoch that produced it), not superseded
         versions; keep reading merge-on-read if you need full history.
-        Returns per-leaf surviving-row counts."""
+        Returns per-leaf surviving-row counts.
+
+        A ``leaves`` SUBSET rewrites only the named leaves to latest-
+        wins; the OTHER leaves are consolidated content-identically in
+        the same run (ADVICE r9: the group-wide ``_compacted/<K>``
+        marker names ONE directory, so every leaf must materialize it
+        or post-publish reads of the untouched leaves resolve a
+        nonexistent dir and fail)."""
         import shutil as _shutil
         import uuid as _uuid
         from pathlib import Path
@@ -436,20 +489,32 @@ class Sink:
         if not epochs:
             raise ValueError(f"no committed epochs under {group_dir}")
         k = max(epochs)
+        all_leaves = [
+            p.name
+            for p in Path(group_dir).iterdir()
+            if p.is_dir() and not p.name.startswith("_")
+        ]
         if leaves is None:
-            leaves = [
-                p.name
-                for p in Path(group_dir).iterdir()
-                if p.is_dir() and not p.name.startswith("_")
-            ]
+            leaves = all_leaves
+        unknown = set(leaves) - set(all_leaves)
+        if unknown:
+            raise ValueError(f"unknown leaves {sorted(unknown)} under {group_dir}")
         kept: "dict[str, int]" = {}
         new_dir = f"upto={k}.latest.{_uuid.uuid4().hex[:8]}"
-        for name in sorted(leaves):
-            df = Sink.read_atomic_latest(
-                spark, group_dir, name, key_cols, tombstone=tombstone,
-                evolve_schema=evolve_schema,
-            )
-            kept[name] = df.count()
+        for name in sorted(all_leaves):
+            Sink._guard_schema_divergence(spark, group_dir, name, evolve_schema)
+            if name in leaves:
+                df = Sink.read_atomic_latest(
+                    spark, group_dir, name, key_cols, tombstone=tombstone,
+                    evolve_schema=evolve_schema,
+                )
+                kept[name] = df.count()
+            else:
+                # untouched leaf: content-identical consolidation so the
+                # group-wide marker resolves for it too
+                df = Sink.read_atomic_group(
+                    spark, group_dir, name, evolve_schema=evolve_schema
+                )
             tmp = f"{group_dir}/{name}/compact/.tmp.{new_dir}"
             df.withColumn("epoch", F.col("epoch").cast("int")).write.mode(
                 "overwrite"
@@ -461,7 +526,7 @@ class Sink:
         mtmp.write_text(new_dir)
         os.replace(mtmp, marker_dir / str(k))
         if purge:
-            for name in leaves:
+            for name in all_leaves:
                 for e in epochs:
                     _shutil.rmtree(
                         f"{group_dir}/{name}/data/epoch={e}", ignore_errors=True
@@ -480,6 +545,7 @@ class Sink:
         predicate: "str | dict[str, str]",
         leaves: "Sequence[str] | None" = None,
         purge: bool = True,
+        evolve_schema: bool = False,
     ) -> "dict[str, int]":
         """Right-to-be-forgotten over an :meth:`atomic_parquet_group`:
         rewrite the table WITHOUT the rows matching ``predicate`` (a
@@ -506,7 +572,14 @@ class Sink:
 
         Scale shape: one filtered scan + consolidated write per leaf
         (the same cost class as compaction), counts are bounded driver
-        scalars, markers are single files."""
+        scalars, markers are single files.
+
+        A ``leaves`` SUBSET scrubs only the named leaves; the others
+        are consolidated content-identically in the same run so the
+        group-wide marker resolves for every leaf (ADVICE r9).  On a
+        group with additive schema evolution pass ``evolve_schema=True``
+        — the default refuses to consolidate a schema-divergent leaf
+        rather than silently dropping later epochs' columns."""
         import shutil as _shutil
         import uuid as _uuid
         from pathlib import Path
@@ -517,12 +590,16 @@ class Sink:
         if not epochs:
             raise ValueError(f"no committed epochs under {group_dir}")
         k = max(epochs)
+        all_leaves = [
+            p.name
+            for p in Path(group_dir).iterdir()
+            if p.is_dir() and not p.name.startswith("_")
+        ]
         if leaves is None:
-            leaves = [
-                p.name
-                for p in Path(group_dir).iterdir()
-                if p.is_dir() and not p.name.startswith("_")
-            ]
+            leaves = all_leaves
+        unknown = set(leaves) - set(all_leaves)
+        if unknown:
+            raise ValueError(f"unknown leaves {sorted(unknown)} under {group_dir}")
         preds = (
             predicate if isinstance(predicate, dict)
             else {name: predicate for name in leaves}
@@ -532,12 +609,21 @@ class Sink:
             raise ValueError(f"no delete predicate for leaves {sorted(missing)}")
         deleted: "dict[str, int]" = {}
         new_dir = f"upto={k}.del.{_uuid.uuid4().hex[:8]}"
-        for name in sorted(leaves):
-            df = Sink.read_atomic_group(spark, group_dir, name)
-            hit = F.coalesce(F.expr(preds[name]), F.lit(False))
-            deleted[name] = df.filter(hit).count()
+        # every leaf materializes the marker's directory — leaves outside
+        # the delete subset get a content-identical consolidation
+        # (ADVICE r9: the group-wide marker names ONE dir; a subset-only
+        # rewrite would break reads of every other leaf)
+        for name in sorted(all_leaves):
+            Sink._guard_schema_divergence(spark, group_dir, name, evolve_schema)
+            df = Sink.read_atomic_group(
+                spark, group_dir, name, evolve_schema=evolve_schema
+            )
+            if name in preds and name in leaves:
+                hit = F.coalesce(F.expr(preds[name]), F.lit(False))
+                deleted[name] = df.filter(hit).count()
+                df = df.filter(~hit)
             tmp = f"{group_dir}/{name}/compact/.tmp.{new_dir}"
-            df.filter(~hit).withColumn(
+            df.withColumn(
                 "epoch", F.col("epoch").cast("int")
             ).write.mode("overwrite").parquet(tmp)
             os.replace(tmp, f"{group_dir}/{name}/compact/{new_dir}")
@@ -547,7 +633,7 @@ class Sink:
         mtmp.write_text(new_dir)
         os.replace(mtmp, marker_dir / str(k))  # the atomic delete-visibility point
         if purge:
-            for name in leaves:
+            for name in all_leaves:
                 for e in epochs:
                     _shutil.rmtree(
                         f"{group_dir}/{name}/data/epoch={e}", ignore_errors=True
