@@ -151,6 +151,12 @@ def input_fingerprint(
             cached, resolved = {}, None
             stale = sorted(files)
             paths = [str(root if root.is_file() else root / rel) for rel in stale]
+            # ADVICE r9: the column set must come from the FULL path set
+            # now being re-scanned, not from the original stale subset —
+            # first-footer inference over a subset can miss (or invent)
+            # columns relative to content_fingerprint of the whole
+            # input, silently breaking the bit-identical equivalence
+            use_cols = sorted(spark.read.parquet(*paths).columns)
         resolved = use_cols
         canon = F.md5(_canon(list(use_cols)))
         h1 = F.conv(F.substring(canon, 1, 12), 16, 10).cast("decimal(38,0)")
@@ -178,7 +184,41 @@ def input_fingerprint(
             by_rel[rel] = (r["n"], int(r["sa"] or 0), int(r["sb"] or 0))
         for rel in stale:
             size, mtime = files[rel]
-            n, sa, sb = by_rel.get(rel, (0, 0, 0))  # empty file: zero digest
+            if rel in by_rel:
+                n, sa, sb = by_rel[rel]
+            else:
+                # absent from the grouped scan: a ZERO-ROW file (no rows
+                # to carry input_file_name) — or a path-mapping mismatch
+                # between os.walk relpaths and Spark's URI-style
+                # input_file_name (percent-encoded specials).  ADVICE r9:
+                # never default to a zero digest — the wrong fingerprint
+                # would persist via the (size, mtime) cache where even
+                # the fp1==fp0 self-check can't see it.  Verify by
+                # reading THIS file alone (no path mapping involved): a
+                # genuinely empty file keeps (0,0,0); a non-empty one
+                # gets its exact per-file digest from the single-path
+                # scan.
+                p = str(root if root.is_file() else root / rel)
+                canon_cols = list(use_cols)
+                c1 = F.md5(_canon(canon_cols))
+                r = (
+                    spark.read.parquet(p)
+                    .select(
+                        F.conv(F.substring(c1, 1, 12), 16, 10)
+                        .cast("decimal(38,0)")
+                        .alias("a"),
+                        F.conv(F.substring(c1, 13, 12), 16, 10)
+                        .cast("decimal(38,0)")
+                        .alias("b"),
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("a").alias("sa"),
+                        F.sum("b").alias("sb"),
+                    )
+                    .first()
+                )
+                n, sa, sb = r["n"], int(r["sa"] or 0), int(r["sb"] or 0)
             cached[rel] = [size, mtime, n, str(sa), str(sb)]
         cache_path.parent.mkdir(parents=True, exist_ok=True)
         tmp = cache_path.parent / f".tmp-{cache_path.name}-{uuid.uuid4().hex[:8]}"

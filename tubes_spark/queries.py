@@ -5878,12 +5878,18 @@ def jaccard_exact_prefix_join(spark, sf_dir):
     #    (integer-exact, no float threshold).
     #  * POSITIONAL filter: a common prefix shingle at ranks (ra, rb)
     #    bounds the overlap at min(ra,rb)-1 common elements strictly
-    #    before it + itself + min(na-ra, nb-rb) after; a true pair needs
-    #    overlap >= alpha = ceil(4*(na+nb)/9) (J>=t <=> i >= t/(1+t)*(na+nb)),
-    #    and since ub >= overlap >= alpha holds for EVERY common shingle
-    #    of a qualifying pair, per-row ub < alpha prunes safely and the
-    #    per-pair min(ub) < alpha prunes the remainder after the
-    #    dedup aggregation.
+    #    before it + itself + min(na-ra, nb-rb) after; a qualifying pair
+    #    needs overlap >= alpha = ceil(4*(na+nb)/9) (J>=t <=> i >=
+    #    t/(1+t)*(na+nb)), and the bound holds for EVERY common prefix
+    #    shingle — so ONE witness with ub < alpha refutes the pair:
+    #    the dedup aggregation keeps min(ub) and drops refuted pairs.
+    #
+    # Honesty note (x100 probe, r10): on the uniform-99-replica synth
+    # every candidate IS a true near-dup, so these filters prune ~0.003%
+    # there (27,301,300 -> 27,300,500) — their value is the diverse/
+    # adversarial corpus where prefix collisions pair dissimilar-length
+    # or low-overlap docs; the hard cost bound on THIS synth remains
+    # the spill-bounded SMJ plan underneath.
     ub = (
         F.least(F.col("a.__r__"), F.col("b.__r__"))
         + F.least(F.col("a.n") - F.col("a.__r__"), F.col("b.n") - F.col("b.__r__"))
@@ -5897,7 +5903,6 @@ def jaccard_exact_prefix_join(spark, sf_dir):
             (4 * F.col("a.n") <= 5 * F.col("b.n"))
             & (4 * F.col("b.n") <= 5 * F.col("a.n"))
         )
-        .filter(ub >= alpha)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
