@@ -231,27 +231,50 @@ GRAPH_FAMILY = {
 
 
 def _make_trigger_listener(spark):
-    """Count streaming micro-batches (triggers) engine-side, so the
-    sidecar can report {triggers, sec_per_trigger} per streaming bench
-    row (VERDICT-r8 #8): the six slowest bench queries are all
-    multi-trigger drains whose wall time is fixed per-trigger overhead,
-    and a real per-trigger regression must not hide behind a
-    trigger-count change.  Returns the listener (``.count`` is the
-    running total) or None if the listener API is unavailable."""
+    """Record streaming micro-batch progress PER QUERY ID engine-side,
+    so the sidecar can report {triggers, sec_per_trigger, state_rows,
+    state_memory_used_bytes} for every streaming bench row (VERDICT-r8
+    #8 + r9 #7): the slowest bench queries are multi-trigger drains
+    whose wall time is fixed per-trigger overhead, and a per-trigger or
+    state-size regression must not hide behind a trigger-count change.
+
+    ADVICE r9 (bench.py:338): attribution is by the progress event's
+    OWN query id — a concurrently running stream can no longer inflate
+    another row's count — and the reader polls until the recorder goes
+    quiet instead of trusting a fixed sleep on the async listener bus.
+    Returns the recorder or None if the listener API is unavailable."""
     try:
         from pyspark.sql.streaming import StreamingQueryListener
     except ImportError:
         return None
+    import json as _json
+    import threading
 
-    class _Counter(StreamingQueryListener):
+    class _Recorder(StreamingQueryListener):
         def __init__(self):
-            self.count = 0
+            self._lock = threading.Lock()
+            self.triggers: dict = {}  # qid -> progress-event count
+            self.state: dict = {}     # qid -> latest state-operator sums
 
         def onQueryStarted(self, event):
             pass
 
         def onQueryProgress(self, event):
-            self.count += 1
+            try:
+                d = _json.loads(event.progress.json)
+            except Exception:
+                return
+            qid = str(d.get("id"))
+            with self._lock:
+                self.triggers[qid] = self.triggers.get(qid, 0) + 1
+                so = d.get("stateOperators") or []
+                if so:
+                    self.state[qid] = {
+                        "state_rows": sum(o.get("numRowsTotal") or 0 for o in so),
+                        "state_memory_used_bytes": sum(
+                            o.get("memoryUsedBytes") or 0 for o in so
+                        ),
+                    }
 
         def onQueryIdle(self, event):
             pass
@@ -259,7 +282,44 @@ def _make_trigger_listener(spark):
         def onQueryTerminated(self, event):
             pass
 
-    listener = _Counter()
+        def snapshot(self) -> dict:
+            with self._lock:
+                return dict(self.triggers)
+
+        def _stable_snapshot(self, timeout: float = 3.0) -> dict:
+            """Poll until two consecutive reads agree (the bus drained)."""
+            prev = self.snapshot()
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                time.sleep(0.15)
+                cur = self.snapshot()
+                if cur == prev:
+                    return cur
+                prev = cur
+            return prev
+
+        def row_detail(self, before: dict, runs: int) -> "dict | None":
+            """Per-run trigger count and state footprint for the queries
+            whose ids progressed since ``before`` (this bench row's own
+            streams).  State values are per-run averages: each of the
+            row's ``runs`` repetitions starts fresh query ids, and the
+            sum over one run's streams is the run's state footprint."""
+            after = self._stable_snapshot()
+            qids = [q for q in after if after[q] != before.get(q, 0)]
+            delta = sum(after[q] - before.get(q, 0) for q in qids)
+            if delta <= 0:
+                return None
+            out = {"triggers": round(delta / runs, 1)}
+            with self._lock:
+                st = [self.state[q] for q in qids if q in self.state]
+            if st:
+                out["state_rows"] = round(sum(s["state_rows"] for s in st) / runs)
+                out["state_memory_used_bytes"] = round(
+                    sum(s["state_memory_used_bytes"] for s in st) / runs
+                )
+            return out
+
+    listener = _Recorder()
     spark.streams.addListener(listener)
     return listener
 
@@ -346,7 +406,11 @@ def main() -> None:
     builds_billed: set = set()
     for name in HEADLINE:
         fn = queries[name]
-        triggers_before = trigger_listener.count if trigger_listener else 0
+        triggers_before = (
+            trigger_listener.snapshot()
+            if trigger_listener and name.startswith("streaming_")
+            else None
+        )
         if name in GRAPH_FAMILY:
             # warm whole-stage codegen with a throwaway run BEFORE
             # clearing the shared structure: the cold number should
@@ -384,14 +448,11 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        if trigger_listener and name.startswith("streaming_"):
-            time.sleep(0.3)  # listener bus is async; let it drain
-            per_run = (trigger_listener.count - triggers_before) / runs
-            if per_run > 0:
-                streaming_detail[name] = {
-                    "triggers": round(per_run, 1),
-                    "sec_per_trigger": round(best / per_run, 3),
-                }
+        if triggers_before is not None:
+            det = trigger_listener.row_detail(triggers_before, runs)
+            if det:
+                det["sec_per_trigger"] = round(best / det["triggers"], 3)
+                streaming_detail[name] = det
 
     cal_end = _calibrate()
 
