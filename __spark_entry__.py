@@ -112,6 +112,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_domain_blocklist": Q.url_domain_blocklist,
     "window_funcs_battery": Q.window_funcs_battery,
     # new in round 10 (local 3-SF hash evidence; r11 rotation after the r5 tail)
+    # r10-touched below-fold keys: lm_stupid_backoff_filter's tertile cut
+    # changed from global ntile to broadcast percentile thresholds — its
+    # OUTPUT CHANGED with the oracle updated in lockstep, re-gated at 3
+    # SFs; jaccard_exact_prefix_join gained lossless PPJoin pruning and
+    # dedup_minhash_* the operator band cap — both output-identical at
+    # every gate SF (tests pin the noop), re-gated at 3 SFs anyway.
     "dedup_incremental_minhash": Q.dedup_incremental_minhash,
     # remaining battery, staleness round ascending then alphabetical
     # last sampled round 6
