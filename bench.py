@@ -82,6 +82,7 @@ HEADLINE = [
     "dsir_importance_weights",        # DSIR hashed-ngram importance weighting
     "sample_weighted_per_source",     # Efraimidis-Spirakis weighted sample
     "dedup_incremental_new_docs",     # incremental dedup vs seen-set
+    "dedup_incremental_minhash",      # incremental NEAR-dedup vs persisted index (r10)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt

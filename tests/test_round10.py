@@ -224,6 +224,36 @@ def test_consolidation_refuses_schema_divergence_without_opt_in(spark, tmp_path,
         assert all(i % 4 != 1 or i not in rows for i in range(20))
 
 
+def test_simhash_band_cap_exact_dups_stay_colocated(spark):
+    """The opt-in simhash cap splits oversized (band, chunk) buckets on
+    pmod(signature, 16): EQUAL signatures (exact dups) share every
+    chunk AND the salt, so all their pairs survive; with the cap off
+    the result is the documented exact pigeonhole set."""
+    import pandas as pd
+
+    texts = [f"shared boilerplate body copy {i % 3}" for i in range(120)]
+    d = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    sh = dedup.shingle_frame(d, shingle_k=2)
+    sig = sh.select("doc_id", dedup.simhash_from_hashes(F.col("hs"), 32).alias("__sh__"))
+    sig = sig.localCheckpoint(eager=True)
+    exact = {
+        (r["id_a"], r["id_b"]) for r in dedup.simhash_candidates(sig, 2).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidates(sig, 2, band_cap=10).collect()
+    }
+    # equal-signature pairs (the three 40-doc dup families) all survive
+    sigs = {r["doc_id"]: r["__sh__"] for r in sig.collect()}
+    from itertools import combinations
+
+    equal_pairs = {
+        (a, b) for a, b in combinations(sorted(sigs), 2) if sigs[a] == sigs[b]
+    }
+    assert equal_pairs <= capped
+    assert capped <= exact
+
+
 # ------------------------------------------- PPJoin positional filter
 
 

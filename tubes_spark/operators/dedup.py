@@ -456,6 +456,8 @@ def simhash_candidates(
     id_col: str = "doc_id",
     sig_col: str = "__sh__",
     bits: int = 32,
+    band_cap: int | None = None,
+    split_factor: int = 16,
 ) -> DataFrame:
     """Candidate pairs within hamming distance ``radius`` of each other,
     via pigeonhole banding: split the signature into ``radius + 1``
@@ -464,7 +466,21 @@ def simhash_candidates(
     bucketed shape as minhash LSH banding: shuffles only (id, band,
     chunk) rows on a small int key, never all-pairs.  Candidates are
     then verified exactly: ``bit_count(xor) <= radius`` (no false
-    positives leave this function)."""
+    positives leave this function).
+
+    ``band_cap`` (default OFF, unlike :func:`minhash_candidates`):
+    pigeonhole banding's contract is EXACTNESS — every pair within the
+    radius is found — and the chunks are exhaustive rather than
+    redundant, so splitting an oversized bucket can drop a true pair
+    whose ONLY agreeing chunk was the split one.  The opt-in cap
+    therefore trades that no-false-negative guarantee for a hard bound
+    on worst-case join cost under boilerplate skew (thousands of docs
+    sharing one chunk value): buckets above the cap split on
+    ``pmod(full signature, split_factor)``, which keeps EQUAL-signature
+    docs (exact dups — the usual cause of monster buckets) co-located,
+    so the recall loss is confined to near-miss pairs inside oversized
+    buckets.  Turn it on for crawl-shaped corpora where the verify join
+    cost matters more than exhaustive radius recall."""
     bands = radius + 1
     width = -(-bits // bands)
     mask = (1 << width) - 1
@@ -483,9 +499,25 @@ def simhash_candidates(
         # minhash_candidates)
         .localCheckpoint(eager=True)
     )
+    keys = ["band", "chunk"]
+    if band_cap is not None:
+        w = Window.partitionBy("band", "chunk")
+        banded = (
+            banded.withColumn("__n__", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("__n__") > band_cap,
+                    F.pmod(F.col(sig_col), F.lit(split_factor)).cast("int"),
+                ).otherwise(F.lit(-1)),
+            )
+            .drop("__n__")
+            .localCheckpoint(eager=True)
+        )
+        keys = ["band", "chunk", "salt"]
     a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, on=["band", "chunk"])
+        a.join(b, on=keys)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .filter(
             F.bit_count(F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))) <= radius
