@@ -108,6 +108,8 @@ LINEAR_QUERIES = [
     "record_linkage_entities",       # blocked fuzzy linkage + CC closure
     "k_anonymity_generalize",        # one scan + three conditional windows
     "l_diversity_audit",             # release CTE + one audit aggregation
+    # round 10
+    "dedup_incremental_minhash",     # batch-side signatures + left_semi vs stored index
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not
