@@ -119,6 +119,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_minhash_* the operator band cap — both output-identical at
     # every gate SF (tests pin the noop), re-gated at 3 SFs anyway.
     "dedup_incremental_minhash": Q.dedup_incremental_minhash,
+    "orc_format_roundtrip": Q.orc_format_roundtrip,
     # remaining battery, staleness round ascending then alphabetical
     # last sampled round 6
     "ansi_try_funcs": Q.ansi_try_funcs,

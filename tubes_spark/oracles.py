@@ -3234,6 +3234,11 @@ FROM documents GROUP BY lang
 """
 
 
+# same accounting straight off the parquet table: n_identical == n_docs
+# is the ORC round-trip fidelity claim the hash gate enforces
+ORACLES["orc_format_roundtrip"] = ORACLES["text_formats_roundtrip"]
+
+
 ORACLES["minhash_estimate_error"] = f"""
 WITH hx AS (
   SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) % 2147483647 AS x

@@ -6442,6 +6442,55 @@ def repetition_signals(spark, sf_dir):
     )
 
 
+def orc_format_roundtrip(spark, sf_dir):
+    """Columnar-format IO surface beyond parquet: the corpus
+    round-trips through an ORC sink/source (zlib, explicit read schema
+    — inference drifts across engines) and is reconciled row-by-row
+    against the parquet original; ``n_identical == n_docs`` per lang IS
+    the oracle-gated fidelity claim, since the oracle computes the same
+    accounting straight off the parquet table (a lost row, mangled
+    string, or width-changed integer breaks the value hash).
+
+    Scale shape: encode/decode is per-row JVM work scaling with
+    executors; the reconcile join keys on the unique doc_id; the tmp
+    write is harness scaffolding (a production export sizes ~1 GB files
+    with the same repartition knob).  ORC matters operationally: it is
+    the other zone-map columnar format a 100 TB lake commonly holds,
+    and Spark's reader/writer are built in — no extra package."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="orc_io_")
+    try:
+        d = _t(spark, sf_dir, "documents")
+        d.repartition(4).write.mode("overwrite").option(
+            "compression", "zlib"
+        ).orc(f"{tmp}/orc")
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        o = spark.read.schema(schema).orc(f"{tmp}/orc")
+        joined = o.alias("o").join(d.alias("p"), "doc_id")
+        res = (
+            joined.groupBy(F.col("o.lang").alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("o.n_chars")).cast("long").alias("sum_chars"),
+                F.sum(
+                    F.when(
+                        (F.col("o.text") == F.col("p.text"))
+                        & (F.col("o.source") == F.col("p.source"))
+                        & (F.col("o.lang") == F.col("p.lang")),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias("n_identical"),
+            )
+        )
+        res = res.cache()
+        res.count()  # pin rows before tmp cleanup
+        return res
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def text_formats_roundtrip(spark, sf_dir):
     """Text-format IO surface: the corpus round-trips through JSONL and
     CSV sinks/sources (explicit read schemas — never inference, which
