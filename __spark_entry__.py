@@ -120,6 +120,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # every gate SF (tests pin the noop), re-gated at 3 SFs anyway.
     "dedup_incremental_minhash": Q.dedup_incremental_minhash,
     "orc_format_roundtrip": Q.orc_format_roundtrip,
+    "streaming_dedup_incremental_minhash": Q.streaming_dedup_incremental_minhash,
     # remaining battery, staleness round ascending then alphabetical
     # last sampled round 6
     "ansi_try_funcs": Q.ansi_try_funcs,

@@ -1640,6 +1640,27 @@ WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM dup)
 )
 
 
+# Streaming incremental twin: batch k == slice k (doc_id % 3), the
+# index is the union of earlier slices' band rows, within-batch pairs
+# deliberately unchecked — dup iff an EARLIER-slice doc shares a band
+# bucket.
+ORACLES["streaming_dedup_incremental_minhash"] = (
+    ORACLES["dedup_minhash_arith_survivors"].split("), dropped AS")[0]
+    + """), side AS (
+  SELECT b.doc_id, b.band, b.key, CAST(d.doc_id % 3 AS INTEGER) AS slice
+  FROM bands b JOIN documents d USING (doc_id)
+), dup AS (
+  SELECT DISTINCT a.doc_id FROM side a JOIN side s
+  ON a.band = s.band AND a.key = s.key
+  WHERE s.slice < a.slice
+)
+SELECT d.doc_id, d.source, d.n_chars, CAST(d.doc_id % 3 AS INTEGER) AS slice
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+)
+
+
 # CC survivor policy over the arith band family: reuse the band-key
 # CTEs verbatim (split at the survivor tail) and replace the greedy
 # bucket-min drop with star edges -> recursive transitive closure ->

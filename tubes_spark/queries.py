@@ -8547,6 +8547,70 @@ def streaming_cdc_upsert(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_dedup_incremental_minhash(spark, sf_dir):
+    """The persisted near-dup index under the REAL streaming engine
+    (the daily-crawl loop as micro-batches): documents replay as three
+    doc_id%3 slices; each trigger's foreachBatch checks its batch
+    against the atomic-group signature index built by the PRIOR
+    triggers (batch 0 bootstraps it), emits the batch's non-colliding
+    docs, and appends the batch's own band rows as the next committed
+    epoch.  Within-batch near-dups are deliberately NOT checked — the
+    index is the seen-set, exactly the incremental contract
+    dedup_incremental_minhash gates in batch form — so the oracle is a
+    pure earlier-slice collision rule: doc_id%3 arithmetic makes batch
+    k == slice k and every survivor row SQL-reconstructible.
+
+    Scale shape per trigger: |batch| signature computations + one
+    narrow (band, key) semi-join against the index scan + one epoch
+    append behind the atomic marker; nothing ever recomputes old
+    signatures or re-reads old text."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    conds = [F.col("doc_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="tubes_sincmh_")
+    try:
+        write_ordered_slices(d, conds, f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        idx_dir = f"{tmp}/idx"
+        out_dir = f"{tmp}/new"
+
+        def fb(batch_df, epoch_id):
+            ep = int(epoch_id)
+            if ep == 0:
+                new = batch_df  # empty index: everything is new
+                dedup.write_minhash_index(batch_df, idx_dir, epoch=0)
+            else:
+                new = dedup.incremental_minhash_new(
+                    batch_df, spark, idx_dir, update_index=True
+                )
+            new.select("doc_id", "source", "n_chars").withColumn(
+                "slice", F.lit(ep).cast("int")
+            ).write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def dp_noisy_group_counts(spark, sf_dir):
     """Differentially-private release of grouped counts (Laplace
     mechanism, Dwork et al. 2006) -- the third leg of the governance
