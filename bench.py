@@ -83,6 +83,8 @@ HEADLINE = [
     "sample_weighted_per_source",     # Efraimidis-Spirakis weighted sample
     "dedup_incremental_new_docs",     # incremental dedup vs seen-set
     "dedup_incremental_minhash",      # incremental NEAR-dedup vs persisted index (r10)
+    "streaming_dedup_incremental_minhash",  # the same loop as micro-batch triggers (r10)
+    "orc_format_roundtrip",           # ORC sink/source fidelity (r10)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt

@@ -110,6 +110,8 @@ LINEAR_QUERIES = [
     "l_diversity_audit",             # release CTE + one audit aggregation
     # round 10
     "dedup_incremental_minhash",     # batch-side signatures + left_semi vs stored index
+    "streaming_dedup_incremental_minhash",  # 3 triggers of the same loop
+    "orc_format_roundtrip",          # per-row codec + doc_id reconcile join
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not
