@@ -435,6 +435,47 @@ def test_incremental_minhash_reads_no_old_document_text(spark, tmp_path):
     assert ids == set(old_pd["doc_id"]) | set(arr_pd["doc_id"])
 
 
+def test_minhash_index_compaction_preserves_incremental_results(spark, tmp_path):
+    """The signature index is an ordinary atomic group, so the
+    small-files answer applies to it too: after compact_atomic_group
+    (gc=True — per-epoch dirs physically gone) the incremental check
+    returns the SAME survivors, and the next maintenance epoch still
+    appends cleanly on top of the compaction point."""
+    from tubes_spark.sink import Sink
+
+    idx_dir = str(tmp_path / "idx")
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    day0 = pd.DataFrame({"doc_id": range(10), "text": [base + f" t{i}" for i in range(10)]})
+    day1 = pd.DataFrame(
+        {"doc_id": range(100, 110), "text": [f"second day doc {i} " + " ".join(f"d{i}x{j}" for j in range(10)) for i in range(10)]}
+    )
+    arriving = pd.DataFrame(
+        {
+            "doc_id": range(200, 206),
+            "text": [base + " t3", "second day doc 105 " + " ".join(f"d105x{j}" for j in range(10))]
+            + [f"fresh {i} " + " ".join(f"f{i}y{j}" for j in range(10)) for i in range(4)],
+        }
+    )
+    dedup.write_minhash_index(spark.createDataFrame(day0), idx_dir, epoch=0)
+    dedup.write_minhash_index(spark.createDataFrame(day1), idx_dir, epoch=1)
+    arr = spark.createDataFrame(arriving)
+
+    before = {r["doc_id"] for r in dedup.incremental_minhash_new(arr, spark, idx_dir).collect()}
+    k = Sink.compact_atomic_group(spark, idx_dir, gc=True)
+    assert k == 1
+    after = {r["doc_id"] for r in dedup.incremental_minhash_new(arr, spark, idx_dir).collect()}
+    assert after == before
+    assert before < set(arriving["doc_id"]), "expected some collisions vs the index"
+
+    # maintenance append still lands on top of the compaction point
+    out = dedup.incremental_minhash_new(arr, spark, idx_dir, update_index=True)
+    out.count()
+    epochs, k2, _ = Sink._committed_epochs(idx_dir)
+    assert 2 in epochs and k2 == 1
+    ids = {r["doc_id"] for r in Sink.read_atomic_group(spark, idx_dir, "bands").select("doc_id").distinct().collect()}
+    assert set(arriving["doc_id"]) <= ids
+
+
 def test_lm_backoff_tertile_cut_is_broadcast_threshold(spark):
     """VERDICT-r9 #3: the tertile cut must be percentile thresholds
     broadcast from a 1-row aggregate — the plan carries NO window (the
