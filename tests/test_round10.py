@@ -101,6 +101,32 @@ def test_minhash_band_cap_noop_on_unskewed_corpus(spark):
     assert capped == uncapped
 
 
+# --------------------------------------------------- gate-prefix guard
+
+
+def test_gate_prefix_leads_with_never_sampled_keys():
+    """The driver's correctness gate samples the FIRST 50 dict keys;
+    round-10's contract (VERDICT-r9 #2) is flagship first, then the 9
+    keys that have never held a driver row.  Pin the ordering so an
+    accidental dict edit can't silently reshuffle the gate plan."""
+    import __spark_entry__ as E
+
+    keys = list(E.queries())
+    assert keys[0] == "flagship_pricing_summary"
+    assert keys[1:10] == [
+        "cdc_upsert_roundtrip",
+        "streaming_cdc_upsert",
+        "dp_noisy_group_counts",
+        "bootstrap_poisson_ci",
+        "retrieval_hard_negatives",
+        "psi_drift_monitor",
+        "pit_feature_join",
+        "l_diversity_audit",
+        "compression_ratio_quality",
+    ]
+    assert len(set(keys[:50])) == 50
+
+
 # ---------------------------------------------- ADVICE r9: sink guards
 
 
