@@ -33,75 +33,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDERING NOTE: the driver's correctness gate samples the FIRST 50
-    # keys of this dict each round.  Round-10 prefix (VERDICT-r9 #2) =
-    # flagship + ALL 9 keys that have never held a driver row
-    # (cdc_upsert_roundtrip ... compression_ratio_quality, judge-
-    # verified green in r9 but the gate is the record) + 40 of the 49
-    # keys last sampled in round 5 = exactly 50.  The r5 cohort is 49
-    # keys, one more than the 40 free slots, so its alphabetical tail
-    # (9 keys, listed first below the fold) heads the round-11
-    # rotation; after this round every battery key holds at least one
-    # driver row and only those 9 predate round 6.  Queries added in
-    # round 10 carry local 3-SF hash evidence (sf0.001/0.01/0.1,
-    # vanilla sessions) and are queued directly after the deferred-r5
+    # keys of this dict each round.  Round-11 prefix (VERDICT-r10 #2) =
+    # flagship + the 9-key deferred-r5 alphabetical tail + the 3 keys
+    # added late in r10 that have never held a driver row + 37 of the
+    # 49 keys last sampled in round 6 = exactly 50.  The r6 cohort is
+    # 49 keys, 12 more than the 37 free slots, so its alphabetical
+    # tail (12 keys, listed first below the fold) heads the round-12
+    # rotation; after this round r1-r11 driver rows cover every battery
+    # key and no key's latest row predates round 6.  Queries added in
+    # round 11 carry local 3-SF hash evidence (sf0.001/0.01/0.1,
+    # vanilla sessions) and are queued directly after the deferred-r6
     # block.  Every key passes the identical local DuckDB harness
     # regardless of driver sampling.
 
     # --- position 1: flagship ---
     "flagship_pricing_summary": Q.flagship_pricing_summary,
-    # --- never driver-sampled (landed after the r9 prefix froze) ---
-    "cdc_upsert_roundtrip": Q.cdc_upsert_roundtrip,
-    "streaming_cdc_upsert": Q.streaming_cdc_upsert,
-    "dp_noisy_group_counts": Q.dp_noisy_group_counts,
-    "bootstrap_poisson_ci": Q.bootstrap_poisson_ci,
-    "retrieval_hard_negatives": Q.retrieval_hard_negatives,
-    "psi_drift_monitor": Q.psi_drift_monitor,
-    "pit_feature_join": Q.pit_feature_join,
-    "l_diversity_audit": Q.l_diversity_audit,
-    "compression_ratio_quality": Q.compression_ratio_quality,
-    # --- 40 stalest keys (last sampled round 5) ---
-    "ann_recall_contract_check": Q.ann_recall_contract_check,
-    "anomaly_daily_spikes": Q.anomaly_daily_spikes,
-    "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
-    "asof_next_event": Q.asof_next_event,
-    "bm25_search_scores": Q.bm25_search_scores,
-    "bpe_encode_corpus": Q.bpe_encode_corpus,
-    "bpe_first_merges": Q.bpe_first_merges,
-    "cms_token_frequencies": Q.cms_token_frequencies,
-    "connected_components_jaccard": Q.connected_components_jaccard,
-    "cube_pricing_lattice": Q.cube_pricing_lattice,
-    "custom_source_arith_events": Q.custom_source_arith_events,
-    "custom_stream_source_drain": Q.custom_stream_source_drain,
-    "dedup_minhash_arith_survivors": Q.dedup_minhash_arith_survivors,
-    "dedup_simhash_arith_survivors": Q.dedup_simhash_arith_survivors,
-    "doc_centrality_pagerank": Q.doc_centrality_pagerank,
-    "ewma_user_values": Q.ewma_user_values,
-    "funnel_3step_batch": Q.funnel_3step_batch,
-    "graph_bfs_hops": Q.graph_bfs_hops,
-    "graph_triangle_rare_shingles": Q.graph_triangle_rare_shingles,
-    "inverted_index_postings": Q.inverted_index_postings,
-    "jaccard_exact_prefix_join": Q.jaccard_exact_prefix_join,
-    "langid_confusion_matrix": Q.langid_confusion_matrix,
-    "markov_event_transitions": Q.markov_event_transitions,
-    "minhash_estimate_error": Q.minhash_estimate_error,
-    "multimodal_audio_energy": Q.multimodal_audio_energy,
-    "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
-    "multimodal_image_ahash": Q.multimodal_image_ahash,
-    "near_dup_cluster_stats": Q.near_dup_cluster_stats,
-    "phrase_search_positions": Q.phrase_search_positions,
-    "pii_redaction_scrub": Q.pii_redaction_scrub,
-    "pivot_priority_by_year": Q.pivot_priority_by_year,
-    "repetition_signals": Q.repetition_signals,
-    "retention_cohorts_weekly": Q.retention_cohorts_weekly,
-    "rolling_1h_user_value": Q.rolling_1h_user_value,
-    "schema_evolution_union": Q.schema_evolution_union,
-    "setops_buyer_cohorts": Q.setops_buyer_cohorts,
-    "span_scrub_exact_substrings": Q.span_scrub_exact_substrings,
-    "split_train_val_test": Q.split_train_val_test,
-    "stats_corr_regression": Q.stats_corr_regression,
-    "streaming_dedup_watermark": Q.streaming_dedup_watermark,
-    # --- below the driver fold ---
-    # deferred r5 cohort (alphabetical tail; heads the r11 rotation)
+    # --- deferred r5 tail (last driver row: round 5) ---
     "streaming_enrich_static": Q.streaming_enrich_static,
     "streaming_incremental_rollup": Q.streaming_incremental_rollup,
     "streaming_late_data": Q.streaming_late_data,
@@ -111,18 +58,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow_arith_fingerprints": Q.text_winnow_arith_fingerprints,
     "url_domain_blocklist": Q.url_domain_blocklist,
     "window_funcs_battery": Q.window_funcs_battery,
-    # new in round 10 (local 3-SF hash evidence; r11 rotation after the r5 tail)
-    # r10-touched below-fold keys: lm_stupid_backoff_filter's tertile cut
-    # changed from global ntile to broadcast percentile thresholds — its
-    # OUTPUT CHANGED with the oracle updated in lockstep, re-gated at 3
-    # SFs; jaccard_exact_prefix_join gained lossless PPJoin pruning and
-    # dedup_minhash_* the operator band cap — both output-identical at
-    # every gate SF (tests pin the noop), re-gated at 3 SFs anyway.
+    # --- never driver-sampled (landed after the r10 prefix froze) ---
     "dedup_incremental_minhash": Q.dedup_incremental_minhash,
     "orc_format_roundtrip": Q.orc_format_roundtrip,
     "streaming_dedup_incremental_minhash": Q.streaming_dedup_incremental_minhash,
-    # remaining battery, staleness round ascending then alphabetical
-    # last sampled round 6
+    # --- 37 stalest keys (last sampled round 6) ---
     "ansi_try_funcs": Q.ansi_try_funcs,
     "approx_distinct_bound_check": Q.approx_distinct_bound_check,
     "array_hof_doc_stats": Q.array_hof_doc_stats,
@@ -160,6 +100,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
     "session_dynamic_gap": Q.session_dynamic_gap,
     "shuffle_shards_manifest": Q.shuffle_shards_manifest,
+    # --- below the driver fold ---
+    # deferred r6 cohort (alphabetical tail; heads the r12 rotation)
     "streaming_funnel_conversions": Q.streaming_funnel_conversions,
     "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     "streaming_session_dynamic": Q.streaming_session_dynamic,
@@ -172,6 +114,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov_rate": Q.vocab_oov_rate,
     "winsorize_event_values": Q.winsorize_event_values,
     "zorder_key_events": Q.zorder_key_events,
+    # new in round 11 (local 3-SF hash evidence; queued for the r12
+    # prefix after the deferred-r6 block)
+    "simhash_band_cap_stats": Q.simhash_band_cap_stats,
+    # remaining battery, staleness round ascending then alphabetical
     # last sampled round 7
     "asof_purchase": Q.asof_purchase,
     "cartesian_ap": Q.cartesian_ap,
@@ -322,6 +268,56 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_takewhile_prefix": Q.streaming_takewhile_prefix,
     "top_bigrams_global": Q.top_bigrams_global,
     "unpivot_doc_metrics": Q.unpivot_doc_metrics,
+    # last sampled round 10
+    "ann_recall_contract_check": Q.ann_recall_contract_check,
+    "anomaly_daily_spikes": Q.anomaly_daily_spikes,
+    "approx_top_tokens_eviction_bound": Q.approx_top_tokens_eviction_bound,
+    "asof_next_event": Q.asof_next_event,
+    "bm25_search_scores": Q.bm25_search_scores,
+    "bootstrap_poisson_ci": Q.bootstrap_poisson_ci,
+    "bpe_encode_corpus": Q.bpe_encode_corpus,
+    "bpe_first_merges": Q.bpe_first_merges,
+    "cdc_upsert_roundtrip": Q.cdc_upsert_roundtrip,
+    "cms_token_frequencies": Q.cms_token_frequencies,
+    "compression_ratio_quality": Q.compression_ratio_quality,
+    "connected_components_jaccard": Q.connected_components_jaccard,
+    "cube_pricing_lattice": Q.cube_pricing_lattice,
+    "custom_source_arith_events": Q.custom_source_arith_events,
+    "custom_stream_source_drain": Q.custom_stream_source_drain,
+    "dedup_minhash_arith_survivors": Q.dedup_minhash_arith_survivors,
+    "dedup_simhash_arith_survivors": Q.dedup_simhash_arith_survivors,
+    "doc_centrality_pagerank": Q.doc_centrality_pagerank,
+    "dp_noisy_group_counts": Q.dp_noisy_group_counts,
+    "ewma_user_values": Q.ewma_user_values,
+    "funnel_3step_batch": Q.funnel_3step_batch,
+    "graph_bfs_hops": Q.graph_bfs_hops,
+    "graph_triangle_rare_shingles": Q.graph_triangle_rare_shingles,
+    "inverted_index_postings": Q.inverted_index_postings,
+    "jaccard_exact_prefix_join": Q.jaccard_exact_prefix_join,
+    "l_diversity_audit": Q.l_diversity_audit,
+    "langid_confusion_matrix": Q.langid_confusion_matrix,
+    "markov_event_transitions": Q.markov_event_transitions,
+    "minhash_estimate_error": Q.minhash_estimate_error,
+    "multimodal_audio_energy": Q.multimodal_audio_energy,
+    "multimodal_bmp_mean_rgb": Q.multimodal_bmp_mean_rgb,
+    "multimodal_image_ahash": Q.multimodal_image_ahash,
+    "near_dup_cluster_stats": Q.near_dup_cluster_stats,
+    "phrase_search_positions": Q.phrase_search_positions,
+    "pii_redaction_scrub": Q.pii_redaction_scrub,
+    "pit_feature_join": Q.pit_feature_join,
+    "pivot_priority_by_year": Q.pivot_priority_by_year,
+    "psi_drift_monitor": Q.psi_drift_monitor,
+    "repetition_signals": Q.repetition_signals,
+    "retention_cohorts_weekly": Q.retention_cohorts_weekly,
+    "retrieval_hard_negatives": Q.retrieval_hard_negatives,
+    "rolling_1h_user_value": Q.rolling_1h_user_value,
+    "schema_evolution_union": Q.schema_evolution_union,
+    "setops_buyer_cohorts": Q.setops_buyer_cohorts,
+    "span_scrub_exact_substrings": Q.span_scrub_exact_substrings,
+    "split_train_val_test": Q.split_train_val_test,
+    "stats_corr_regression": Q.stats_corr_regression,
+    "streaming_cdc_upsert": Q.streaming_cdc_upsert,
+    "streaming_dedup_watermark": Q.streaming_dedup_watermark,
 }
 
 

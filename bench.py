@@ -258,9 +258,16 @@ def _make_trigger_listener(spark):
             self._lock = threading.Lock()
             self.triggers: dict = {}  # qid -> progress-event count
             self.state: dict = {}     # qid -> latest state-operator sums
+            self.started: set = set()  # qids ever started (row ownership)
 
         def onQueryStarted(self, event):
-            pass
+            # ADVICE r10: a prior streaming row's late progress events
+            # (draining past its 3s stable window) must not leak into
+            # the next row — rows own exactly the query ids STARTED
+            # during them.  The listener bus is FIFO, so a query's
+            # Started event is always processed before its Progress.
+            with self._lock:
+                self.started.add(str(event.id))
 
         def onQueryProgress(self, event):
             try:
@@ -289,6 +296,16 @@ def _make_trigger_listener(spark):
             with self._lock:
                 return dict(self.triggers)
 
+        def row_mark(self) -> dict:
+            """Row-start mark: trigger counts so far + the qids already
+            started — row_detail intersects against both, so a query id
+            born before the row can never bill it."""
+            with self._lock:
+                return {
+                    "triggers": dict(self.triggers),
+                    "started": set(self.started),
+                }
+
         def _stable_snapshot(self, timeout: float = 3.0) -> dict:
             """Poll until two consecutive reads agree (the bus drained)."""
             prev = self.snapshot()
@@ -301,14 +318,22 @@ def _make_trigger_listener(spark):
                 prev = cur
             return prev
 
-        def row_detail(self, before: dict, runs: int) -> "dict | None":
+        def row_detail(self, mark: dict, runs: int) -> "dict | None":
             """Per-run trigger count and state footprint for the queries
-            whose ids progressed since ``before`` (this bench row's own
-            streams).  State values are per-run averages: each of the
-            row's ``runs`` repetitions starts fresh query ids, and the
-            sum over one run's streams is the run's state footprint."""
+            this bench row OWNS: ids that were STARTED after the row's
+            ``row_mark`` and progressed since it (ADVICE r10 — progress
+            alone would also catch a prior streaming row's late events
+            still draining past its own stable-snapshot window).  State
+            values are per-run averages: each of the row's ``runs``
+            repetitions starts fresh query ids, and the sum over one
+            run's streams is the run's state footprint."""
+            before = mark["triggers"]
             after = self._stable_snapshot()
-            qids = [q for q in after if after[q] != before.get(q, 0)]
+            with self._lock:
+                owned = self.started - mark["started"]
+            qids = [
+                q for q in after if q in owned and after[q] != before.get(q, 0)
+            ]
             delta = sum(after[q] - before.get(q, 0) for q in qids)
             if delta <= 0:
                 return None
@@ -410,7 +435,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         triggers_before = (
-            trigger_listener.snapshot()
+            trigger_listener.row_mark()
             if trigger_listener and name.startswith("streaming_")
             else None
         )

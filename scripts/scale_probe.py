@@ -436,6 +436,216 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--index-age" in sys.argv:
+        # VERDICT-r10 #7: the bucketed-index probe the layout exists
+        # for — the INDEX is 100x (many committed epochs, the daily-
+        # crawl accumulation pattern), the ARRIVING batch is fixed.
+        # Rows: bucketed layout at age 1x and age 100x (20 live epochs
+        # AND after compaction), plus the pre-r11 LEGACY layout at age
+        # 100x (plain parquet group, read-side shuffle + distinct) as
+        # the baseline the layout replaces.  Fresh session per
+        # measurement (r9 heavy-probe discipline).
+        from tubes_spark.operators import dedup as D
+        from tubes_spark.sink import Sink, _CURRENT_EPOCH
+
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        ia_dir = os.environ.get("SCALE_PROBE_IDXAGE_DIR", "/tmp/tubes_scale_idxage")
+        shutil.rmtree(ia_dir, ignore_errors=True)
+        os.makedirs(ia_dir)
+        OK = 10_000_000_000
+
+        def rep(d, r):
+            return (d.withColumn("doc_id", F.col("doc_id") + F.lit(r * OK))
+                    .withColumn("text", F.concat(F.col("text"), F.lit(f" rep{r}"))))
+
+        docs = load_table(spark, "documents", SF_BASE).select("doc_id", "text")
+        # fixed arriving batch: every 10th base doc (500 at sf0.1),
+        # ids remapped clear of every index replica band
+        batch_path = f"{ia_dir}/batch.parquet"
+        (docs.filter(F.col("doc_id") % 10 == 0)
+         .withColumn("doc_id", F.col("doc_id") + F.lit(999 * OK))
+         .write.parquet(batch_path))
+
+        t0 = time.time()
+        idx1 = f"{ia_dir}/idx_age1"
+        D.write_minhash_index(rep(docs, 0), idx1, epoch=0)
+        idx100 = f"{ia_dir}/idx_age100"
+        for e in range(20):
+            parts = [rep(docs, 5 * e + i) for i in range(5)]
+            ep_df = parts[0]
+            for p_ in parts[1:]:
+                ep_df = ep_df.unionByName(p_)
+            D.write_minhash_index(ep_df, idx100, epoch=e)
+        idx100c = f"{ia_dir}/idx_age100_compacted"
+        shutil.copytree(idx100, idx100c)
+        Sink.compact_atomic_group(spark, idx100c, gc=True)
+        # legacy pre-r11 layout at the same 100x age: raw band rows,
+        # no spec -> incremental_minhash_new takes the fallback path
+        idxleg = f"{ia_dir}/idx_age100_legacy"
+        all_parts = [rep(docs, r) for r in range(100)]
+        all_df = all_parts[0]
+        for p_ in all_parts[1:]:
+            all_df = all_df.unionByName(p_)
+        leg_sink = Sink.atomic_parquet_group(idxleg, {"bands": None})
+        tok = _CURRENT_EPOCH.set(0)
+        try:
+            leg_sink(D.arith_minhash_bands(all_df))
+        finally:
+            _CURRENT_EPOCH.reset(tok)
+        print(f"# index-age build: {time.time()-t0:.1f}s", file=sys.stderr)
+
+        rows = {}
+        cal_start = calibrate(spark)
+        for tag, gdir in [("bucketed_age1", idx1),
+                          ("bucketed_age100_live20", idx100),
+                          ("bucketed_age100_compacted", idx100c),
+                          ("legacy_age100", idxleg)]:
+            spark.stop()
+            spark = get_spark("tubes_idxage", shuffle_partitions=64)
+            spark.sparkContext.setLogLevel("ERROR")
+            b = spark.read.parquet(batch_path)
+            t0 = time.perf_counter()
+            D.incremental_minhash_new(b, spark, gdir).count()
+            cold = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            D.incremental_minhash_new(b, spark, gdir).count()
+            warm = round(time.perf_counter() - t0, 3)
+            rows[tag] = {"cold": cold, "warm": warm}
+            print(json.dumps({"index_age": tag, **rows[tag]}))
+        a1, a100 = rows["bucketed_age1"], rows["bucketed_age100_compacted"]
+        payload["index_age"] = {
+            "base": SF_BASE, "index_replicas": 100, "batch_rows": 500,
+            "results": rows,
+            "age_ratio_cold_bucketed_compacted": round(a100["cold"] / a1["cold"], 2),
+            "legacy_over_bucketed_cold": round(
+                rows["legacy_age100"]["cold"]
+                / rows["bucketed_age100_compacted"]["cold"], 2),
+            "calibration": {"start": cal_start, "end": calibrate(spark)},
+            "run": run_id,
+        }
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        shutil.rmtree(ia_dir, ignore_errors=True)
+        return
+
+    if "--ppjoin-mixed" in sys.argv:
+        # VERDICT-r10 #5: the x100 jaccard synth is all-true-near-dups,
+        # where PPJoin's length/positional filters structurally cannot
+        # prune (r10 recorded 0.003% there, honestly).  This probe is
+        # the corpus they exist for: a MIXED corpus — the sf0.1
+        # documents x10 with replica-salted texts (mutually dissimilar)
+        # plus a controlled ~7% fraction of true near-dups — with the
+        # candidate count recorded at each pruning stage.  The stage
+        # pipeline mirrors queries.py::jaccard_exact_prefix_join
+        # (same prefix bound, same integer length filter, same
+        # min-over-witnesses positional bound); counts are the metric,
+        # so no oracle — correctness of the shared shapes is gated by
+        # the query itself.
+        from pyspark.storagelevel import StorageLevel
+
+        from tubes_spark.operators import text as _text
+
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        OK = 10_000_000_000
+        base = load_table(spark, "documents", SF_BASE).select("doc_id", "text")
+        reps = [
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(r * OK))
+            .withColumn("text", F.concat(F.col("text"), F.lit(f" uniq{r} mix{r}")))
+            for r in range(10)
+        ]
+        uniq = reps[0]
+        for p_ in reps[1:]:
+            uniq = uniq.unionByName(p_)
+        dups = (
+            uniq.filter(F.col("doc_id") % 14 == 0)  # ~7.1%
+            .withColumn("doc_id", F.col("doc_id") + F.lit(500 * OK))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" neardup")))
+        )
+        mixed = uniq.unionByName(dups).localCheckpoint(eager=True)
+        n_docs = mixed.count()
+        dup_frac = round(dups.count() / n_docs, 4)
+
+        toks = _text.tokenize(F.col("text"))
+        s = (
+            mixed.select(
+                "doc_id",
+                F.explode(_text.word_shingles_from_tokens(toks, 5)).alias("sh"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        freq = s.groupBy("sh").agg(F.count(F.lit(1)).alias("fr"))
+        sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("doc_id").orderBy("fr", "sh")
+        ranked = (
+            s.join(freq.hint("merge"), "sh")
+            .withColumn("__r__", F.row_number().over(w))
+            .join(sz.hint("merge"), "doc_id")
+        )
+        prefix_len = (F.col("n") - F.floor(F.lit(0.8) * F.col("n")) + 1).cast("int")
+        pre = (
+            ranked.filter(F.col("__r__") <= prefix_len)
+            .select("doc_id", "sh", "__r__", "n")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        joined = (
+            pre.alias("a")
+            .join(pre.alias("b").hint("merge"), "sh")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        raw = joined.select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        ).distinct().count()
+        len_ok = joined.filter(
+            (4 * F.col("a.n") <= 5 * F.col("b.n"))
+            & (4 * F.col("b.n") <= 5 * F.col("a.n"))
+        )
+        after_len = len_ok.select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        ).distinct().count()
+        ub = (
+            F.least(F.col("a.__r__"), F.col("b.__r__"))
+            + F.least(
+                F.col("a.n") - F.col("a.__r__"), F.col("b.n") - F.col("b.__r__")
+            )
+        ).cast("long")
+        alpha = F.ceil((F.col("a.n") + F.col("b.n")) * 4 / 9).cast("long")
+        after_pos = (
+            len_ok.select(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+                ub.alias("__ub__"),
+                alpha.alias("__alpha__"),
+            )
+            .groupBy("da", "db", "__alpha__")
+            .agg(F.min("__ub__").alias("__mu__"))
+            .filter(F.col("__mu__") >= F.col("__alpha__"))
+            .count()
+        )
+        payload["ppjoin_mixed"] = {
+            "base": SF_BASE,
+            "n_docs": n_docs,
+            "dup_fraction": dup_frac,
+            "pairs_prefix_raw": raw,
+            "pairs_after_length": after_len,
+            "pairs_after_positional": after_pos,
+            "prune_pct_length": round(100 * (1 - after_len / raw), 2) if raw else None,
+            "prune_pct_total": round(100 * (1 - after_pos / raw), 2) if raw else None,
+            "note": "mixed corpus (x10 salted uniques + 7% appended-token "
+            "near-dups): the filters' candidate cut where candidate "
+            "volume is NOT irreducible; the all-dup x100 synth row "
+            "stays as the honest worst case",
+            "run": run_id,
+        }
+        print(json.dumps({"ppjoin_mixed": payload["ppjoin_mixed"]}))
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        return
+
     if "--x100" in sys.argv:
         # VERDICT-r6 #7: the brief's bar is "survives 100x" — replicate
         # the cheap linear families at 100x the sf0.1 base (~sf10,

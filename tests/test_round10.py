@@ -106,23 +106,28 @@ def test_minhash_band_cap_noop_on_unskewed_corpus(spark):
 
 def test_gate_prefix_leads_with_never_sampled_keys():
     """The driver's correctness gate samples the FIRST 50 dict keys;
-    round-10's contract (VERDICT-r9 #2) is flagship first, then the 9
-    keys that have never held a driver row.  Pin the ordering so an
-    accidental dict edit can't silently reshuffle the gate plan."""
+    round-11's contract (VERDICT-r10 #2) is flagship first, then the
+    9-key deferred-r5 tail, then the 3 keys added late in round 10
+    that have never held a driver row, then 37 round-6-stale keys.
+    Pin the ordering so an accidental dict edit can't silently
+    reshuffle the gate plan."""
     import __spark_entry__ as E
 
     keys = list(E.queries())
     assert keys[0] == "flagship_pricing_summary"
-    assert keys[1:10] == [
-        "cdc_upsert_roundtrip",
-        "streaming_cdc_upsert",
-        "dp_noisy_group_counts",
-        "bootstrap_poisson_ci",
-        "retrieval_hard_negatives",
-        "psi_drift_monitor",
-        "pit_feature_join",
-        "l_diversity_audit",
-        "compression_ratio_quality",
+    assert keys[1:13] == [
+        "streaming_enrich_static",
+        "streaming_incremental_rollup",
+        "streaming_late_data",
+        "streaming_left_outer_join",
+        "streaming_upsert_latest",
+        "text_formats_roundtrip",
+        "text_winnow_arith_fingerprints",
+        "url_domain_blocklist",
+        "window_funcs_battery",
+        "dedup_incremental_minhash",
+        "orc_format_roundtrip",
+        "streaming_dedup_incremental_minhash",
     ]
     assert len(set(keys[:50])) == 50
 
@@ -450,15 +455,28 @@ def test_incremental_minhash_reads_no_old_document_text(spark, tmp_path):
     assert colliding, "test corpus produced no cross-batch collisions"
 
     # the maintenance epoch appended atomically: epoch 1 committed and
-    # the stored index now covers old + arriving band rows
+    # the stored index now covers the full old + arriving band-key SET.
+    # r11 layout: band rows are pre-deduped per epoch — one row per
+    # (band, key) with the smallest doc_id as deterministic witness —
+    # so near-dup docs that share every band key with a smaller-id doc
+    # no longer contribute rows (the (band, key) SET, which is what
+    # every incremental decision reads, is unchanged).
     from tubes_spark.sink import Sink
 
     epochs, _, _ = Sink._committed_epochs(idx_dir)
     assert epochs == [0, 1]
     stored = Sink.read_atomic_group(spark, idx_dir, "bands")
-    assert stored.count() == len(ob) or stored.count() == stored.select("doc_id", "band", "key").distinct().count()
-    ids = {r["doc_id"] for r in stored.select("doc_id").distinct().collect()}
-    assert ids == set(old_pd["doc_id"]) | set(arr_pd["doc_id"])
+    stored_keys = {(r["band"], r["key"]) for r in stored.select("band", "key").collect()}
+    assert stored_keys == ob | {(r["band"], r["key"]) for r in ab}
+    # within each epoch (band, key) is unique and the witness is the min id
+    per_epoch = stored.groupBy("epoch", "band", "key").count().filter("count > 1")
+    assert per_epoch.count() == 0
+    by_key0 = {(r["band"], r["key"]): r["doc_id"] for r in stored.filter("epoch = 0").collect()}
+    truth0 = {}
+    for r in dedup.arith_minhash_bands(spark.read.parquet(old_dir)).collect():
+        kk = (r["band"], r["key"])
+        truth0[kk] = min(truth0.get(kk, r["doc_id"]), r["doc_id"])
+    assert by_key0 == truth0
 
 
 def test_minhash_index_compaction_preserves_incremental_results(spark, tmp_path):

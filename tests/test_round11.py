@@ -1,0 +1,308 @@
+"""Round-11 pins.
+
+VERDICT-r10 #1: the persisted incremental-MinHash index is now written
+BUCKETED on (band, key) with per-epoch pre-deduped band rows, so the
+incremental check's semi-join plans NO Exchange on the index side and
+needs no ``distinct()`` — only the arriving batch shuffles (once,
+ReuseExchange across epochs).  These tests pin the on-disk layout, the
+plan shape, the does-not-grow-with-index-age exchange count, and the
+legacy unbucketed fallback.
+"""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tubes_spark.operators import dedup
+from tubes_spark.sink import Sink
+
+
+def _docs(ids, texts, spark):
+    return spark.createDataFrame(pd.DataFrame({"doc_id": ids, "text": texts}))
+
+
+def _exchange_counts(plan: str) -> "tuple[int, int]":
+    """(real Exchange nodes, ReusedExchange nodes) in the FINAL
+    physical plan.  AQE's toString appends an '== Initial Plan =='
+    section where stage reuse has not been applied yet — counting it
+    would double every batch-side exchange.  Line-based because a
+    ReusedExchange line *mentions* the exchange it reuses."""
+    plan = plan.split("== Initial Plan ==")[0]
+    real = reused = 0
+    for line in plan.splitlines():
+        body = re.sub(r"^[\s:+\-*|()\d]*", "", line)
+        if body.startswith("ReusedExchange"):
+            reused += 1
+        elif body.startswith("Exchange"):
+            real += 1
+    return real, reused
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the SMJ shape the index join has at real scale — at test
+    sizes AQE would broadcast the tiny index side, which trivially has
+    no Exchange and would prove nothing about the bucketed layout."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _epoch_corpus(i):
+    return [
+        f"epoch {i} doc {j} " + " ".join(f"e{i}d{j}w{k}" for k in range(12))
+        for j in range(8)
+    ]
+
+
+def test_bucketed_index_layout_on_disk(spark, tmp_path):
+    """Epoch dirs hold bucket-id-named files (one per non-empty
+    bucket), the spec is recorded once at the group root, and band
+    rows are unique per (band, key) within the epoch."""
+    import json
+    import os
+
+    idx = str(tmp_path / "idx")
+    dedup.write_minhash_index(
+        _docs(range(8), _epoch_corpus(0), spark), idx, epoch=0, n_buckets=4
+    )
+    spec = json.loads((tmp_path / "idx" / "_bucketspec.json").read_text())
+    assert spec == {"leaf": "bands", "cols": ["band", "key"], "n": 4}
+    files = [
+        f
+        for f in os.listdir(f"{idx}/bands/data/epoch=0")
+        if f.endswith(".parquet")
+    ]
+    assert files and all(re.search(r"_(\d{5})\.", f) for f in files)
+    assert len(files) <= 4  # one file per bucket, empty buckets absent
+    stored = spark.read.parquet(f"{idx}/bands/data/epoch=0")
+    assert stored.groupBy("band", "key").count().filter("count > 1").count() == 0
+
+
+def test_incremental_semi_join_no_index_side_exchange(
+    spark, tmp_path, no_broadcast
+):
+    """The done-criterion plan test: with N committed epochs the final
+    plan's index sides are bucketed FileScans with NO Exchange above
+    them, and the REAL exchange count does not grow when the index
+    ages by another epoch — index-side shuffle cost is O(1) in corpus
+    age, which is the whole point of the layout at 100 TB."""
+    idx = str(tmp_path / "idx")
+    dedup.write_minhash_index(
+        _docs(range(8), _epoch_corpus(0), spark), idx, epoch=0, n_buckets=4
+    )
+    dedup.write_minhash_index(
+        _docs(range(10, 18), _epoch_corpus(1), spark), idx, epoch=1, n_buckets=4
+    )
+    arr = _docs([100, 101], [_epoch_corpus(0)[3], "totally fresh words only"], spark)
+
+    out2 = dedup.incremental_minhash_new(arr, spark, idx)
+    got2 = {r["doc_id"] for r in out2.collect()}
+    assert got2 == {101}
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan2 and "SelectedBucketsCount" in plan2
+    real2, reused2 = _exchange_counts(plan2)
+
+    # a bucketed scan feeds its SortMergeJoin through at most a Sort —
+    # structurally: EVERY parquet scan in the plan is the index and
+    # every one is 'Bucketed: true' (the arriving docs are an
+    # ExistingRDD scan), so no index bytes ever cross an Exchange
+    assert plan2.count("FileScan parquet") == plan2.count("Bucketed: true") > 0
+
+    dedup.write_minhash_index(
+        _docs(range(20, 28), _epoch_corpus(2), spark), idx, epoch=2, n_buckets=4
+    )
+    out3 = dedup.incremental_minhash_new(arr, spark, idx)
+    assert {r["doc_id"] for r in out3.collect()} == {101}
+    plan3 = out3._jdf.queryExecution().executedPlan().toString()
+    real3, reused3 = _exchange_counts(plan3)
+    assert real3 == real2, (real2, real3)  # O(1) in index age
+    assert reused3 >= reused2  # the batch side is the thing reused
+    assert plan3.count("FileScan parquet") == plan3.count("Bucketed: true")
+    assert plan3.count("Bucketed: true") > plan2.count("Bucketed: true")
+
+
+def test_bucketed_matches_legacy_unbucketed_answers(spark, tmp_path):
+    """Layout is perf-only: a legacy unbucketed group (pre-r11 index,
+    written straight through atomic_parquet_group) and the bucketed
+    writer produce identical incremental decisions."""
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    old = _docs(
+        range(6),
+        [base + f" t{i}" for i in range(3)]
+        + [f"old unique {i} " + " ".join(f"u{i}x{j}" for j in range(10)) for i in range(3)],
+        spark,
+    )
+    arr = _docs(
+        [50, 51, 52],
+        [base + " t0", "fresh one " + " ".join(f"f1x{j}" for j in range(10)),
+         "fresh two " + " ".join(f"f2x{j}" for j in range(10))],
+        spark,
+    )
+
+    legacy = str(tmp_path / "legacy")
+    from tubes_spark.sink import _CURRENT_EPOCH
+
+    bands = dedup.arith_minhash_bands(old)
+    sink = Sink.atomic_parquet_group(legacy, {"bands": None})
+    tok = _CURRENT_EPOCH.set(0)
+    try:
+        sink(bands)
+    finally:
+        _CURRENT_EPOCH.reset(tok)
+    assert Sink._bucket_spec(legacy) is None
+
+    bucketed = str(tmp_path / "bucketed")
+    dedup.write_minhash_index(old, bucketed, epoch=0, n_buckets=4)
+
+    a = {r["doc_id"] for r in dedup.incremental_minhash_new(arr, spark, legacy).collect()}
+    b = {r["doc_id"] for r in dedup.incremental_minhash_new(arr, spark, bucketed).collect()}
+    assert a == b == {51, 52}
+
+
+def test_compacted_index_stays_bucketed(spark, tmp_path, no_broadcast):
+    """compact_atomic_group preserves the bucket layout for the spec
+    leaf: after compact+gc the incremental plan still shows a bucketed
+    scan (compacting a 100 TB index must not reintroduce the
+    index-side shuffle) and answers are unchanged."""
+    idx = str(tmp_path / "idx")
+    dedup.write_minhash_index(
+        _docs(range(8), _epoch_corpus(0), spark), idx, epoch=0, n_buckets=4
+    )
+    dedup.write_minhash_index(
+        _docs(range(10, 18), _epoch_corpus(1), spark), idx, epoch=1, n_buckets=4
+    )
+    arr = _docs([100, 101], [_epoch_corpus(1)[2], "nothing like the rest here"], spark)
+    before = {r["doc_id"] for r in dedup.incremental_minhash_new(arr, spark, idx).collect()}
+
+    k = Sink.compact_atomic_group(spark, idx, gc=True)
+    assert k == 1
+    out = dedup.incremental_minhash_new(arr, spark, idx)
+    assert {r["doc_id"] for r in out.collect()} == before == {101}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+
+
+def test_simhash_band_cap_recall_contract(spark):
+    """VERDICT-r10 #3 recall contract for the (now gate-exercised)
+    simhash band cap: on a skewed signature frame where the cap FIRES,
+    (a) capped candidates are a subset of uncapped, (b) every
+    EQUAL-signature pair survives the split (pmod(sig, split) co-
+    locates exact twins by design — the radius-0 guarantee), and
+    (c) the only losses are hamming>=1 pairs whose sole witness bucket
+    was split — and on this corpus some ARE lost, so a split
+    regression that silently keeps (or drops) everything fails."""
+    from pyspark.sql import functions as F
+
+    # one monster cluster: high chunk constant, low byte varies over a
+    # DENSE value range so hamming-1 neighbours exist (0^1, 2^3, 16^17,
+    # ...) — multiples-of-k noise would make 'lost' vacuously empty
+    # (k*(a-b) = 2^j has no solution for odd k > 1)
+    sig_rows = [(i, 7 * 65536 + i % 23) for i in range(120)]
+    sig = spark.createDataFrame(sig_rows, "doc_id long, sig long")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidates(
+            sig, radius=1, sig_col="sig", bits=32
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidates(
+            sig, radius=1, sig_col="sig", bits=32, band_cap=12, split_factor=16
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert capped, "cap dropped everything — split logic broken"
+    lost = uncapped - capped
+    assert lost, "cap never fired / lost nothing on a monster bucket"
+
+    by_id = dict(sig_rows)
+    for a, b in lost:
+        x = by_id[a] ^ by_id[b]
+        assert x != 0, "an equal-signature pair was lost by the split"
+        assert bin(x).count("1") == 1  # radius-1 true pairs only
+        assert x & 0xF, "lost pair did not differ inside the salt bits"
+    for a, b in uncapped:
+        if by_id[a] == by_id[b]:
+            assert (a, b) in capped  # exact twins always co-located
+
+
+def test_ntile_quartiles_is_broadcast_threshold(spark):
+    """VERDICT-r10 #4: the LAST global-window table scan is gone — the
+    quartile cut must be percentile thresholds broadcast from a 1-row
+    aggregate.  The plan carries no Window and no \\bntile\\b (word
+    boundary: 'percentile' contains 'ntile'), and shows the map-side
+    partial_percentile combine."""
+    import re
+
+    from tubes_spark import queries as Q
+    from tubes_spark.plans import plan_of
+
+    p = plan_of(Q.ntile_acctbal_quartiles(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in p
+    assert not re.search(r"\bntile\b", p)
+    assert "partial_percentile" in p
+
+
+def test_bpe_train_sample_cap(spark):
+    """VERDICT-r10 #6: bpe_train's train_sample cap.  (a) a cap at or
+    above the corpus size is an exact no-op — same merge list, same
+    counts — which is what keeps bpe_encode_corpus (train_sample=
+    20_000) oracle-green at every gate SF; (b) the sampled path is
+    deterministic (md5(text) order, repeat-stable) and trains on
+    exactly the capped vocabulary."""
+    from tubes_spark.operators import bpe
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = d.count()
+    full = bpe.bpe_train(d, n_merges=8)
+    capped_noop = bpe.bpe_train(d, n_merges=8, train_sample=n)
+    assert capped_noop == full
+
+    s1 = bpe.bpe_train(d, n_merges=8, train_sample=100)
+    s2 = bpe.bpe_train(d, n_merges=8, train_sample=100)
+    assert s1 == s2 and len(s1) == 8
+    # the sample is a strict subset: merge counts can only shrink
+    full_counts = {(a, b): c for a, b, c in full}
+    assert all(c <= full_counts.get((a, b), 10**9) for a, b, c in s1)
+
+
+def test_schema_divergence_within_one_epoch_detected(spark, tmp_path):
+    """ADVICE r10: a mid-epoch writer change (files of ONE epoch dir
+    disagreeing on columns) used to escape the first-footer guard and
+    consolidation could silently drop the extra column.  The guard now
+    unions every file's footer per directory (mergeSchema — still no
+    data scan) and raises; evolve_schema=True consolidates with
+    NULL-fill and keeps the column."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    g = str(tmp_path / "grp")
+    sink = Sink.atomic_parquet_group(g, {"a": None})
+    tok = _CURRENT_EPOCH.set(0)
+    try:
+        sink(spark.range(0, 10).withColumn("u", F.col("id") % 4))
+    finally:
+        _CURRENT_EPOCH.reset(tok)
+    # simulate the mid-epoch writer change: one more file inside the
+    # SAME committed epoch dir, carrying an extra column
+    (spark.range(100, 105)
+     .withColumn("u", F.col("id") % 4)
+     .withColumn("extra", F.lit(1))
+     .coalesce(1).write.mode("append").parquet(f"{g}/a/data/epoch=0"))
+
+    with _pytest.raises(ValueError, match="WITHIN"):
+        Sink.compact_atomic_group(spark, g)
+    k = Sink.compact_atomic_group(spark, g, evolve_schema=True)
+    assert k == 0
+    got = Sink.read_atomic_group(spark, g, "a", evolve_schema=True)
+    assert "extra" in got.columns
+    rows = {r["id"]: r["extra"] for r in got.collect()}
+    assert rows[100] == 1 and rows[0] is None and len(rows) == 15

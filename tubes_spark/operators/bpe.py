@@ -84,11 +84,30 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
+    train_sample: "int | None" = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(a, b, count), ...] in
     merge order.  Ties break deterministically on (count desc, a, b).
 
-    Driver traffic per iteration: ONE row (the winning pair)."""
+    Driver traffic per iteration: ONE row (the winning pair).
+
+    ``train_sample`` (VERDICT-r10 #6) caps the TRAINING corpus at the
+    first N documents in deterministic md5(text) order — a top-K
+    (TakeOrderedAndProject), never a global sort materialization.  The
+    iteration cost is O(vocabulary), and the vocabulary's heavy tail
+    grows with the corpus — at 100 TB merge training runs on a sample
+    (pair statistics converge long before corpus scale; this is how
+    production tokenizers are trained).  A cap at or above the corpus
+    size is an exact no-op: the sample IS the corpus, in any order,
+    because word_vocab is order-insensitive.  ``None`` = full corpus
+    (ENCODING always runs over the full corpus either way — only the
+    merge-learning input is sampled)."""
+    if train_sample is not None:
+        df = (
+            df.select(F.col(text_col))
+            .orderBy(F.md5(F.col(text_col)).asc(), F.col(text_col).asc())
+            .limit(int(train_sample))
+        )
     vocab = word_vocab(df, text_col)
     syms = vocab.select(
         F.split(F.col("w"), "").alias("syms"), F.col("n")

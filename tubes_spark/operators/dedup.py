@@ -13,6 +13,23 @@ Four tiers, all shuffle-frugal:
 
 Everything below is built-in Column expressions (xxhash64, transform,
 aggregate); no Python in the hot path.
+
+BEHAVIOR CHANGES (r10/r11, ADVICE-r10 notes):
+
+* ``minhash_candidates`` ships with ``band_cap=200`` ON BY DEFAULT
+  since r10: oversized LSH buckets split on a next-band-hash salt, so
+  on a heavily skewed corpus a pair agreeing on ONLY one band inside
+  an over-cap bucket can be missed.  Verified output-identical on the
+  gate corpora, but external callers on boilerplate-heavy corpora get
+  the bounded-cost (slightly lossy) behavior implicitly — pass
+  ``band_cap=None`` for the exhaustive pre-r10 semantics.
+  ``simhash_candidates`` keeps the cap OPT-IN (default None) because
+  its pigeonhole banding carries an exactness contract.
+* The persisted incremental index (``write_minhash_index`` /
+  ``incremental_minhash_new``) records band rows for ALL checked docs,
+  including rejected near-dups (transitive rejection — see the
+  function docstring), and since r11 stores them bucketed on
+  (band, key), pre-deduped per epoch.
 """
 
 from __future__ import annotations
@@ -661,6 +678,7 @@ def write_minhash_index(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 8,
+    n_buckets: "int | None" = None,
 ) -> None:
     """Persist a corpus's MinHash band signatures as one committed
     epoch of an atomic parquet group (``leaf 'bands'``) — the stored
@@ -669,18 +687,45 @@ def write_minhash_index(
     the index grows strictly by |batch| band rows per day and no run
     ever recomputes signatures for documents already ingested.
 
+    Layout (r11, VERDICT-r10 #1): every epoch directory is written
+    BUCKETED on (band, key) — ``Sink.atomic_bucketed_group`` — so the
+    incremental check's semi-join plans a bucketed FileScan with NO
+    Exchange on the index side; only the arriving batch shuffles, once,
+    to align with the bucket count.  Band rows are also PRE-DEDUPED
+    within the epoch (one row per (band, key), smallest ``doc_id`` kept
+    as the deterministic representative), so the read path needs no
+    ``distinct()`` and the stored index is bounded by distinct band
+    keys, not docs x bands.  Both changes leave the stored (band, key)
+    SET — and therefore every incremental decision — bit-identical, so
+    the oracle gates are untouched.  ``n_buckets`` is recorded in the
+    group's ``_bucketspec.json`` on first write and is immutable for
+    the index's lifetime (default: the session's core parallelism,
+    floor 8 — at 100 TB pick the number once, like any bucketed table).
+
     The arithmetic (md5-based) hash family is used so the stored index
     — and every incremental decision made against it — stays under the
     full value-hash oracle gate; the atomic-group marker protocol
-    makes a crashed index update invisible to readers (sink.py
-    atomic_parquet_group)."""
+    makes a crashed index update invisible to readers."""
     from tubes_spark.sink import _CURRENT_EPOCH, Sink
 
     banded = arith_minhash_bands(df, text_col, id_col, shingle_k, num_hashes, bands)
-    sink = Sink.atomic_parquet_group(group_dir, {"bands": None})
+    deduped = banded.groupBy("band", "key").agg(F.min(id_col).alias(id_col)).select(
+        id_col, "band", "key"
+    )
+    spec = Sink._bucket_spec(group_dir)
+    if spec is None:
+        if n_buckets is None:
+            n_buckets = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+        sink = Sink.atomic_bucketed_group(
+            group_dir, "bands", ["band", "key"], int(n_buckets)
+        )
+    else:
+        sink = Sink.atomic_bucketed_group(
+            group_dir, "bands", spec["cols"], spec["n"]
+        )
     token = _CURRENT_EPOCH.set(int(epoch))
     try:
-        sink(banded)
+        sink(deduped)
     finally:
         _CURRENT_EPOCH.reset(token)
 
@@ -699,37 +744,97 @@ def incremental_minhash_new(
     """Arriving-batch near-dedup against a PERSISTED banded signature
     index: compute signatures for the arriving docs ONLY, semi-join
     their band rows against the stored (band, key) set, and keep the
-    docs that collide with no already-ingested document.  The old
-    corpus's TEXT is never read — the whole seen-side cost is a scan
-    of the (id, band, key) index parquet (tests assert the plan holds
-    no scan of the old documents at all).
+    docs that collide with no document whose signatures are already in
+    the index.  The old corpus's TEXT is never read — the whole
+    seen-side cost is a scan of the (id, band, key) index parquet
+    (tests assert the plan holds no scan of the old documents at all).
 
-    Scale shape: one narrow shuffle of the arriving band rows against
-    the index on (band, key) string keys — at 100 TB write the index
-    bucketed on (band, key) so the daily join only shuffles the batch
-    side.  ``update_index=True`` appends the arriving batch's band
-    rows as the next committed epoch (the daily maintenance step),
-    atomic under the group marker."""
+    Scale shape (r11, VERDICT-r10 #1): the index directories are
+    BUCKETED on (band, key) (see :func:`write_minhash_index`), so each
+    committed directory joins as a bucketed FileScan with NO Exchange
+    on the index side and no ``distinct()`` anywhere — the ONLY
+    shuffle is the arriving batch's band rows aligning with the bucket
+    count, and Spark's ReuseExchange pays it once across all epoch
+    joins.  Index-side cost therefore stops growing with corpus age in
+    shuffle terms (it remains a colocated scan+sort), which is the
+    whole point of the layout at 100 TB.  A legacy UNBUCKETED group
+    (no ``_bucketspec.json``) falls back to the plain path read — same
+    answers, shuffle on both sides.
+
+    ``update_index=True`` appends the arriving batch's band rows as
+    the next committed epoch (the daily maintenance step), atomic
+    under the group marker.  NOTE the index semantics, encoded
+    deliberately by the oracle: the appended epoch carries band rows
+    for ALL arriving docs — including docs this very call rejected as
+    near-dups — so a later batch can be rejected for colliding with a
+    document that was itself rejected (transitive rejection).  That is
+    the standard greedy-ingest contract (the first-seen representative
+    of a near-dup cluster anchors it, and anything matching EITHER the
+    representative or a prior rejected variant is still a dup); filter
+    the append to survivors yourself if you want survivor-only
+    anchoring."""
+    import functools
+
     from pyspark.sql import functions as F
 
     from tubes_spark.sink import _CURRENT_EPOCH, Sink
 
-    idx = (
-        Sink.read_atomic_group(spark, group_dir, "bands")
-        .select("band", "key")
-        .distinct()
-    )
     ab = arith_minhash_bands(
         arriving, text_col, id_col, shingle_k, num_hashes, bands
     ).localCheckpoint(eager=True)
-    dup = ab.join(idx, ["band", "key"], "left_semi").select(id_col).distinct()
+    spec = Sink._bucket_spec(group_dir)
+    if spec is not None:
+        epochs, k, kname = Sink._committed_epochs(group_dir)
+        sides = []
+        if k is not None:
+            sides.append(
+                Sink._read_bucketed_dir(
+                    spark,
+                    f"{group_dir}/bands/compact/{kname}",
+                    spec["cols"],
+                    spec["n"],
+                )
+            )
+        for e in [e for e in epochs if k is None or e > k]:
+            sides.append(
+                Sink._read_bucketed_dir(
+                    spark,
+                    f"{group_dir}/bands/data/epoch={e}",
+                    spec["cols"],
+                    spec["n"],
+                )
+            )
+        if sides:
+            dups = [
+                ab.join(s.select("band", "key"), ["band", "key"], "left_semi")
+                .select(id_col)
+                for s in sides
+            ]
+            dup = functools.reduce(DataFrame.union, dups).distinct()
+        else:
+            dup = ab.select(id_col).limit(0)
+    else:  # legacy unbucketed layout
+        idx = Sink.read_atomic_group(spark, group_dir, "bands").select("band", "key")
+        dup = ab.join(idx, ["band", "key"], "left_semi").select(id_col).distinct()
     out = arriving.join(dup, id_col, "left_anti")
     if update_index:
         epochs, _, _ = Sink._committed_epochs(group_dir)
-        sink = Sink.atomic_parquet_group(group_dir, {"bands": None})
+        ab_dedup = (
+            ab.groupBy("band", "key")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, "band", "key")
+        )
+        if spec is not None:
+            sink = Sink.atomic_bucketed_group(
+                group_dir, "bands", spec["cols"], spec["n"]
+            )
+            appended = ab_dedup
+        else:
+            sink = Sink.atomic_parquet_group(group_dir, {"bands": None})
+            appended = ab
         token = _CURRENT_EPOCH.set((max(epochs) if epochs else -1) + 1)
         try:
-            sink(ab)
+            sink(appended)
         finally:
             _CURRENT_EPOCH.reset(token)
     return out

@@ -730,11 +730,24 @@ EXCEPT ALL
 SELECT user_id FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
 """
 
+# r11 (VERDICT-r10 #4): the global ntile(4) became three broadcast
+# percentile thresholds — quantile_cont is DuckDB's exact twin of
+# Spark F.percentile, and the strict > comparisons keep interpolated
+# cuts from flipping a row cross-engine (fractions are exactly
+# 0/.25/.5/.75, so both engines' thresholds sit strictly between the
+# same adjacent 2-decimal balances).
 ORACLES["ntile_acctbal_quartiles"] = """
-WITH q AS (
-  SELECT c_mktsegment, c_acctbal,
-         ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+WITH b AS (
+  SELECT quantile_cont(c_acctbal, 0.25) AS t1,
+         quantile_cont(c_acctbal, 0.5)  AS t2,
+         quantile_cont(c_acctbal, 0.75) AS t3
   FROM customer
+), q AS (
+  SELECT c_mktsegment, c_acctbal,
+         CAST(1 + CAST(c_acctbal > t1 AS INT)
+                + CAST(c_acctbal > t2 AS INT)
+                + CAST(c_acctbal > t3 AS INT) AS BIGINT) AS quartile
+  FROM customer, b
 )
 SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
        round(AVG(c_acctbal), 6) AS avg_bal
@@ -785,6 +798,58 @@ SELECT len_band, band,
   CAST(CASE WHEN SUM(c) > 25 THEN SUM(c * (c - 1) // 2)
        ELSE SUM(c) * (SUM(c) - 1) // 2 END AS BIGINT) AS pairs_kept
 FROM sub GROUP BY len_band, band
+"""
+
+# simhash_band_cap_stats: the REAL simhash_candidates operator with a
+# FIRING band cap, reproduced bit-for-bit — signatures are md5
+# arithmetic, the salt is sig % 16 exactly when the (band, chunk)
+# bucket exceeds the cap, and the radius-1 verify (bit_count(xor) <= 1
+# in Spark) is the power-of-two identity (x & (x-1)) = 0 here, which
+# holds for x = 0 too.  A regression in the operator's split logic
+# (wrong salt expression, wrong fire threshold, dropped co-location)
+# moves pairs_found and fails the value hash.
+ORACLES["simhash_band_cap_stats"] = """
+WITH sigs AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(source), 1, 4)) AS BIGINT) % 1024 AS cluster,
+    CAST(('0x' || substring(md5(source), 1, 4)) AS BIGINT) % 1024 * 65536
+      + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+      AS sig
+  FROM documents
+), banded AS (
+  SELECT doc_id, cluster, sig, b.band,
+         CASE WHEN b.band = 0 THEN sig % 65536 ELSE sig // 65536 END AS chunk
+  FROM sigs, (VALUES (0), (1)) b(band)
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band, chunk) AS n FROM banded
+), salted AS (
+  SELECT doc_id, sig, band, chunk,
+         CASE WHEN n > 12 THEN sig % 16 ELSE -1 END AS salt
+  FROM sized
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM salted a JOIN salted b USING (band, chunk, salt)
+  WHERE a.doc_id < b.doc_id
+    AND (xor(a.sig, b.sig) & (xor(a.sig, b.sig) - 1)) = 0
+), ppc AS (
+  SELECT s.cluster, COUNT(*) AS pairs_found
+  FROM pairs p JOIN sigs s ON p.id_a = s.doc_id
+  GROUP BY s.cluster
+), fired AS (
+  SELECT band, chunk FROM banded GROUP BY band, chunk HAVING COUNT(*) > 12
+), cpc AS (
+  SELECT cluster, COUNT(DISTINCT band * 65536 + chunk) AS capped_buckets
+  FROM banded SEMI JOIN fired USING (band, chunk)
+  GROUP BY cluster
+), base AS (
+  SELECT cluster, COUNT(*) AS n_docs FROM sigs GROUP BY cluster
+)
+SELECT base.cluster, base.n_docs,
+  CAST(COALESCE(cpc.capped_buckets, 0) AS BIGINT) AS capped_buckets,
+  CAST(COALESCE(ppc.pairs_found, 0) AS BIGINT) AS pairs_found
+FROM base
+LEFT JOIN cpc ON base.cluster = cpc.cluster
+LEFT JOIN ppc ON base.cluster = ppc.cluster
 """
 
 ORACLES["skew_salted_enrich_join"] = """

@@ -1444,11 +1444,39 @@ def viewers_never_purchased(spark, sf_dir):
 
 
 def ntile_acctbal_quartiles(spark, sf_dir):
-    """NTILE ranking: customers bucketed into account-balance quartiles,
-    summarized per (mktsegment, quartile)."""
+    """Account-balance quartiles per market segment — WITHOUT the
+    global ``ntile(4)`` this query shipped with through round 10
+    (VERDICT-r10 #4, the last unpartitioned-window table scan in the
+    battery): the cut is now THREE exact percentile thresholds
+    broadcast from a 1-row aggregate, the same plan the LM-perplexity
+    filter proved out (``lm_stupid_backoff_filter``) — a map-side
+    partial_percentile combine into one 1-row reduce, then a broadcast
+    join back; no row ever crosses an Exchange SinglePartition.
+
+    OUTPUT CHANGED with the oracle in lockstep: ntile is positional
+    (equal balances could straddle a quartile boundary via the custkey
+    tiebreak), the threshold cut is value-based (equal balances always
+    share a quartile — the defensible analytics contract, and the only
+    one that scales).  Strict ``>`` comparisons keep the interpolated
+    cuts cross-engine-stable: the quantile fractions are exactly
+    0/.25/.5/.75, so both engines' thresholds land strictly between
+    the same pair of adjacent 2-decimal balances (the
+    curriculum_phases discipline)."""
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    q = c.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    bounds = c.agg(
+        F.percentile(F.col("c_acctbal"), F.lit(0.25)).alias("t1"),
+        F.percentile(F.col("c_acctbal"), F.lit(0.5)).alias("t2"),
+        F.percentile(F.col("c_acctbal"), F.lit(0.75)).alias("t3"),
+    )
+    quart = (
+        F.lit(1)
+        + (F.col("c_acctbal") > F.col("t1")).cast("int")
+        + (F.col("c_acctbal") > F.col("t2")).cast("int")
+        + (F.col("c_acctbal") > F.col("t3")).cast("int")
+    )
+    q = c.crossJoin(F.broadcast(bounds)).withColumn(
+        "quartile", quart.cast("long")
+    )
     return q.groupBy("c_mktsegment", "quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
@@ -2476,6 +2504,108 @@ def dedup_band_cap_stats(spark, sf_dir):
             .otherwise(F.col("grp_n") * (F.col("grp_n") - 1) / 2)
             .cast("long")
             .alias("pairs_kept"),
+        )
+    )
+
+
+def simhash_band_cap_stats(spark, sf_dir):
+    """The SIMHASH band cap, fired under the gate (VERDICT-r10 #3):
+    unlike :func:`dedup_band_cap_stats` — which models the split as
+    arithmetic — this runs the REAL ``simhash_candidates`` operator
+    with ``band_cap`` engaged, so a regression in the operator's split
+    logic moves the hash-gated pair counts.
+
+    The corpus is a deterministic md5-arithmetic signature frame with
+    crawl-boilerplate skew built in: 32-bit signature = 10-bit cluster
+    id (from md5(source) — one boilerplate cluster per source) in the
+    high chunk, 8-bit per-doc noise in the low chunk.  Radius-1
+    pigeonhole banding (2 bands x 16 bits) then makes every cluster a
+    monster bucket in the high band (25/250/2500 docs at the three
+    gate SFs — the cap of 12 fires at ALL of them), while the low band
+    buckets only fire from sf0.01 up.  The capped operator PROVABLY
+    loses exactly the hamming-1 pairs whose differing bit is inside
+    the 4 salt bits (their only witness bucket splits them apart; the
+    low band needs bit-equality), so the oracle's capped pair count
+    differs from the uncapped count — the split semantics themselves
+    are what the value hash pins.  tests/test_round11.py carries the
+    matching recall contract (equal-signature pairs are NEVER lost:
+    ``pmod(signature, split_factor)`` co-locates them by design).
+
+    Emitted per cluster: doc count, how many fired (over-cap) buckets
+    touch the cluster, and the candidate pairs the capped operator
+    actually found.  Scale shape: the accounting is two narrow
+    partial-agg shuffles; the pair join is the operator's own
+    salt-bounded self-join — never all-pairs."""
+    CAP, SPLIT = 12, 16
+    d = _t(spark, sf_dir, "documents")
+    cluster = (
+        F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("long") % 1024
+    )
+    noise = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    sigs = d.select(
+        "doc_id",
+        cluster.alias("cluster"),
+        (cluster * 65536 + noise).alias("sig"),
+    ).localCheckpoint(eager=True)
+
+    pairs = dedup.simhash_candidates(
+        sigs.select("doc_id", "sig"),
+        radius=1,
+        sig_col="sig",
+        bits=32,
+        band_cap=CAP,
+        split_factor=SPLIT,
+    )
+    pairs_per_cluster = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("id_a"), "cluster"), "id_a"
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("pairs_found"))
+    )
+
+    # bucket accounting mirrors the operator's banding arithmetic:
+    # band 0 = low 16 bits (noise), band 1 = high 16 bits (cluster)
+    banded = sigs.select(
+        "doc_id",
+        "cluster",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("sig") % 65536).alias("chunk")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.floor(F.col("sig") / 65536).cast("long").alias("chunk"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "cluster", "b.band", "b.chunk")
+    fired = (
+        banded.groupBy("band", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > CAP)
+        .select("band", "chunk")
+    )
+    capped_per_cluster = (
+        banded.join(fired, ["band", "chunk"], "left_semi")
+        .select("cluster", (F.col("band") * 65536 + F.col("chunk")).alias("bk"))
+        .groupBy("cluster")
+        .agg(F.countDistinct("bk").alias("capped_buckets"))
+    )
+    base = sigs.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        base.join(capped_per_cluster, "cluster", "left")
+        .join(pairs_per_cluster, "cluster", "left")
+        .select(
+            "cluster",
+            "n_docs",
+            F.coalesce(F.col("capped_buckets"), F.lit(0)).cast("long").alias(
+                "capped_buckets"
+            ),
+            F.coalesce(F.col("pairs_found"), F.lit(0)).cast("long").alias(
+                "pairs_found"
+            ),
         )
     )
 
@@ -5374,11 +5504,16 @@ def bpe_encode_corpus(spark, sf_dir):
     (count desc, a, b) tie-break) and applies the same replace chain —
     so the driver hash pass certifies training AND encoding, not just
     plumbing.  Scale shape: training iterates on the collapsed (word,
-    count) vocabulary only; encoding is a per-row projection."""
+    count) vocabulary only, and the training corpus is capped at
+    20,000 md5-ordered docs (bpe_train's train_sample, VERDICT-r10 #6)
+    — a pinned NO-OP at every gate SF (sf0.1 tops out at 5,000 docs,
+    so the oracle's full-corpus training is bit-identical) that bounds
+    the vocabulary's heavy tail at the 100x probe and beyond; encoding
+    always runs over the full corpus as a per-row projection."""
     from tubes_spark.operators import bpe
 
     d = _t(spark, sf_dir, "documents")
-    merges = bpe.bpe_train(d, n_merges=20)
+    merges = bpe.bpe_train(d, n_merges=20, train_sample=20_000)
     enc = bpe.encode_doc_expr(F.col("text"), merges)
     return d.select(
         "doc_id",
@@ -8558,7 +8693,12 @@ def streaming_dedup_incremental_minhash(spark, sf_dir):
     index is the seen-set, exactly the incremental contract
     dedup_incremental_minhash gates in batch form — so the oracle is a
     pure earlier-slice collision rule: doc_id%3 arithmetic makes batch
-    k == slice k and every survivor row SQL-reconstructible.
+    k == slice k and every survivor row SQL-reconstructible.  Note the
+    appended epochs carry band rows for ALL checked docs, REJECTED
+    near-dups included (ADVICE r10): a later batch can be rejected for
+    colliding only with a doc that was itself rejected — transitive
+    rejection, deliberately encoded by this oracle (any doc matching a
+    prior variant of a seen cluster is still a dup).
 
     Scale shape per trigger: |batch| signature computations + one
     narrow (band, key) semi-join against the index scan + one epoch

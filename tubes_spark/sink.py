@@ -242,6 +242,152 @@ class Sink:
         name = (kdir / str(k)).read_text().strip()
         return epochs, k, (name or f"upto={k}")
 
+    # -- bucketed atomic-group layout ---------------------------------
+    # A group may declare ONE leaf as bucket-laid-out via a tiny
+    # `_bucketspec.json` at the group root ({"leaf","cols","n","sort"}).
+    # Epoch directories of that leaf are then written through Spark's
+    # bucketBy writer (bucket ids live in the FILE NAMES), and readers
+    # re-register each committed directory as an external bucketed
+    # table, so a join against the leaf plans a bucketed FileScan with
+    # NO Exchange on the leaf side — the arriving/batch side shuffles
+    # once to align with the bucket count and that is the ONLY shuffle.
+    # This is the storage layout the 100 TB incremental near-dedup
+    # index needs (VERDICT r10 #1): index-side cost stops growing with
+    # corpus age.  The marker protocol is unchanged — bucketed epoch
+    # dirs are still invisible until the group commit marker lands, and
+    # `compact_atomic_group` preserves the layout through consolidation.
+
+    @staticmethod
+    def _bucket_spec(group_dir: str) -> "dict | None":
+        """The group's bucket-layout declaration, or None (plain
+        parquet layout).  First writer records it; it is immutable for
+        the group's lifetime — bucket joins require every directory of
+        the leaf to share one (cols, n) spec."""
+        import json
+        from pathlib import Path
+
+        p = Path(group_dir) / "_bucketspec.json"
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    @staticmethod
+    def _record_bucket_spec(
+        group_dir: str, leaf: str, cols: "Sequence[str]", n: int
+    ) -> dict:
+        """Atomically publish the group's bucket spec (tmp + rename,
+        like every other marker here).  Idempotent; a differing
+        existing spec raises — silently mixing bucket layouts would
+        poison every read-side join."""
+        import json
+        from pathlib import Path
+
+        spec = {"leaf": leaf, "cols": list(cols), "n": int(n)}
+        prev = Sink._bucket_spec(group_dir)
+        if prev is not None:
+            if prev != spec:
+                raise ValueError(
+                    f"bucket spec mismatch under {group_dir}: {prev} vs {spec}"
+                )
+            return prev
+        Path(group_dir).mkdir(parents=True, exist_ok=True)
+        tmp = Path(group_dir) / ".tmp._bucketspec.json"
+        tmp.write_text(json.dumps(spec))
+        os.replace(tmp, Path(group_dir) / "_bucketspec.json")
+        return spec
+
+    @staticmethod
+    def _bucket_table_name(path: str) -> str:
+        import hashlib
+
+        return "tubes_bidx_" + hashlib.md5(path.encode()).hexdigest()[:16]
+
+    @staticmethod
+    def _write_bucketed_dir(
+        df: DataFrame, path: str, cols: "Sequence[str]", n: int
+    ) -> None:
+        """Write ``path`` as ONE parquet file per bucket with Spark's
+        bucket-id file naming (``part-...._00003....parquet``), via a
+        transient external table that is dropped right after — the
+        catalog entry is scaffolding, the bucket ids in the FILE NAMES
+        are the durable artifact (:meth:`_read_bucketed_dir` re-derives
+        a table from them in any later session).  The pre-repartition
+        aligns write tasks 1:1 with buckets (same murmur3-pmod hash),
+        so an upstream 400-partition scan can't emit 400 near-empty
+        files per bucket (sources.write_bucketed has the same note)."""
+        import shutil
+
+        spark = df.sparkSession
+        tbl = Sink._bucket_table_name(path)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)  # torn uncommitted rewrite
+        (
+            df.repartition(int(n), *[F.col(c) for c in cols])
+            .write.mode("overwrite")
+            .bucketBy(int(n), *cols)
+            .sortBy(*cols)
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # external: files stay
+
+    @staticmethod
+    def _read_bucketed_dir(
+        spark, path: str, cols: "Sequence[str]", n: int
+    ) -> DataFrame:
+        """A committed bucket-laid-out directory as a DataFrame whose
+        scan carries the bucket partitioning (``Bucketed: true`` /
+        ``SelectedBucketsCount`` in the plan): (re)register an external
+        bucketed table over the existing files — schema from one
+        parquet footer, CLUSTERED BY from the group spec.  Spark only
+        honors bucket metadata through the catalog, never through a
+        raw path read; registration is idempotent per path and costs
+        one footer read the first time."""
+        tbl = Sink._bucket_table_name(path)
+        if not spark.catalog.tableExists(tbl):
+            sch = spark.read.parquet(path).schema
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+            )
+            bcols = ", ".join(f"`{c}`" for c in cols)
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+                f"INTO {int(n)} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            spark.catalog.refreshTable(tbl)  # bust stale file listings
+        return spark.table(tbl)
+
+    @staticmethod
+    def atomic_bucketed_group(
+        group_dir: str, leaf: str, cols: "Sequence[str]", n: int
+    ) -> "Sink":
+        """:meth:`atomic_parquet_group` for a single bucket-laid-out
+        leaf: identical marker protocol (epoch dir first, group commit
+        marker last, clean replays skip), but the epoch directory is
+        written through :meth:`_write_bucketed_dir` so every committed
+        directory joins shuffle-free on ``cols``.  Records the group's
+        bucket spec on first use."""
+        from pathlib import Path
+
+        def run(df: DataFrame) -> None:
+            spec = Sink._record_bucket_spec(group_dir, leaf, cols, n)
+            epoch = _CURRENT_EPOCH.get()
+            ep = -1 if epoch is None else int(epoch)
+            commit = Path(group_dir) / "_commits" / str(ep)
+            if commit.exists():
+                return  # clean replay: whole group already committed
+            Sink._write_bucketed_dir(
+                df, f"{group_dir}/{leaf}/data/epoch={ep}", spec["cols"], spec["n"]
+            )
+            commit.parent.mkdir(parents=True, exist_ok=True)
+            tmp = commit.parent / f".tmp.{ep}"
+            tmp.write_text("")
+            os.replace(tmp, commit)  # the atomic publish point
+
+        return Sink(run)
+
     @staticmethod
     def read_atomic_group(
         spark,
@@ -324,9 +470,40 @@ class Sink:
             if (k is None or e > k)
             and Path(f"{group_dir}/{name}/data/epoch={e}").exists()
         ]
-        cols = [
-            set(spark.read.parquet(s).schema.names) - {"epoch"} for s in srcs
-        ]
+        cols = []
+        for s in srcs:
+            # ADVICE r10: divergence WITHIN one epoch directory (a
+            # mid-epoch writer change) used to escape the single
+            # first-footer read and could be silently dropped by
+            # consolidation — and "first" footer depends on listing
+            # order, so the check must be order-independent: read every
+            # file's footer (pyarrow, footer-only, no data scan; on a
+            # real cluster this sweep would run distributed, like
+            # parquet's own mergeSchema pass) and diverge on
+            # union != intersection.
+            per_file = []
+            for f in sorted(Path(s).glob("*.parquet")):
+                if f.name.startswith((".", "_")):
+                    continue
+                import pyarrow.parquet as _pq
+
+                per_file.append(
+                    set(_pq.ParquetFile(str(f)).schema_arrow.names) - {"epoch"}
+                )
+            if not per_file:  # non-local path or no files: single footer
+                per_file = [set(spark.read.parquet(s).schema.names) - {"epoch"}]
+            union = set().union(*per_file)
+            inter = set.intersection(*per_file)
+            if union != inter:
+                raise ValueError(
+                    f"leaf {name!r} has schema divergence WITHIN "
+                    f"{s!r} (columns {sorted(union - inter)} appear in "
+                    "some files of the directory but not all); "
+                    "consolidating with first-footer semantics would "
+                    "silently drop them — pass evolve_schema=True to "
+                    "consolidate with mergeSchema + NULL-fill"
+                )
+            cols.append(union)
         if not cols:
             return
         diverged = set().union(*cols) - set.intersection(*cols)
@@ -382,15 +559,23 @@ class Sink:
             new_dir = _prev_dir  # nothing new since the last compaction
         else:
             new_dir = f"upto={k}.{_uuid.uuid4().hex[:8]}"
+            bspec = Sink._bucket_spec(group_dir)
             for name in sorted(leaves):
                 Sink._guard_schema_divergence(spark, group_dir, name, evolve_schema)
                 df = Sink.read_atomic_group(
                     spark, group_dir, name, evolve_schema=evolve_schema
-                )
+                ).withColumn("epoch", F.col("epoch").cast("int"))
                 tmp = f"{group_dir}/{name}/compact/.tmp.{new_dir}"
-                df.withColumn("epoch", F.col("epoch").cast("int")).write.mode(
-                    "overwrite"
-                ).parquet(tmp)
+                if bspec is not None and name == bspec["leaf"]:
+                    # a bucket-laid-out leaf keeps its layout through
+                    # consolidation — compacting a 100 TB index is
+                    # exactly when the shuffle-free read matters most
+                    Path(f"{group_dir}/{name}/compact").mkdir(
+                        parents=True, exist_ok=True
+                    )
+                    Sink._write_bucketed_dir(df, tmp, bspec["cols"], bspec["n"])
+                else:
+                    df.write.mode("overwrite").parquet(tmp)
                 os.replace(tmp, f"{group_dir}/{name}/compact/{new_dir}")
             marker_dir = Path(group_dir) / "_compacted"
             marker_dir.mkdir(parents=True, exist_ok=True)
