@@ -85,6 +85,7 @@ HEADLINE = [
     "dedup_incremental_minhash",      # incremental NEAR-dedup vs persisted index (r10)
     "streaming_dedup_incremental_minhash",  # the same loop as micro-batch triggers (r10)
     "orc_format_roundtrip",           # ORC sink/source fidelity (r10)
+    "simhash_band_cap_stats",         # simhash cap FIRING under the gate (r11)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt
