@@ -117,6 +117,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in round 11 (local 3-SF hash evidence; queued for the r12
     # prefix after the deferred-r6 block)
     "simhash_band_cap_stats": Q.simhash_band_cap_stats,
+    "streaming_dedup_incremental_survivors": Q.streaming_dedup_incremental_survivors,
     # remaining battery, staleness round ascending then alphabetical
     # last sampled round 7
     "asof_purchase": Q.asof_purchase,

@@ -86,6 +86,7 @@ HEADLINE = [
     "streaming_dedup_incremental_minhash",  # the same loop as micro-batch triggers (r10)
     "orc_format_roundtrip",           # ORC sink/source fidelity (r10)
     "simhash_band_cap_stats",         # simhash cap FIRING under the gate (r11)
+    "streaming_dedup_incremental_survivors",  # survivor-anchored index policy (r11)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt

@@ -112,6 +112,8 @@ LINEAR_QUERIES = [
     "dedup_incremental_minhash",     # batch-side signatures + left_semi vs stored index
     "streaming_dedup_incremental_minhash",  # 3 triggers of the same loop
     "orc_format_roundtrip",          # per-row codec + doc_id reconcile join
+    # round 11
+    "streaming_dedup_incremental_survivors",  # survivor-anchored index policy
 ]
 SUPERLINEAR_QUERIES = [
     # documented quadratic-in-df / pair-stream families — reported, not
@@ -123,6 +125,10 @@ SUPERLINEAR_QUERIES = [
     # the verify stage is quadratic by data design, not by plan
     "minhash_estimate_error",
     "jaccard_exact_prefix_join",
+    # per-source signature clusters grow 10x on the replicated corpus,
+    # so within-cluster candidate pairs grow ~100x by data design (the
+    # cap bounds the JOIN's per-bucket cost, not the true-pair volume)
+    "simhash_band_cap_stats",
 ]
 
 # heavy north-star families probed at 100x (--x100-heavy / --x100-only):
@@ -134,6 +140,11 @@ HEAVY_NOTES = {
     "dedup_minhash_arith_cc_survivors":
         "bands -> star edges -> CC closure under the same "
         "candidate growth",
+    "dedup_incremental_minhash":
+        "index REBUILD dominates here (bucketed write at 100x); the "
+        "fixed-batch read-side story is the index_age probe",
+    "bpe_encode_corpus":
+        "train_sample=20000 bounds merge training; encode is per-row",
     "jaccard_exact_prefix_join":
         "prefix-filtered verification: candidate pairs are the "
         "cost driver",
@@ -550,20 +561,111 @@ def main() -> None:
         payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
         OK = 10_000_000_000
         base = load_table(spark, "documents", SF_BASE).select("doc_id", "text")
-        reps = [
-            base.withColumn("doc_id", F.col("doc_id") + F.lit(r * OK))
-            .withColumn("text", F.concat(F.col("text"), F.lit(f" uniq{r} mix{r}")))
-            for r in range(10)
-        ]
-        uniq = reps[0]
-        for p_ in reps[1:]:
-            uniq = uniq.unionByName(p_)
+
+        # mutually DISSIMILAR replicas: a replica-specific marker token
+        # interleaved every 7th position breaks ~4/7 of the 5-gram
+        # windows per replica pair (J ~ 0.27 << 0.8) — a suffix-salted
+        # replica would share ~all shingles and be a near-dup, which is
+        # exactly the degenerate corpus this probe replaces
+        def rep(r):
+            toks = F.split(F.col("text"), " ")
+            salted = F.array_join(
+                F.flatten(
+                    F.transform(
+                        toks,
+                        lambda t, i: F.when(
+                            i % 7 == 0, F.array(F.lit(f"mx{r}q"), t)
+                        ).otherwise(F.array(t)),
+                    )
+                ),
+                " ",
+            )
+            return base.select(
+                (F.col("doc_id") + F.lit(r * OK)).alias("doc_id"),
+                salted.alias("text"),
+            )
+
+        uniq = rep(0)
+        for r in range(1, 10):
+            uniq = uniq.unionByName(rep(r))
+        # FRAGMENT docs — the pairs the filters exist for: a fragment
+        # shares its source's rare shingles (guaranteed prefix
+        # collision) but J = |frag|/|doc| < 0.8, so it must die in the
+        # LENGTH filter, and two 60%-window fragments of one doc share
+        # only the middle fifth (positional-filter fodder)
+        toks = F.split(F.col("text"), " ")
+        half = F.floor(F.size(toks) / 2).cast("int")
+        w60 = F.floor(F.size(toks) * 6 / 10).cast("int")
+        frag_head = uniq.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + F.lit(600 * OK)).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, half), " ").alias("text"),
+        )
+        frag_a = uniq.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(700 * OK)).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, w60), " ").alias("text"),
+        )
+        frag_b = uniq.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(800 * OK)).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, F.size(toks) - w60 + 1, w60), " "
+            ).alias("text"),
+        )
         dups = (
-            uniq.filter(F.col("doc_id") % 14 == 0)  # ~7.1%
+            uniq.filter(F.col("doc_id") % 14 == 0)  # ~7% true near-dups
             .withColumn("doc_id", F.col("doc_id") + F.lit(500 * OK))
             .withColumn("text", F.concat(F.col("text"), F.lit(" neardup")))
         )
-        mixed = uniq.unionByName(dups).localCheckpoint(eager=True)
+        # rank-skew families — the pairs only the POSITIONAL filter can
+        # kill: A and B share a rare 5-token quote plus most of a long
+        # filler (J just under 0.8, lengths matched -> length filter
+        # passes; the quote is rare -> prefix collision guaranteed), but
+        # B opens with ~13% unique gibberish that pushes the quote's
+        # prefix RANK ~n/8 deeper in B than in A, so the min-over-
+        # witnesses overlap bound refutes the pair (tests/test_round11
+        # pins the same construction deterministically)
+        sample = base.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+
+        def gen(tag, lo, hi):
+            return F.array_join(
+                F.transform(
+                    F.sequence(F.lit(lo), F.lit(hi)),
+                    lambda j: F.concat(
+                        F.lit(tag),
+                        F.col("doc_id").cast("string"),
+                        F.lit("x"),
+                        j.cast("string"),
+                    ),
+                ),
+                " ",
+            )
+
+        quote, gib = gen("pq", 1, 5), gen("gb", 0, 39)
+        fill300, fill260 = gen("fl", 0, 299), gen("fl", 0, 259)
+
+        def fam(off, text_expr):
+            # text FIRST (withColumn sees the input doc_id), THEN the id
+            # remap — aliasing both in one select lets the new doc_id
+            # shadow the input inside the token generator, silently
+            # making every family's tokens disjoint
+            return sample.withColumn("text", text_expr).select(
+                (F.col("doc_id") + F.lit(off * OK)).alias("doc_id"), "text"
+            )
+
+        sk_a = fam(900, F.concat_ws(" ", quote, fill300))
+        sk_b = fam(910, F.concat_ws(" ", gib, quote, fill260))
+        sk_fill = fam(920, fill300).unionByName(fam(930, fill300)).unionByName(
+            fam(940, fill300)
+        )
+        mixed = (
+            uniq.unionByName(dups)
+            .unionByName(frag_head)
+            .unionByName(frag_a)
+            .unionByName(frag_b)
+            .unionByName(sk_a)
+            .unionByName(sk_b)
+            .unionByName(sk_fill)
+            .localCheckpoint(eager=True)
+        )
         n_docs = mixed.count()
         dup_frac = round(dups.count() / n_docs, 4)
 

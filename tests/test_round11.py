@@ -306,3 +306,144 @@ def test_schema_divergence_within_one_epoch_detected(spark, tmp_path):
     assert "extra" in got.columns
     rows = {r["id"]: r["extra"] for r in got.collect()}
     assert rows[100] == 1 and rows[0] is None and len(rows) == 15
+
+
+def test_ppjoin_positional_filter_refutes_rank_skew_pair(spark):
+    """VERDICT-r10 #5 companion: the positional filter's refutation
+    condition, pinned deterministically.  A and B share a rare 5-token
+    quote plus most of a long filler (true Jaccard just under 0.8,
+    matched lengths -> prefix collision guaranteed, length filter
+    passes), but B's leading unique gibberish pushes the quote's
+    prefix rank ~n/8 deeper in B, so min-over-witnesses ub < alpha and
+    the pair is POSITIONALLY refuted — and the refutation is LOSSLESS:
+    brute-force Jaccard confirms the pair is below threshold, and
+    every pair at or above threshold survives the full filter chain."""
+    import itertools
+
+    from pyspark.sql import Window
+    from tubes_spark.operators import text as T
+
+    fill = " ".join(f"f{i}" for i in range(300))
+    quote = "q1 q2 q3 q4 q5"
+    gib = " ".join(f"g{i}" for i in range(40))
+    docs = [
+        (1, quote + " " + fill),
+        (2, gib + " " + quote + " " + " ".join(f"f{i}" for i in range(260))),
+        (3, fill), (4, fill), (5, fill),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = T.tokenize(F.col("text"))
+    s = d.select(
+        "doc_id", F.explode(T.word_shingles_from_tokens(toks, 5)).alias("sh")
+    ).distinct()
+    freq = s.groupBy("sh").agg(F.count(F.lit(1)).alias("fr"))
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("fr", "sh")
+    ranked = (
+        s.join(freq, "sh")
+        .withColumn("__r__", F.row_number().over(w))
+        .join(sz, "doc_id")
+    )
+    plen = (F.col("n") - F.floor(F.lit(0.8) * F.col("n")) + 1).cast("int")
+    pre = ranked.filter(F.col("__r__") <= plen).select("doc_id", "sh", "__r__", "n")
+    j = (
+        pre.alias("a")
+        .join(pre.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (4 * F.col("a.n") <= 5 * F.col("b.n"))
+            & (4 * F.col("b.n") <= 5 * F.col("a.n"))
+        )
+    )
+    ub = (
+        F.least(F.col("a.__r__"), F.col("b.__r__"))
+        + F.least(F.col("a.n") - F.col("a.__r__"), F.col("b.n") - F.col("b.__r__"))
+    ).cast("long")
+    alpha = F.ceil((F.col("a.n") + F.col("b.n")) * 4 / 9).cast("long")
+    cand = {
+        (r["da"], r["db"])
+        for r in j.select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            ub.alias("ub"),
+            alpha.alias("al"),
+        )
+        .groupBy("da", "db", "al")
+        .agg(F.min("ub").alias("mu"))
+        .filter(F.col("mu") >= F.col("al"))
+        .collect()
+    }
+    after_len = {
+        (r["da"], r["db"])
+        for r in j.select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        ).distinct().collect()
+    }
+    assert (1, 2) in after_len  # prefix collision + matched lengths
+    assert (1, 2) not in cand  # POSITIONALLY refuted
+
+    # losslessness: brute-force Jaccard over all pairs
+    sets = {
+        did: {r["sh"] for r in s.filter(F.col("doc_id") == did).collect()}
+        for did in (1, 2, 3, 4, 5)
+    }
+    for a, b in itertools.combinations(sorted(sets), 2):
+        jac = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if jac >= 0.8:
+            assert (a, b) in cand, (a, b, jac)
+    jac12 = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
+    assert jac12 < 0.8  # the refuted pair is a TRUE negative
+
+
+def test_append_scope_survivors_stores_only_survivor_bands(spark, tmp_path):
+    """append_scope="survivors" (r11, first-classing ADVICE r10): the
+    maintenance epoch must carry band keys ONLY from docs the check
+    kept — a rejected near-dup's signatures stay out of the index, so
+    a later doc can only be rejected for resembling something actually
+    ingested.  The default "all" scope stores the rejected docs' keys
+    too (transitive rejection — deliberately, see the docstring)."""
+    base = "the quick brown fox jumps over the lazy dog near the river today"
+    old = _docs(range(3), [base + f" t{i}" for i in range(3)], spark)
+    arr = _docs(
+        [50, 51],
+        [base + " t0",  # collides -> rejected
+         "fresh words " + " ".join(f"z{j}" for j in range(12))],  # survives
+        spark,
+    )
+    for scope, expect_rejected_keys in (("all", True), ("survivors", False)):
+        idx = str(tmp_path / f"idx_{scope}")
+        dedup.write_minhash_index(old, idx, epoch=0, n_buckets=4)
+        out = dedup.incremental_minhash_new(
+            arr, spark, idx, update_index=True, append_scope=scope
+        )
+        assert {r["doc_id"] for r in out.collect()} == {51}
+        stored = Sink.read_atomic_group(spark, idx, "bands")
+        ep1_keys = {
+            (r["band"], r["key"])
+            for r in stored.filter("epoch = 1").collect()
+        }
+        rej = {
+            (r["band"], r["key"])
+            for r in dedup.arith_minhash_bands(
+                arr.filter(F.col("doc_id") == 50)
+            ).collect()
+        }
+        surv = {
+            (r["band"], r["key"])
+            for r in dedup.arith_minhash_bands(
+                arr.filter(F.col("doc_id") == 51)
+            ).collect()
+        }
+        assert surv <= ep1_keys
+        if expect_rejected_keys:
+            assert rej <= ep1_keys
+        else:
+            # only keys the survivor also produces may remain
+            assert ep1_keys & (rej - surv) == set()
+            assert ep1_keys == surv
+
+    with pytest.raises(ValueError, match="append_scope"):
+        dedup.incremental_minhash_new(
+            arr, spark, str(tmp_path / "idx_all"), update_index=True,
+            append_scope="bogus",
+        )

@@ -740,6 +740,7 @@ def incremental_minhash_new(
     num_hashes: int = 16,
     bands: int = 8,
     update_index: bool = False,
+    append_scope: str = "all",
 ) -> DataFrame:
     """Arriving-batch near-dedup against a PERSISTED banded signature
     index: compute signatures for the arriving docs ONLY, semi-join
@@ -770,9 +771,13 @@ def incremental_minhash_new(
     document that was itself rejected (transitive rejection).  That is
     the standard greedy-ingest contract (the first-seen representative
     of a near-dup cluster anchors it, and anything matching EITHER the
-    representative or a prior rejected variant is still a dup); filter
-    the append to survivors yourself if you want survivor-only
-    anchoring."""
+    representative or a prior rejected variant is still a dup).
+    ``append_scope="survivors"`` opts into survivor-only anchoring
+    instead: only docs this call KEPT contribute band rows to the next
+    epoch, so a later doc is rejected only for resembling something
+    actually ingested (no transitive rejection; the index stays
+    smaller on dup-heavy streams, at the cost of re-admitting drifted
+    variants of a rejected doc)."""
     import functools
 
     from pyspark.sql import functions as F
@@ -818,9 +823,16 @@ def incremental_minhash_new(
         dup = ab.join(idx, ["band", "key"], "left_semi").select(id_col).distinct()
     out = arriving.join(dup, id_col, "left_anti")
     if update_index:
+        if append_scope not in ("all", "survivors"):
+            raise ValueError(f"unknown append_scope {append_scope!r}")
         epochs, _, _ = Sink._committed_epochs(group_dir)
+        src = (
+            ab
+            if append_scope == "all"
+            else ab.join(dup, id_col, "left_anti")
+        )
         ab_dedup = (
-            ab.groupBy("band", "key")
+            src.groupBy("band", "key")
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, "band", "key")
         )
@@ -831,7 +843,7 @@ def incremental_minhash_new(
             appended = ab_dedup
         else:
             sink = Sink.atomic_parquet_group(group_dir, {"bands": None})
-            appended = ab
+            appended = src
         token = _CURRENT_EPOCH.set((max(epochs) if epochs else -1) + 1)
         try:
             sink(appended)

@@ -1726,6 +1726,37 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)
 )
 
 
+# survivor-anchored index maintenance (r11, append_scope="survivors"):
+# the slice-2 collision check counts only witnesses from slice 0 (the
+# bootstrap epoch stores the whole batch) or SURVIVING slice-1 docs —
+# the one-level unroll of the no-transitive-rejection contract, vs the
+# "all" policy above where a rejected slice-1 doc's signatures still
+# reject slice-2 docs.
+ORACLES["streaming_dedup_incremental_survivors"] = (
+    ORACLES["dedup_minhash_arith_survivors"].split("), dropped AS")[0]
+    + """), side AS (
+  SELECT b.doc_id, b.band, b.key, CAST(d.doc_id % 3 AS INTEGER) AS slice
+  FROM bands b JOIN documents d USING (doc_id)
+), d1 AS (
+  SELECT DISTINCT a.doc_id FROM side a JOIN side s
+  ON a.band = s.band AND a.key = s.key
+  WHERE a.slice = 1 AND s.slice = 0
+), d2 AS (
+  SELECT DISTINCT a.doc_id FROM side a JOIN side s
+  ON a.band = s.band AND a.key = s.key
+  WHERE a.slice = 2 AND (
+    s.slice = 0
+    OR (s.slice = 1 AND s.doc_id NOT IN (SELECT doc_id FROM d1))
+  )
+)
+SELECT d.doc_id, d.source, d.n_chars, CAST(d.doc_id % 3 AS INTEGER) AS slice
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM d1)
+  AND d.doc_id NOT IN (SELECT doc_id FROM d2)
+"""
+)
+
+
 # CC survivor policy over the arith band family: reuse the band-key
 # CTEs verbatim (split at the survivor tail) and replace the greedy
 # bucket-min drop with star edges -> recursive transitive closure ->

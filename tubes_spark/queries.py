@@ -8751,6 +8751,72 @@ def streaming_dedup_incremental_minhash(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def streaming_dedup_incremental_survivors(spark, sf_dir):
+    """The OTHER index-maintenance policy, gated (r11 — first-classing
+    ADVICE r10): ``append_scope="survivors"`` appends band rows only
+    for docs the check KEPT, so a later batch is rejected only for
+    resembling a document actually ingested — no transitive rejection
+    through a rejected variant's signatures.  Same three-slice replay
+    as streaming_dedup_incremental_minhash; the oracle unrolls the
+    survivor recursion across slices (slice-2 collisions count only
+    witnesses from slice 0 or SURVIVING slice-1 docs), so wherever the
+    two policies disagree on the corpus the value hash pins each to
+    its own contract.
+
+    Scale shape per trigger: identical to the "all" policy (the
+    survivor filter is the same anti-join the output already computes)
+    with a strictly smaller index on dup-heavy streams."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    conds = [F.col("doc_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="tubes_sincsu_")
+    try:
+        write_ordered_slices(d, conds, f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        idx_dir = f"{tmp}/idx"
+        out_dir = f"{tmp}/new"
+
+        def fb(batch_df, epoch_id):
+            ep = int(epoch_id)
+            if ep == 0:
+                new = batch_df  # empty index: everything is new
+                dedup.write_minhash_index(batch_df, idx_dir, epoch=0)
+            else:
+                new = dedup.incremental_minhash_new(
+                    batch_df,
+                    spark,
+                    idx_dir,
+                    update_index=True,
+                    append_scope="survivors",
+                )
+            new.select("doc_id", "source", "n_chars").withColumn(
+                "slice", F.lit(ep).cast("int")
+            ).write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def dp_noisy_group_counts(spark, sf_dir):
     """Differentially-private release of grouped counts (Laplace
     mechanism, Dwork et al. 2006) -- the third leg of the governance
