@@ -490,7 +490,7 @@ def main() -> None:
             D.write_minhash_index(ep_df, idx100, epoch=e)
         idx100c = f"{ia_dir}/idx_age100_compacted"
         shutil.copytree(idx100, idx100c)
-        Sink.compact_atomic_group(spark, idx100c, gc=True)
+        D.compact_minhash_index(spark, idx100c)  # shipped maintenance: consolidate + key-dedupe + gc
         # legacy pre-r11 layout at the same 100x age: raw band rows,
         # no spec -> incremental_minhash_new takes the fallback path
         idxleg = f"{ia_dir}/idx_age100_legacy"

@@ -447,3 +447,90 @@ def test_append_scope_survivors_stores_only_survivor_bands(spark, tmp_path):
             arr, spark, str(tmp_path / "idx_all"), update_index=True,
             append_scope="bogus",
         )
+
+
+def test_auto_compaction_bounds_epoch_fanin(spark, tmp_path, no_broadcast):
+    """compact_after=K makes the daily run self-maintaining: replaying
+    the same batches with and without auto-compaction yields identical
+    survivor decisions, while the auto-maintained index never holds
+    more than K epoch dirs past the compaction point (superseded dirs
+    are gc'd) and its post-compaction plan keeps the bucketed
+    zero-index-side-Exchange shape."""
+    import os
+
+    from tubes_spark.sink import Sink
+
+    auto = str(tmp_path / "auto")
+    plain = str(tmp_path / "plain")
+    for idx in (auto, plain):
+        dedup.write_minhash_index(
+            _docs(range(8), _epoch_corpus(0), spark), idx, epoch=0, n_buckets=4
+        )
+
+    for i in range(1, 6):
+        batch = _docs(
+            [100 * i, 100 * i + 1],
+            [_epoch_corpus(0)[i % 8],  # near-dup of the seeded corpus
+             f"batch {i} fresh " + " ".join(f"b{i}w{j}" for j in range(12))],
+            spark,
+        )
+        a = dedup.incremental_minhash_new(
+            batch, spark, auto, update_index=True, compact_after=2
+        )
+        p = dedup.incremental_minhash_new(batch, spark, plain, update_index=True)
+        assert ({r["doc_id"] for r in a.collect()}
+                == {r["doc_id"] for r in p.collect()}
+                == {100 * i + 1})
+
+        epochs, k, _ = Sink._committed_epochs(auto)
+        pending = [e for e in epochs if k is None or e > k]
+        assert len(pending) < 2, (epochs, k)  # fan-in bounded at K dirs
+        live = [d for d in os.listdir(f"{auto}/bands/data")
+                if not d.startswith(".")] if os.path.exists(f"{auto}/bands/data") else []
+        assert {int(d.split("=")[1]) for d in live} <= set(pending)
+
+    out = dedup.incremental_minhash_new(
+        _docs([999], [_epoch_corpus(0)[0]], spark), spark, auto
+    )
+    assert out.count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+
+    with pytest.raises(ValueError, match="compact_after"):
+        dedup.incremental_minhash_new(
+            _docs([1], ["x y z"], spark), spark, auto, compact_after=2
+        )
+
+
+def test_compaction_key_dedupe_is_set_preserving(spark, tmp_path):
+    """compact_minhash_index stores ONE row per (band, key) across
+    epochs: two epochs carrying the same corpus collapse to the
+    distinct-key count (first-written epoch's row wins), the (band,
+    key) SET is unchanged, and incremental decisions are identical
+    before and after."""
+    from tubes_spark.sink import Sink
+
+    idx = str(tmp_path / "idx")
+    corpus = _docs(range(8), _epoch_corpus(0), spark)
+    dedup.write_minhash_index(corpus, idx, epoch=0, n_buckets=4)
+    dedup.write_minhash_index(corpus, idx, epoch=1, n_buckets=4)  # all repeats
+
+    stored = Sink.read_atomic_group(spark, idx, "bands")
+    keys = {(r["band"], r["key"]) for r in stored.collect()}
+    assert stored.count() == 2 * len(keys)  # every key repeated pre-compaction
+
+    arr = _docs([100, 101],
+                [_epoch_corpus(0)[3], "nothing shares these words qq ww ee"],
+                spark)
+    before = {r["doc_id"] for r in dedup.incremental_minhash_new(arr, spark, idx).collect()}
+
+    k = dedup.compact_minhash_index(spark, idx)
+    assert k == 1
+    compacted = Sink.read_atomic_group(spark, idx, "bands")
+    rows = compacted.collect()
+    assert len(rows) == len(keys)  # bounded by DISTINCT band keys
+    assert {(r["band"], r["key"]) for r in rows} == keys  # set preserved
+    assert all(r["epoch"] == 0 for r in rows)  # first-written wins
+
+    after = {r["doc_id"] for r in dedup.incremental_minhash_new(arr, spark, idx).collect()}
+    assert after == before == {101}

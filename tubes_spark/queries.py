@@ -8703,7 +8703,11 @@ def streaming_dedup_incremental_minhash(spark, sf_dir):
     Scale shape per trigger: |batch| signature computations + one
     narrow (band, key) semi-join against the index scan + one epoch
     append behind the atomic marker; nothing ever recomputes old
-    signatures or re-reads old text."""
+    signatures or re-reads old text.  ``compact_after=2`` runs the
+    self-maintenance path (consolidate + cross-epoch key-dedupe + gc)
+    under the gate: decisions are compaction-invariant (test-pinned),
+    so the oracle is identical, while the index fan-in stays bounded
+    no matter how many triggers the stream has seen."""
     import shutil
     import tempfile
 
@@ -8733,7 +8737,8 @@ def streaming_dedup_incremental_minhash(spark, sf_dir):
                 dedup.write_minhash_index(batch_df, idx_dir, epoch=0)
             else:
                 new = dedup.incremental_minhash_new(
-                    batch_df, spark, idx_dir, update_index=True
+                    batch_df, spark, idx_dir, update_index=True,
+                    compact_after=2,
                 )
             new.select("doc_id", "source", "n_chars").withColumn(
                 "slice", F.lit(ep).cast("int")

@@ -519,7 +519,11 @@ class Sink:
 
     @staticmethod
     def compact_atomic_group(
-        spark, group_dir: str, gc: bool = False, evolve_schema: bool = False
+        spark,
+        group_dir: str,
+        gc: bool = False,
+        evolve_schema: bool = False,
+        dedupe_keys: "dict[str, Sequence[str]] | None" = None,
     ) -> int:
         """Consolidate every COMMITTED epoch of every leaf into one
         compacted directory per leaf and publish the compaction point
@@ -539,7 +543,19 @@ class Sink:
         DATA dirs and any unreferenced compact dirs are removed after
         publish (commit markers stay — they define visibility history
         and cost one empty file each).  Returns the compaction point K
-        (the highest epoch consolidated)."""
+        (the highest epoch consolidated).
+
+        ``dedupe_keys`` maps a leaf name to its key columns and opts
+        that leaf into SET semantics at consolidation: the compacted
+        directory keeps ONE row per key tuple (the first-written row —
+        ordered by epoch, then the remaining columns, so reruns are
+        bit-stable).  ONLY valid for leaves whose readers treat rows as
+        a set keyed on those columns (the MinHash band index is the
+        canonical case: its reader semi-joins on (band, key), so
+        cross-epoch repeats of a key are dead weight).  Epochs newer
+        than the compaction point may still repeat a key until the next
+        compaction — readers must not rely on global uniqueness, only
+        on the key SET being preserved, which this never changes."""
         import shutil as _shutil
         import uuid as _uuid
         from pathlib import Path
@@ -565,6 +581,17 @@ class Sink:
                 df = Sink.read_atomic_group(
                     spark, group_dir, name, evolve_schema=evolve_schema
                 ).withColumn("epoch", F.col("epoch").cast("int"))
+                if dedupe_keys and name in dedupe_keys:
+                    from pyspark.sql import Window
+
+                    keys = list(dedupe_keys[name])
+                    rest = [c for c in df.columns if c not in keys and c != "epoch"]
+                    w = Window.partitionBy(*keys).orderBy("epoch", *rest)
+                    df = (
+                        df.withColumn("__rn__", F.row_number().over(w))
+                        .filter(F.col("__rn__") == 1)
+                        .drop("__rn__")
+                    )
                 tmp = f"{group_dir}/{name}/compact/.tmp.{new_dir}"
                 if bspec is not None and name == bspec["leaf"]:
                     # a bucket-laid-out leaf keeps its layout through
