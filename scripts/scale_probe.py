@@ -540,6 +540,78 @@ def main() -> None:
         shutil.rmtree(ia_dir, ignore_errors=True)
         return
 
+    if "--index-maint" in sys.argv:
+        # r11 self-maintenance probe: 20 daily batches ingested through
+        # incremental_minhash_new(update_index=True), once with
+        # compact_after=5 and once with no maintenance.  Per-batch wall
+        # time INCLUDES the epoch append and (auto path) any compaction
+        # that batch triggers — the honest daily cost a corpus owner
+        # pays.  The claim under test: the maintained index's per-batch
+        # cost stays flat (sawtooth at each rewrite) while the
+        # unmaintained one grows with epoch fan-in.
+        from tubes_spark.operators import dedup as D
+
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        im_dir = os.environ.get("SCALE_PROBE_IDXMAINT_DIR", "/tmp/tubes_scale_idxmaint")
+        shutil.rmtree(im_dir, ignore_errors=True)
+        os.makedirs(im_dir)
+        OK = 10_000_000_000
+        docs = load_table(spark, "documents", SF_BASE).select("doc_id", "text")
+        sub = docs.filter(F.col("doc_id") % 10 == 0)  # 500 docs at sf0.1
+
+        def rep(r):
+            return (sub.withColumn("doc_id", F.col("doc_id") + F.lit(r * OK))
+                    .withColumn("text", F.concat(F.col("text"), F.lit(f" rep{r}"))))
+
+        cal_start = calibrate(spark)
+        auto, plain = f"{im_dir}/auto", f"{im_dir}/plain"
+        for idx in (auto, plain):
+            D.write_minhash_index(rep(0), idx, epoch=0)
+        secs = {"auto": [], "plain": []}
+        kept = {"auto": [], "plain": []}
+        for r in range(1, 21):
+            b = rep(r).localCheckpoint(eager=True)  # bill batch prep to nobody
+            for tag, idx in (("auto", auto), ("plain", plain)):
+                kw = {"compact_after": 5} if tag == "auto" else {}
+                t0 = time.perf_counter()
+                n = D.incremental_minhash_new(
+                    b, spark, idx, update_index=True, **kw
+                ).count()
+                secs[tag].append(round(time.perf_counter() - t0, 3))
+                kept[tag].append(n)
+            print(json.dumps({"index_maint_batch": r,
+                              "auto": secs["auto"][-1],
+                              "plain": secs["plain"][-1]}))
+        assert kept["auto"] == kept["plain"], "maintenance changed decisions"
+
+        def live_dirs(idx):
+            d = f"{idx}/bands/data"
+            return len([x for x in os.listdir(d) if not x.startswith(".")]) \
+                if os.path.isdir(d) else 0
+
+        last5 = lambda xs: round(sum(xs[-5:]) / 5, 3)
+        payload["index_maint"] = {
+            "base": SF_BASE, "batches": 20, "batch_rows": 500,
+            "compact_after": 5,
+            "per_batch_sec": secs,
+            "last5_mean": {"auto": last5(secs["auto"]),
+                           "plain": last5(secs["plain"])},
+            "plain_over_auto_last5": round(
+                last5(secs["plain"]) / last5(secs["auto"]), 2),
+            "live_epoch_dirs_end": {"auto": live_dirs(auto),
+                                    "plain": live_dirs(plain)},
+            "decisions_identical": True,
+            "calibration": {"start": cal_start, "end": calibrate(spark)},
+            "run": run_id,
+        }
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        print(json.dumps({"index_maint": payload["index_maint"]["last5_mean"],
+                          "ratio": payload["index_maint"]["plain_over_auto_last5"]}))
+        spark.stop()
+        shutil.rmtree(im_dir, ignore_errors=True)
+        return
+
     if "--ppjoin-mixed" in sys.argv:
         # VERDICT-r10 #5: the x100 jaccard synth is all-true-near-dups,
         # where PPJoin's length/positional filters structurally cannot
