@@ -118,6 +118,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # prefix after the deferred-r6 block)
     "simhash_band_cap_stats": Q.simhash_band_cap_stats,
     "streaming_dedup_incremental_survivors": Q.streaming_dedup_incremental_survivors,
+    "ann_incremental_semantic_dedup": Q.ann_incremental_semantic_dedup,
     # remaining battery, staleness round ascending then alphabetical
     # last sampled round 7
     "asof_purchase": Q.asof_purchase,

@@ -534,3 +534,156 @@ def test_compaction_key_dedupe_is_set_preserving(spark, tmp_path):
 
     after = {r["doc_id"] for r in dedup.incremental_minhash_new(arr, spark, idx).collect()}
     assert after == before == {101}
+
+
+def _vecs(ids, V, spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(ids), "embedding": [V[i] for i in ids]})
+    )
+
+
+def _vec_corpus():
+    """Deterministic 8-dim corpus with two exact copies (40<-2, 41<-5):
+    cosine margins are huge (copies 1.0, natural pairs << 0.95), so
+    no verdict sits near a float boundary."""
+    import hashlib
+    import struct
+
+    def vec(i):
+        out = []
+        for d in range(8):
+            h = hashlib.md5(f"v{i}d{d}".encode()).digest()[:8]
+            out.append(struct.unpack(">q", h)[0] / 2**63)
+        return out
+
+    V = [vec(i) for i in range(60)]
+    V[40] = list(V[2])
+    V[41] = list(V[5])
+    return V
+
+
+def test_ann_index_bucketed_no_index_side_exchange(spark, tmp_path, no_broadcast):
+    """The vector-index screen's plan contract: every parquet scan in
+    the plan is the index and every one is bucketed, so NO index bytes
+    ever cross an Exchange; the exchange count grows only with the
+    count of committed index DIRS (each is a batch-side re-align of the
+    tiny arriving side — compact_after bounds it) and compaction
+    collapses it back to the one-dir shape."""
+    from tubes_spark.operators import similarity as S
+    from tubes_spark.sink import Sink
+
+    V = _vec_corpus()
+    idx = str(tmp_path / "annidx")
+    S.write_ann_index(_vecs(range(20), V, spark), idx, n_anchors=4, n_buckets=4)
+    arr = _vecs(range(20, 30), V, spark)
+
+    out1 = S.incremental_ann_new(arr, spark, idx, threshold=0.95, update_index=True)
+    plan1 = out1._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan1 and "SelectedBucketsCount" in plan1
+    assert plan1.count("FileScan parquet") == plan1.count("Bucketed: true") > 0
+    real1, _ = _exchange_counts(plan1)
+
+    out2 = S.incremental_ann_new(arr, spark, idx, threshold=0.95)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    real2, _ = _exchange_counts(plan2)
+    assert real2 == real1 + 1, (real1, real2)  # +1 dir -> +1 batch-side align
+    assert plan2.count("FileScan parquet") == plan2.count("Bucketed: true")
+    assert plan2.count("Bucketed: true") > plan1.count("Bucketed: true")
+    # the screen never re-reads any corpus: every input file is index parquet
+    assert out2.inputFiles() and all("annidx" in f for f in out2.inputFiles())
+
+    # compaction restores the one-dir plan shape, answers unchanged
+    before = {(r["vec_id"], r["is_new"]) for r in out2.collect()}
+    Sink.compact_atomic_group(spark, idx, gc=True)
+    out3 = S.incremental_ann_new(arr, spark, idx, threshold=0.95)
+    plan3 = out3._jdf.queryExecution().executedPlan().toString()
+    real3, _ = _exchange_counts(plan3)
+    assert real3 == real1, (real1, real3)
+    assert plan3.count("FileScan parquet") == plan3.count("Bucketed: true") > 0
+    assert {(r["vec_id"], r["is_new"]) for r in out3.collect()} == before
+
+
+def test_ann_incremental_matches_bruteforce(spark, tmp_path):
+    """Verdicts (is_new, n_prior_hits) against a numpy brute-force of
+    the same anchor-cell rule, plus the exact-copy contract: a replica
+    of a stored vector is rejected with best_sim 1.0."""
+    import numpy as np
+
+    from tubes_spark.operators import similarity as S
+
+    V = _vec_corpus()
+    idx = str(tmp_path / "annidx")
+    S.write_ann_index(_vecs(range(20), V, spark), idx, n_anchors=4, n_buckets=4)
+    got = {
+        r["vec_id"]: r
+        for r in S.incremental_ann_new(
+            _vecs(range(20, 45), V, spark), spark, idx,
+            threshold=0.95, update_index=True,
+        ).collect()
+    }
+    A = np.array(S._read_anchors(idx))
+    M = np.array(V, dtype=np.float64)
+
+    def cell(i):
+        c = (A @ M[i]) / (np.linalg.norm(A, axis=1) * np.linalg.norm(M[i]))
+        return int(c.argmax())
+
+    for i in range(20, 45):
+        prior = [j for j in range(20) if cell(j) == cell(i)]
+        sims = [
+            float(M[i] @ M[j] / (np.linalg.norm(M[i]) * np.linalg.norm(M[j])))
+            for j in prior
+        ]
+        hits = [s for s in sims if s >= 0.95]
+        assert (got[i]["is_new"], got[i]["n_prior_hits"]) == (not hits, len(hits)), i
+    assert not got[40]["is_new"] and got[40]["best_sim"] == 1.0  # copy of stored 2
+    assert not got[41]["is_new"] and got[41]["best_sim"] == 1.0  # copy of stored 5
+
+    # second batch sees epoch-1 vectors too (45..59 vs stored 0..44)
+    out2 = {
+        r["vec_id"]: r
+        for r in S.incremental_ann_new(
+            _vecs(range(45, 60), V, spark), spark, idx, threshold=0.95
+        ).collect()
+    }
+    assert all(r["is_new"] for r in out2.values())  # no copies in this range
+
+
+def test_ann_anchors_immutable_and_maintenance(spark, tmp_path):
+    """Anchors are fixed at bootstrap (a later write_ann_index call
+    cannot re-seed them) and compact_after bounds the epoch fan-in
+    without changing verdicts."""
+    import os
+
+    from tubes_spark.operators import similarity as S
+    from tubes_spark.sink import Sink
+
+    V = _vec_corpus()
+    auto = str(tmp_path / "auto")
+    plain = str(tmp_path / "plain")
+    for idx in (auto, plain):
+        S.write_ann_index(_vecs(range(10), V, spark), idx, n_anchors=4, n_buckets=4)
+    a0 = S._read_anchors(auto)
+    S.write_ann_index(_vecs(range(10, 20), V, spark), auto, n_anchors=4, epoch=1)
+    assert S._read_anchors(auto) == a0  # bootstrap anchors survive
+
+    for step, lo in enumerate(range(20, 50, 10), start=2):
+        batch = _vecs(range(lo, lo + 10), V, spark)
+        va = S.incremental_ann_new(
+            batch, spark, auto, threshold=0.95, update_index=True, compact_after=2
+        ).collect()
+        S.write_ann_index(_vecs(range(lo, lo + 10), V, spark), plain, epoch=step)
+        epochs, k, _ = Sink._committed_epochs(auto)
+        pending = [e for e in epochs if k is None or e > k]
+        assert len(pending) < 2, (epochs, k)
+        live = [d for d in os.listdir(f"{auto}/cells/data") if not d.startswith(".")] \
+            if os.path.exists(f"{auto}/cells/data") else []
+        assert {int(d.split("=")[1]) for d in live} <= set(pending)
+    # the compacted index still answers identically to the never-compacted one
+    probe = _vecs([2, 5, 45], V, spark)  # all three stored (0..49 ingested)
+    ra = {(r["vec_id"], r["is_new"], r["n_prior_hits"])
+          for r in S.incremental_ann_new(probe, spark, auto, threshold=0.95).collect()}
+    rp = {(r["vec_id"], r["is_new"], r["n_prior_hits"])
+          for r in S.incremental_ann_new(probe, spark, plain, threshold=0.95).collect()}
+    assert ra == rp
+    assert all(not new for (_, new, _) in ra)  # all three are stored copies

@@ -763,3 +763,232 @@ def knn_pq_adc(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------- persisted incremental ANN index
+
+def _anchor_cos(vec_col: Column, anchor: "list[float]") -> Column:
+    """Cosine of an array column against one literal anchor, computed as
+    a SEQUENTIAL left fold over the dims in index order (F.aggregate) —
+    the same summation order DuckDB's list_sum(list_transform(...))
+    uses, so the double result is bit-identical across engines and the
+    argmax cell assignment (and any threshold comparison) can sit under
+    the value-hash oracle gate.  Interpreted higher-order lambdas are
+    ~100x slower than a matmul (module docstring) — acceptable here
+    because the anchor set is small by construction (|anchors| literal
+    expressions per row, no shuffle, no Python)."""
+    a = F.array(*[F.lit(float(v)) for v in anchor])
+    d = dot(vec_col, a)
+    na = float(sum(v * v for v in anchor)) ** 0.5
+    return d / (norm(vec_col) * F.lit(na))
+
+
+def _cell_expr(vec_col: Column, anchors: "list[list[float]]") -> Column:
+    """argmax-cosine cell id as a pure per-row expression (zero shuffle,
+    whole-stage codegen): first index of the max score, so ties break
+    toward the smallest anchor id — mirrored by the oracle's
+    row_number() ORDER BY cos DESC, aid ASC."""
+    scores = F.array(*[_anchor_cos(vec_col, a) for a in anchors])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def _read_anchors(group_dir: str) -> "list[list[float]]":
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{group_dir}/_anchors.parquet")
+    rows = sorted(zip(t["aid"].to_pylist(), t["vec"].to_pylist()))
+    return [[float(x) for x in vec] for _, vec in rows]
+
+
+def write_ann_index(
+    batch: DataFrame,
+    group_dir: str,
+    n_anchors: int = 16,
+    epoch: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: "int | None" = None,
+) -> None:
+    """Bootstrap (or extend) a PERSISTED vector index as an atomic
+    bucketed parquet group — the embedding-space sibling of
+    ``dedup.write_minhash_index``.  Leaf ``cells`` holds
+    (vec_id, cell, embedding) BUCKETED on ``cell``, so the incremental
+    screen's join plans a bucketed FileScan with no Exchange on the
+    index side; vectors are stored in the index (IVF-style inverted
+    lists) so no later run ever re-reads or re-embeds the original
+    corpus.
+
+    Anchors (cell seeds) are fixed at bootstrap as the ``n_anchors``
+    smallest-``id_col`` vectors of the first batch — deterministic and
+    SQL-reproducible, which keeps every later cell assignment under
+    the DuckDB value-hash gate (at 100 TB swap in k-means centroids
+    via ``kmeans_train_distributed``; assignment, layout, and
+    maintenance are unchanged).  They are published once as a tiny
+    ``_anchors.parquet`` beside the group markers (tmp+rename, like
+    ``_bucketspec.json``) and are immutable for the index's lifetime —
+    reassigning cells would orphan every stored row.
+
+    Scale shape: cell assignment is |anchors| expression-level cosines
+    per row (no shuffle, no Python); the bucketed write is the only
+    shuffle.  Cell count bounds the within-cell quadratic screen —
+    pick n_anchors ~ sqrt(corpus) at scale so inverted lists stay
+    bounded, exactly the IVF sizing rule."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    if not os.path.exists(f"{group_dir}/_anchors.parquet"):
+        head = (
+            batch.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(n_anchors)
+            .collect()
+        )
+        os.makedirs(group_dir, exist_ok=True)
+        t = pa.table({
+            "aid": list(range(len(head))),
+            "vec": [[float(x) for x in r[vec_col]] for r in head],
+        })
+        pq.write_table(t, f"{group_dir}/.tmp._anchors.parquet")
+        os.replace(
+            f"{group_dir}/.tmp._anchors.parquet", f"{group_dir}/_anchors.parquet"
+        )
+    anchors = _read_anchors(group_dir)
+    cells = batch.select(
+        F.col(id_col), _cell_expr(F.col(vec_col), anchors).alias("cell"), F.col(vec_col)
+    )
+    spec = Sink._bucket_spec(group_dir)
+    if spec is None:
+        if n_buckets is None:
+            n_buckets = max(batch.sparkSession.sparkContext.defaultParallelism, 8)
+        sink = Sink.atomic_bucketed_group(group_dir, "cells", ["cell"], int(n_buckets))
+    else:
+        sink = Sink.atomic_bucketed_group(group_dir, "cells", spec["cols"], spec["n"])
+    token = _CURRENT_EPOCH.set(int(epoch))
+    try:
+        sink(cells)
+    finally:
+        _CURRENT_EPOCH.reset(token)
+
+
+def incremental_ann_new(
+    arriving: DataFrame,
+    spark,
+    group_dir: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    update_index: bool = False,
+    compact_after: "int | None" = None,
+) -> DataFrame:
+    """Arriving-batch SEMANTIC near-dup screen against the persisted
+    vector index (SemDeDup's within-cluster rule, Abbas et al. 2023,
+    made incremental): assign each arriving vector to its anchor cell,
+    join ONLY against stored vectors in the same cell (the bucketed
+    inverted list — the index side never crosses an Exchange; the
+    ARRIVING batch re-aligns on ``cell`` once per committed index dir,
+    which is fine by contract: the batch is the tiny side, and
+    ``compact_after=K`` bounds the dir count at K+1, collapsing to one
+    after each compaction), and flag vectors whose best same-cell
+    similarity reaches ``threshold``.  Returns one verdict row per
+    arriving vector:
+    (id, cell, is_new, n_prior_hits, best_sim) — the full screen
+    ledger, not just survivors.  The original corpus is never re-read:
+    the whole seen side is the (id, cell, vector) index parquet.
+
+    Recall contract (by construction, same as SemDeDup): only
+    same-cell pairs are compared — a near-dup straddling a cell
+    boundary is missed; raise anchor count only with a matching
+    nprobe-style multi-cell assignment if that matters for the corpus.
+    Cosines fold dims in index order (``_anchor_cos``), so every
+    comparison here is bit-identical to the DuckDB oracle's.
+
+    ``update_index=True`` appends ALL arriving vectors' cell rows as
+    the next committed epoch (the greedy-ingest "all" contract of
+    ``dedup.incremental_minhash_new``, and the same maintenance knobs:
+    ``compact_after=K`` consolidates + gc's once K epochs accumulate
+    past the compaction point — cells-leaf rows are unique per vector,
+    so no key-dedupe applies)."""
+    import functools
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    anchors = _read_anchors(group_dir)
+    ab = arriving.select(
+        F.col(id_col), F.col(vec_col),
+        _cell_expr(F.col(vec_col), anchors).alias("cell"),
+    ).localCheckpoint(eager=True)
+    spec = Sink._bucket_spec(group_dir)
+    epochs, k, kname = Sink._committed_epochs(group_dir)
+    sides = []
+    if spec is not None:
+        if k is not None:
+            sides.append(Sink._read_bucketed_dir(
+                spark, f"{group_dir}/cells/compact/{kname}", spec["cols"], spec["n"]
+            ))
+        for e in [e for e in epochs if k is None or e > k]:
+            sides.append(Sink._read_bucketed_dir(
+                spark, f"{group_dir}/cells/data/epoch={e}", spec["cols"], spec["n"]
+            ))
+    else:  # legacy plain layout
+        sides = [Sink.read_atomic_group(spark, group_dir, "cells")]
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"s.{vec_col}"))
+    hit_frames = [
+        ab.alias("a")
+        .join(s.alias("s"), F.col("a.cell") == F.col("s.cell"))
+        .where(sim >= F.lit(float(threshold)))
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            sim.alias("__sim__"),
+        )
+        for s in sides
+    ]
+    if hit_frames:
+        hits = (
+            functools.reduce(DataFrame.union, hit_frames)
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("n_prior_hits"),
+                F.max("__sim__").alias("__best__"),
+            )
+        )
+    else:
+        hits = (
+            ab.select(id_col).limit(0)
+            .withColumn("n_prior_hits", F.lit(0))
+            .withColumn("__best__", F.lit(0.0))
+        )
+    out = (
+        ab.select(id_col, "cell")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("n_prior_hits").isNull().alias("is_new"),
+            F.coalesce("n_prior_hits", F.lit(0)).cast("int").alias("n_prior_hits"),
+            F.round("__best__", 6).alias("best_sim"),
+        )
+    )
+    if compact_after is not None and not update_index:
+        raise ValueError("compact_after requires update_index=True")
+    if update_index:
+        sink = (
+            Sink.atomic_bucketed_group(group_dir, "cells", spec["cols"], spec["n"])
+            if spec is not None
+            else Sink.atomic_parquet_group(group_dir, {"cells": None})
+        )
+        token = _CURRENT_EPOCH.set((max(epochs) if epochs else -1) + 1)
+        try:
+            sink(ab.select(id_col, "cell", vec_col))
+        finally:
+            _CURRENT_EPOCH.reset(token)
+        if compact_after is not None:
+            epochs2, k2, _ = Sink._committed_epochs(group_dir)
+            pending = [e for e in epochs2 if k2 is None or e > k2]
+            if len(pending) >= compact_after:
+                out = out.localCheckpoint(eager=True)  # pin before gc deletes dirs
+                Sink.compact_atomic_group(spark, group_dir, gc=True)
+    return out

@@ -4559,3 +4559,56 @@ WHERE r.level < 3
 GROUP BY 1, 2, 3, 4
 """
 )
+
+
+# Incremental semantic near-dedup against the persisted anchor-cell
+# vector index.  Cosines fold the 64 dims in index order (list_sum over
+# list_transform) exactly as the Spark side's F.aggregate left fold, so
+# cell argmax, hit counts, and best similarities are bit-identical; the
+# "all"-scope epoch appends reduce to p.slice < n.slice (no recursion).
+_ANN_COS = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    " / ( sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+    "   * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i]))))"
+)
+
+ORACLES["ann_incremental_semantic_dedup"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+b AS (
+  SELECT vec_id, CAST(vec_id % 3 AS INTEGER) AS slice,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM base
+),
+anch AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM b WHERE slice = 0 ORDER BY vec_id LIMIT 16)
+),
+cells AS (
+  SELECT vec_id, slice, v, aid AS cell FROM (
+    SELECT b.vec_id, b.slice, b.v, anch.aid,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_ANN_COS.format(a="b.v", b="anch.av")} DESC, anch.aid ASC
+      ) AS rn
+    FROM b CROSS JOIN anch
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT n.vec_id, {_ANN_COS.format(a="n.v", b="p.v")} AS ps
+  FROM cells n JOIN cells p ON p.cell = n.cell AND p.slice < n.slice
+),
+hits AS (
+  SELECT vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM pairs WHERE ps >= 0.9 GROUP BY vec_id
+)
+SELECT c.vec_id, c.slice, c.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits,
+       h.best_sim
+FROM cells c LEFT JOIN hits h USING (vec_id)
+"""

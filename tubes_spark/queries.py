@@ -9248,3 +9248,65 @@ def compression_ratio_quality(spark, sf_dir):
         .otherwise("normal")
         .alias("band"),
     )
+
+
+def ann_incremental_semantic_dedup(spark, sf_dir):
+    """Incremental SEMANTIC near-dedup against a PERSISTED vector index
+    (r11 — the embedding-space sibling of dedup_incremental_minhash,
+    completing the index-maintenance suite: MinHash for text, anchor
+    cells for vectors).  The embeddings table plus a 20% exact-replica
+    pressure (every vec_id%5==0 vector re-arrives as id+100000 — the
+    +100000 shifts it into the NEXT vec_id%3 slice, so every replica
+    meets its original across a slice boundary) replays as three
+    slices: slice 0 bootstraps the index (anchors = its 16 smallest-id
+    vectors, cells bucketed on the anchor-argmax cell), each later
+    slice is screened ONLY against stored same-cell vectors (SemDeDup's
+    within-cluster rule) and appended.  Emits the full verdict ledger —
+    (vec_id, slice, cell, is_new, n_prior_hits, best_sim) — all under
+    the value-hash oracle gate: cosines fold the 64 dims in index
+    order on both engines, so cell assignments, hit counts, and best
+    similarities are bit-identical.
+
+    Scale shape: cell assignment is 16 expression-level cosines per
+    row (no shuffle, no Python); the screen joins a bucketed index
+    FileScan (no Exchange on the index side, tests pin it) against the
+    arriving batch's one shuffle; within-cell pairing is the bounded
+    quadratic SemDeDup accepts — at 100 TB grow anchors ~ sqrt(N) so
+    inverted lists stay flat, and swap anchors for trained k-means
+    centroids (write_ann_index docstring) without touching layout or
+    maintenance."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reps = e.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    base = e.unionByName(reps)
+    slices = [base.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="tubes_ann_idx_")
+    try:
+        similarity.write_ann_index(slices[0], tmp, n_anchors=16)
+        anchors = similarity._read_anchors(tmp)
+        v0 = slices[0].select(
+            "vec_id",
+            F.lit(0).cast("int").alias("slice"),
+            similarity._cell_expr(F.col("embedding"), anchors).alias("cell"),
+            F.lit(True).alias("is_new"),
+            F.lit(0).cast("int").alias("n_prior_hits"),
+            F.lit(None).cast("double").alias("best_sim"),
+        )
+        v1 = similarity.incremental_ann_new(
+            slices[1], spark, tmp, threshold=0.9, update_index=True
+        ).withColumn("slice", F.lit(1).cast("int"))
+        v2 = similarity.incremental_ann_new(
+            slices[2], spark, tmp, threshold=0.9
+        ).withColumn("slice", F.lit(2).cast("int"))
+        cols = ["vec_id", "slice", "cell", "is_new", "n_prior_hits", "best_sim"]
+        out = v0.select(cols).unionByName(v1.select(cols)).unionByName(
+            v2.select(cols)
+        )
+        out = out.localCheckpoint(eager=True)  # pin before the index dir goes
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
