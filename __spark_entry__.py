@@ -33,75 +33,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ORDERING NOTE: the driver's correctness gate samples the FIRST 50
-    # keys of this dict each round.  Round-11 prefix (VERDICT-r10 #2) =
-    # flagship + the 9-key deferred-r5 alphabetical tail + the 3 keys
-    # added late in r10 that have never held a driver row + 37 of the
-    # 49 keys last sampled in round 6 = exactly 50.  The r6 cohort is
-    # 49 keys, 12 more than the 37 free slots, so its alphabetical
-    # tail (12 keys, listed first below the fold) heads the round-12
-    # rotation; after this round r1-r11 driver rows cover every battery
-    # key and no key's latest row predates round 6.  Queries added in
-    # round 11 carry local 3-SF hash evidence (sf0.001/0.01/0.1,
-    # vanilla sessions) and are queued directly after the deferred-r6
-    # block.  Every key passes the identical local DuckDB harness
-    # regardless of driver sampling.
+    # keys of this dict each round.  Round-12 prefix (VERDICT-r11 #2) =
+    # the 12-key deferred-r6 alphabetical tail + the 3 keys added late
+    # in round 11 that have never held a driver row + the 35
+    # alphabetically-first keys of the 49-key round-7 cohort = exactly
+    # 50.  After this round every battery key holds >=1 driver row and
+    # no key's latest row predates round 7.  The 14-key r7 alphabetical
+    # tail heads the round-13 rotation, followed by the 2 queries added
+    # in round 12 (which carry local 3-SF hash evidence: sf0.001/0.01/
+    # 0.1, vanilla sessions).  Every key passes the identical local
+    # DuckDB harness regardless of driver sampling.
 
-    # --- position 1: flagship ---
-    "flagship_pricing_summary": Q.flagship_pricing_summary,
-    # --- deferred r5 tail (last driver row: round 5) ---
-    "streaming_enrich_static": Q.streaming_enrich_static,
-    "streaming_incremental_rollup": Q.streaming_incremental_rollup,
-    "streaming_late_data": Q.streaming_late_data,
-    "streaming_left_outer_join": Q.streaming_left_outer_join,
-    "streaming_upsert_latest": Q.streaming_upsert_latest,
-    "text_formats_roundtrip": Q.text_formats_roundtrip,
-    "text_winnow_arith_fingerprints": Q.text_winnow_arith_fingerprints,
-    "url_domain_blocklist": Q.url_domain_blocklist,
-    "window_funcs_battery": Q.window_funcs_battery,
-    # --- never driver-sampled (landed after the r10 prefix froze) ---
-    "dedup_incremental_minhash": Q.dedup_incremental_minhash,
-    "orc_format_roundtrip": Q.orc_format_roundtrip,
-    "streaming_dedup_incremental_minhash": Q.streaming_dedup_incremental_minhash,
-    # --- 37 stalest keys (last sampled round 6) ---
-    "ansi_try_funcs": Q.ansi_try_funcs,
-    "approx_distinct_bound_check": Q.approx_distinct_bound_check,
-    "array_hof_doc_stats": Q.array_hof_doc_stats,
-    "binned_interval_counts": Q.binned_interval_counts,
-    "bloom_decontaminate_check": Q.bloom_decontaminate_check,
-    "boilerplate_shingle_flags": Q.boilerplate_shingle_flags,
-    "bucketed_dedup_enrich_join": Q.bucketed_dedup_enrich_join,
-    "build_vocab_ids": Q.build_vocab_ids,
-    "chunk_documents_ctx": Q.chunk_documents_ctx,
-    "closest_pair_levenshtein": Q.closest_pair_levenshtein,
-    "contiguous_global_ids": Q.contiguous_global_ids,
-    "corpus_quality_report": Q.corpus_quality_report,
-    "curriculum_phases": Q.curriculum_phases,
-    "custom_sink_manifest_roundtrip": Q.custom_sink_manifest_roundtrip,
-    "datetime_funcs_events": Q.datetime_funcs_events,
-    "debounce_user_events": Q.debounce_user_events,
-    "dedup_exact_docs": Q.dedup_exact_docs,
-    "dedup_images_ahash": Q.dedup_images_ahash,
-    "dedup_invariant_check": Q.dedup_invariant_check,
-    "dedup_minhash_cc_survivors": Q.dedup_minhash_cc_survivors,
-    "embedding_outlier_screen": Q.embedding_outlier_screen,
-    "embedding_sq8_roundtrip": Q.embedding_sq8_roundtrip,
-    "export_manifest_shards": Q.export_manifest_shards,
-    "full_outer_user_reconciliation": Q.full_outer_user_reconciliation,
-    "gopher_quality_flags": Q.gopher_quality_flags,
-    "ivf_assign_cells": Q.ivf_assign_cells,
-    "knn_bruteforce": Q.knn_bruteforce,
-    "knn_pq_rerank": Q.knn_pq_rerank,
-    "multimodal_png_ahash": Q.multimodal_png_ahash,
-    "ngram_cosine_top_pairs": Q.ngram_cosine_top_pairs,
-    "percentile_approx_bound_check": Q.percentile_approx_bound_check,
-    "pipeline_curation_end_to_end": Q.pipeline_curation_end_to_end,
-    "q3_shipping_priority": Q.q3_shipping_priority,
-    "q6_forecast_revenue": Q.q6_forecast_revenue,
-    "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
-    "session_dynamic_gap": Q.session_dynamic_gap,
-    "shuffle_shards_manifest": Q.shuffle_shards_manifest,
-    # --- below the driver fold ---
-    # deferred r6 cohort (alphabetical tail; heads the r12 rotation)
+    # --- deferred r6 tail (last driver row: round 6) ---
     "streaming_funnel_conversions": Q.streaming_funnel_conversions,
     "streaming_merge_interleaved_events": Q.streaming_merge_interleaved_events,
     "streaming_session_dynamic": Q.streaming_session_dynamic,
@@ -114,13 +57,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov_rate": Q.vocab_oov_rate,
     "winsorize_event_values": Q.winsorize_event_values,
     "zorder_key_events": Q.zorder_key_events,
-    # new in round 11 (local 3-SF hash evidence; queued for the r12
-    # prefix after the deferred-r6 block)
+    # --- never driver-sampled (landed after the r11 prefix froze) ---
     "simhash_band_cap_stats": Q.simhash_band_cap_stats,
     "streaming_dedup_incremental_survivors": Q.streaming_dedup_incremental_survivors,
     "ann_incremental_semantic_dedup": Q.ann_incremental_semantic_dedup,
-    # remaining battery, staleness round ascending then alphabetical
-    # last sampled round 7
+    # --- 35 stalest keys (last sampled round 7, alphabetical head) ---
     "asof_purchase": Q.asof_purchase,
     "cartesian_ap": Q.cartesian_ap,
     "concat_ordered": Q.concat_ordered,
@@ -156,6 +97,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_nation_revenue": Q.q5_nation_revenue,
     "rollup_flag_status": Q.rollup_flag_status,
     "route_choose_counts": Q.route_choose_counts,
+    # --- below the driver fold ---
+    # deferred r7 cohort (alphabetical tail; heads the r13 rotation)
     "running_user_avg": Q.running_user_avg,
     "running_user_sum": Q.running_user_sum,
     "session_30m": Q.session_30m,
@@ -170,6 +113,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders": Q.topk_orders,
     "topn_orders_per_customer": Q.topn_orders_per_customer,
     "tumbling_hourly": Q.tumbling_hourly,
+    # new in round 12 (local 3-SF hash evidence; queued for the r13
+    # prefix after the deferred-r7 block)
+    "ann_kmeans_semantic_dedup": Q.ann_kmeans_semantic_dedup,
+    "ann_incremental_survivors": Q.ann_incremental_survivors,
+    # remaining battery, staleness round ascending then alphabetical
     # last sampled round 8
     "ann_radius_neighbors": Q.ann_radius_neighbors,
     "approx_top_tokens": Q.approx_top_tokens,
@@ -320,6 +268,58 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_corr_regression": Q.stats_corr_regression,
     "streaming_cdc_upsert": Q.streaming_cdc_upsert,
     "streaming_dedup_watermark": Q.streaming_dedup_watermark,
+    # last sampled round 11 (the r11 gate prefix, freshest)
+    "flagship_pricing_summary": Q.flagship_pricing_summary,
+    "streaming_enrich_static": Q.streaming_enrich_static,
+    "streaming_incremental_rollup": Q.streaming_incremental_rollup,
+    "streaming_late_data": Q.streaming_late_data,
+    "streaming_left_outer_join": Q.streaming_left_outer_join,
+    "streaming_upsert_latest": Q.streaming_upsert_latest,
+    "text_formats_roundtrip": Q.text_formats_roundtrip,
+    "text_winnow_arith_fingerprints": Q.text_winnow_arith_fingerprints,
+    "url_domain_blocklist": Q.url_domain_blocklist,
+    "window_funcs_battery": Q.window_funcs_battery,
+    "dedup_incremental_minhash": Q.dedup_incremental_minhash,
+    "orc_format_roundtrip": Q.orc_format_roundtrip,
+    "streaming_dedup_incremental_minhash": Q.streaming_dedup_incremental_minhash,
+    "ansi_try_funcs": Q.ansi_try_funcs,
+    "approx_distinct_bound_check": Q.approx_distinct_bound_check,
+    "array_hof_doc_stats": Q.array_hof_doc_stats,
+    "binned_interval_counts": Q.binned_interval_counts,
+    "bloom_decontaminate_check": Q.bloom_decontaminate_check,
+    "boilerplate_shingle_flags": Q.boilerplate_shingle_flags,
+    "bucketed_dedup_enrich_join": Q.bucketed_dedup_enrich_join,
+    "build_vocab_ids": Q.build_vocab_ids,
+    "chunk_documents_ctx": Q.chunk_documents_ctx,
+    "closest_pair_levenshtein": Q.closest_pair_levenshtein,
+    "contiguous_global_ids": Q.contiguous_global_ids,
+    "corpus_quality_report": Q.corpus_quality_report,
+    "curriculum_phases": Q.curriculum_phases,
+    "custom_sink_manifest_roundtrip": Q.custom_sink_manifest_roundtrip,
+    "datetime_funcs_events": Q.datetime_funcs_events,
+    "debounce_user_events": Q.debounce_user_events,
+    "dedup_exact_docs": Q.dedup_exact_docs,
+    "dedup_images_ahash": Q.dedup_images_ahash,
+    "dedup_invariant_check": Q.dedup_invariant_check,
+    "dedup_minhash_cc_survivors": Q.dedup_minhash_cc_survivors,
+    "embedding_outlier_screen": Q.embedding_outlier_screen,
+    "embedding_sq8_roundtrip": Q.embedding_sq8_roundtrip,
+    "export_manifest_shards": Q.export_manifest_shards,
+    "full_outer_user_reconciliation": Q.full_outer_user_reconciliation,
+    "gopher_quality_flags": Q.gopher_quality_flags,
+    "ivf_assign_cells": Q.ivf_assign_cells,
+    "knn_bruteforce": Q.knn_bruteforce,
+    "knn_pq_rerank": Q.knn_pq_rerank,
+    "multimodal_png_ahash": Q.multimodal_png_ahash,
+    "ngram_cosine_top_pairs": Q.ngram_cosine_top_pairs,
+    "percentile_approx_bound_check": Q.percentile_approx_bound_check,
+    "pipeline_curation_end_to_end": Q.pipeline_curation_end_to_end,
+    "q3_shipping_priority": Q.q3_shipping_priority,
+    "q6_forecast_revenue": Q.q6_forecast_revenue,
+    "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
+    "session_dynamic_gap": Q.session_dynamic_gap,
+    "shuffle_shards_manifest": Q.shuffle_shards_manifest,
+
 }
 
 

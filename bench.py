@@ -88,6 +88,8 @@ HEADLINE = [
     "simhash_band_cap_stats",         # simhash cap FIRING under the gate (r11)
     "streaming_dedup_incremental_survivors",  # survivor-anchored index policy (r11)
     "ann_incremental_semantic_dedup",  # persisted vector index screen (r11)
+    "ann_kmeans_semantic_dedup",      # trained-codebook vector index (r12)
+    "ann_incremental_survivors",      # survivor-anchored ANN appends (r12)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt

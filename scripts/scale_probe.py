@@ -612,6 +612,228 @@ def main() -> None:
         shutil.rmtree(im_dir, ignore_errors=True)
         return
 
+    if "--ann-index-age" in sys.argv:
+        # VERDICT-r11 #5: the vector-index sibling of .index_age — the
+        # cells INDEX ages 100x (20 committed epochs x 5 replica waves,
+        # the daily-ingest accumulation pattern), the ARRIVING batch is
+        # fixed.  Rows mirror the MinHash methodology exactly: bucketed
+        # at age 1x, age 100x live-20-dirs, age 100x compacted, and the
+        # LEGACY plain-parquet layout at age 100x.  Anchors are shared
+        # across every index (one codebook via kmeans_anchors_decimal
+        # on the base wave) so the within-cell screen work is identical
+        # and the rows isolate pure LAYOUT cost.  Fresh session per
+        # measurement (r9 heavy-probe discipline).
+        from tubes_spark.operators import similarity as S
+        from tubes_spark.sink import Sink, _CURRENT_EPOCH
+
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        ia_dir = os.environ.get("SCALE_PROBE_ANNAGE_DIR", "/tmp/tubes_scale_annage")
+        shutil.rmtree(ia_dir, ignore_errors=True)
+        os.makedirs(ia_dir)
+        OK = 10_000_000_000
+
+        vecs = (
+            load_table(spark, "embeddings", SF_BASE)
+            .filter(F.col("vec_id") % 4 == 0)  # 500 at sf0.1
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias(
+                    "embedding"
+                ),
+            )
+        )
+
+        def rep(d, r):
+            # offset ids and nudge one dimension per replica so stored
+            # vectors are near-dup clusters, not byte-dups
+            return d.withColumn("vec_id", F.col("vec_id") + F.lit(r * OK)).withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        i == F.lit(r % 64), x + F.lit(0.001 * (r + 1))
+                    ).otherwise(x),
+                ),
+            )
+
+        anch = S.kmeans_anchors_decimal(vecs, n_anchors=16, iters=1)
+        batch_path = f"{ia_dir}/batch.parquet"
+        (vecs.filter(F.col("vec_id") % 40 == 0)  # 50 at sf0.1
+         .withColumn("vec_id", F.col("vec_id") + F.lit(999 * OK))
+         .write.parquet(batch_path))
+
+        t0 = time.time()
+        idx1 = f"{ia_dir}/idx_age1"
+        S.write_ann_index(rep(vecs, 0), idx1, anchors=anch)
+        idx100 = f"{ia_dir}/idx_age100"
+        for e in range(20):
+            parts = [rep(vecs, 5 * e + i) for i in range(5)]
+            ep_df = parts[0]
+            for p_ in parts[1:]:
+                ep_df = ep_df.unionByName(p_)
+            S.write_ann_index(ep_df, idx100, anchors=anch, epoch=e)
+        idx100c = f"{ia_dir}/idx_age100_compacted"
+        shutil.copytree(idx100, idx100c)
+        Sink.compact_atomic_group(spark, idx100c, gc=True)
+        # legacy pre-bucketed layout at the same 100x age: plain parquet
+        # group, no _bucketspec -> incremental_ann_new takes the
+        # fallback read (shuffle on both sides)
+        idxleg = f"{ia_dir}/idx_age100_legacy"
+        all_parts = [rep(vecs, r) for r in range(100)]
+        all_df = all_parts[0]
+        for p_ in all_parts[1:]:
+            all_df = all_df.unionByName(p_)
+        cells = S._with_cell(all_df, "embedding", anch).select(
+            "vec_id", "cell", "embedding"
+        )
+        leg_sink = Sink.atomic_parquet_group(idxleg, {"cells": None})
+        tok = _CURRENT_EPOCH.set(0)
+        try:
+            leg_sink(cells)
+        finally:
+            _CURRENT_EPOCH.reset(tok)
+        shutil.copy(f"{idx1}/_anchors.parquet", f"{idxleg}/_anchors.parquet")
+        print(f"# ann-index-age build: {time.time()-t0:.1f}s", file=sys.stderr)
+
+        rows = {}
+        cal_start = calibrate(spark)
+        for tag, gdir in [("bucketed_age1", idx1),
+                          ("bucketed_age100_live20", idx100),
+                          ("bucketed_age100_compacted", idx100c),
+                          ("legacy_age100", idxleg)]:
+            spark.stop()
+            spark = get_spark("tubes_annage", shuffle_partitions=64)
+            spark.sparkContext.setLogLevel("ERROR")
+            b = spark.read.parquet(batch_path)
+            t0 = time.perf_counter()
+            S.incremental_ann_new(b, spark, gdir, threshold=0.9).count()
+            cold = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            S.incremental_ann_new(b, spark, gdir, threshold=0.9).count()
+            warm = round(time.perf_counter() - t0, 3)
+            rows[tag] = {"cold": cold, "warm": warm}
+            print(json.dumps({"ann_index_age": tag, **rows[tag]}))
+        a1, a100 = rows["bucketed_age1"], rows["bucketed_age100_compacted"]
+        payload["ann_index_age"] = {
+            "base": SF_BASE, "index_replicas": 100, "batch_rows": 50,
+            "n_anchors": 16, "results": rows,
+            "age_ratio_cold_bucketed_compacted": round(a100["cold"] / a1["cold"], 2),
+            "legacy_over_bucketed_cold": round(
+                rows["legacy_age100"]["cold"]
+                / rows["bucketed_age100_compacted"]["cold"], 2),
+            "note": "within-cell screen work grows with stored rows by "
+                    "design (the SemDeDup contract); all age-100 rows "
+                    "pay it identically, so the layout ratios isolate "
+                    "read-side fan-in. Anchor-count scaling is the "
+                    "ann_anchor_scale probe.",
+            "calibration": {"start": cal_start, "end": calibrate(spark)},
+            "run": run_id,
+        }
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        shutil.rmtree(ia_dir, ignore_errors=True)
+        return
+
+    if "--ann-anchor-scale" in sys.argv:
+        # VERDICT-r11 #1 (probe): with anchors= the cell count can now
+        # follow the corpus.  Candidate-pair law for a fixed arriving
+        # batch: pairs/row ~ N/C, so freezing C=16 at 10x corpus pays
+        # 10x pairs/row, C ~ sqrt(N) pays ~sqrt(10)x (~3.2x — the IVF
+        # sizing rule), C ~ N holds it flat.  EXACT pair counts by cell
+        # arithmetic (no screen run needed) + one wall-clock screen per
+        # config as corroboration.
+        from tubes_spark.operators import similarity as S
+
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        as_dir = os.environ.get("SCALE_PROBE_ANNSC_DIR", "/tmp/tubes_scale_annsc")
+        OK = 10_000_000_000
+
+        base = load_table(spark, "embeddings", SF_BASE).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+
+        def rep(d, r):
+            return d.withColumn("vec_id", F.col("vec_id") + F.lit(r * OK)).withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        i == F.lit(r % 64), x + F.lit(0.001 * (r + 1))
+                    ).otherwise(x),
+                ),
+            )
+
+        big = rep(base, 0)
+        for r in range(1, 10):
+            big = big.unionByName(rep(base, r))
+        big = big.localCheckpoint(eager=True)  # 10x corpus, built once
+        batch = base.filter(F.col("vec_id") % 40 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(999 * OK)
+        ).localCheckpoint(eager=True)
+
+        def pair_stats(corpus, n_anchors, tag, train_iters=1):
+            t0 = time.perf_counter()
+            anch = S.kmeans_anchors_decimal(
+                corpus, n_anchors=n_anchors, iters=train_iters
+            )
+            train_s = round(time.perf_counter() - t0, 3)
+            stored = (
+                S._with_cell(corpus, "embedding", anch)
+                .groupBy("cell").count().withColumnRenamed("count", "ns")
+            )
+            arriving = (
+                S._with_cell(batch, "embedding", anch)
+                .groupBy("cell").count().withColumnRenamed("count", "nb")
+            )
+            pairs = (
+                stored.join(arriving, "cell")
+                .select(F.sum(F.col("ns") * F.col("nb")).alias("p"))
+                .collect()[0]["p"]
+            ) or 0
+            nb = batch.count()
+            # corroborating wall-clock: one real screen over a fresh index
+            shutil.rmtree(as_dir, ignore_errors=True)
+            S.write_ann_index(corpus, as_dir, anchors=anch)
+            t0 = time.perf_counter()
+            S.incremental_ann_new(batch, spark, as_dir, threshold=0.9).count()
+            screen_s = round(time.perf_counter() - t0, 3)
+            shutil.rmtree(as_dir, ignore_errors=True)
+            row = {
+                "n_anchors": n_anchors, "pairs": int(pairs),
+                "pairs_per_batch_row": round(pairs / nb, 1),
+                "train_sec": train_s, "screen_sec": screen_s,
+            }
+            print(json.dumps({"ann_anchor_scale": tag, **row}))
+            return row
+
+        cal_start = calibrate(spark)
+        rows = {
+            "base_16": pair_stats(base, 16, "base_16"),
+            "x10_frozen_16": pair_stats(big, 16, "x10_frozen_16"),
+            "x10_sqrt_51": pair_stats(big, 51, "x10_sqrt_51"),
+            "x10_linear_160": pair_stats(big, 160, "x10_linear_160"),
+        }
+        ppr = lambda k: rows[k]["pairs_per_batch_row"]
+        payload["ann_anchor_scale"] = {
+            "base": SF_BASE, "corpus_x": 10,
+            "results": rows,
+            "pairs_per_row_growth": {
+                "frozen_16": round(ppr("x10_frozen_16") / ppr("base_16"), 2),
+                "sqrt_51": round(ppr("x10_sqrt_51") / ppr("base_16"), 2),
+                "linear_160": round(ppr("x10_linear_160") / ppr("base_16"), 2),
+            },
+            "law": "pairs/row ~ N/C: frozen anchors pay ~10x at 10x "
+                   "corpus, C~sqrt(N) pays ~sqrt(10), C~N stays flat",
+            "calibration": {"start": cal_start, "end": calibrate(spark)},
+            "run": run_id,
+        }
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        return
+
     if "--ppjoin-mixed" in sys.argv:
         # VERDICT-r10 #5: the x100 jaccard synth is all-true-near-dups,
         # where PPJoin's length/positional filters structurally cannot

@@ -106,29 +106,24 @@ def test_minhash_band_cap_noop_on_unskewed_corpus(spark):
 
 def test_gate_prefix_leads_with_never_sampled_keys():
     """The driver's correctness gate samples the FIRST 50 dict keys;
-    round-11's contract (VERDICT-r10 #2) is flagship first, then the
-    9-key deferred-r5 tail, then the 3 keys added late in round 10
-    that have never held a driver row, then 37 round-6-stale keys.
-    Pin the ordering so an accidental dict edit can't silently
-    reshuffle the gate plan."""
+    round-12's contract (VERDICT-r11 #2) is the 12-key deferred-r6
+    alphabetical tail, then the 3 keys added late in round 11 that
+    have never held a driver row, then the 35 alphabetically-first
+    round-7-stale keys.  Pin the ordering so an accidental dict edit
+    can't silently reshuffle the gate plan."""
     import __spark_entry__ as E
 
     keys = list(E.queries())
-    assert keys[0] == "flagship_pricing_summary"
-    assert keys[1:13] == [
-        "streaming_enrich_static",
-        "streaming_incremental_rollup",
-        "streaming_late_data",
-        "streaming_left_outer_join",
-        "streaming_upsert_latest",
-        "text_formats_roundtrip",
-        "text_winnow_arith_fingerprints",
-        "url_domain_blocklist",
-        "window_funcs_battery",
-        "dedup_incremental_minhash",
-        "orc_format_roundtrip",
-        "streaming_dedup_incremental_minhash",
+    assert keys[0] == "streaming_funnel_conversions"
+    assert keys[11] == "zorder_key_events"
+    assert keys[12:15] == [
+        "simhash_band_cap_stats",
+        "streaming_dedup_incremental_survivors",
+        "ann_incremental_semantic_dedup",
     ]
+    assert keys[15] == "asof_purchase"  # r7 cohort, alphabetical head
+    assert keys[49] == "route_choose_counts"  # 35th r7 key closes the gate
+    assert keys[50] == "running_user_avg"  # r7 tail heads the r13 rotation
     assert len(set(keys[:50])) == 50
 
 

@@ -823,6 +823,13 @@ def incremental_minhash_new(
 
     from tubes_spark.sink import _CURRENT_EPOCH, Sink
 
+    # argument contract first (ADVICE r11) — a guaranteed-invalid call
+    # must not pay the eager signature checkpoint below
+    if compact_after is not None and not update_index:
+        raise ValueError("compact_after requires update_index=True")
+    if append_scope not in ("all", "survivors"):
+        raise ValueError(f"unknown append_scope {append_scope!r}")
+
     ab = arith_minhash_bands(
         arriving, text_col, id_col, shingle_k, num_hashes, bands
     ).localCheckpoint(eager=True)
@@ -830,24 +837,21 @@ def incremental_minhash_new(
     if spec is not None:
         epochs, k, kname = Sink._committed_epochs(group_dir)
         sides = []
-        if k is not None:
-            sides.append(
-                Sink._read_bucketed_dir(
-                    spark,
-                    f"{group_dir}/bands/compact/{kname}",
-                    spec["cols"],
-                    spec["n"],
+        dirs = (
+            [f"{group_dir}/bands/compact/{kname}"] if k is not None else []
+        ) + [
+            f"{group_dir}/bands/data/epoch={e}"
+            for e in epochs
+            if k is None or e > k
+        ]
+        for d in dirs:
+            # a survivors append can commit an EMPTY epoch (zero part
+            # files — nothing survived); it contributes no band rows and
+            # has no footer to register a table from, so skip it
+            if Sink._has_parquet(d):
+                sides.append(
+                    Sink._read_bucketed_dir(spark, d, spec["cols"], spec["n"])
                 )
-            )
-        for e in [e for e in epochs if k is None or e > k]:
-            sides.append(
-                Sink._read_bucketed_dir(
-                    spark,
-                    f"{group_dir}/bands/data/epoch={e}",
-                    spec["cols"],
-                    spec["n"],
-                )
-            )
         if sides:
             dups = [
                 ab.join(s.select("band", "key"), ["band", "key"], "left_semi")
@@ -861,11 +865,7 @@ def incremental_minhash_new(
         idx = Sink.read_atomic_group(spark, group_dir, "bands").select("band", "key")
         dup = ab.join(idx, ["band", "key"], "left_semi").select(id_col).distinct()
     out = arriving.join(dup, id_col, "left_anti")
-    if compact_after is not None and not update_index:
-        raise ValueError("compact_after requires update_index=True")
     if update_index:
-        if append_scope not in ("all", "survivors"):
-            raise ValueError(f"unknown append_scope {append_scope!r}")
         epochs, _, _ = Sink._committed_epochs(group_dir)
         src = (
             ab

@@ -767,7 +767,7 @@ def knn_pq_adc(
 
 # --------------------------------------------- persisted incremental ANN index
 
-def _anchor_cos(vec_col: Column, anchor: "list[float]") -> Column:
+def _anchor_cos(vec_col: Column, anchor: "list[float]", nv: "Column | None" = None) -> Column:
     """Cosine of an array column against one literal anchor, computed as
     a SEQUENTIAL left fold over the dims in index order (F.aggregate) —
     the same summation order DuckDB's list_sum(list_transform(...))
@@ -776,28 +776,176 @@ def _anchor_cos(vec_col: Column, anchor: "list[float]") -> Column:
     the value-hash oracle gate.  Interpreted higher-order lambdas are
     ~100x slower than a matmul (module docstring) — acceptable here
     because the anchor set is small by construction (|anchors| literal
-    expressions per row, no shuffle, no Python)."""
+    expressions per row, no shuffle, no Python).
+
+    ``nv``: a precomputed ``norm(vec_col)`` column (ADVICE r11 — the
+    norm is an interpreted O(dims) fold; recomputing it once per anchor
+    inside the argmax made cell assignment pay |anchors| redundant
+    folds per row).  The division tree is unchanged — ``d / (nv * na)``
+    — so the double result, and every oracle gate built on it, is
+    bit-identical whether the norm is shared or inlined."""
     a = F.array(*[F.lit(float(v)) for v in anchor])
     d = dot(vec_col, a)
     na = float(sum(v * v for v in anchor)) ** 0.5
-    return d / (norm(vec_col) * F.lit(na))
+    if nv is None:
+        nv = norm(vec_col)
+    return d / (nv * F.lit(na))
 
 
-def _cell_expr(vec_col: Column, anchors: "list[list[float]]") -> Column:
+def _cell_expr(
+    vec_col: Column, anchors: "list[list[float]]", nv: "Column | None" = None
+) -> Column:
     """argmax-cosine cell id as a pure per-row expression (zero shuffle,
     whole-stage codegen): first index of the max score, so ties break
     toward the smallest anchor id — mirrored by the oracle's
-    row_number() ORDER BY cos DESC, aid ASC."""
-    scores = F.array(*[_anchor_cos(vec_col, a) for a in anchors])
+    row_number() ORDER BY cos DESC, aid ASC.  Pass ``nv`` (see
+    :func:`_anchor_cos`) to share one batch-side norm across all
+    |anchors| scores; :func:`_with_cell` does this automatically."""
+    scores = F.array(*[_anchor_cos(vec_col, a, nv=nv) for a in anchors])
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _with_cell(
+    df: DataFrame, vec_col: str, anchors: "list[list[float]]", out_col: str = "cell"
+) -> DataFrame:
+    """``df`` + an anchor-argmax ``cell`` column with the vector norm
+    HOISTED into its own projection, so the interpreted O(dims) norm
+    fold runs once per row instead of once per anchor (ADVICE r11).
+    Catalyst keeps the two projections separate — CollapseProject
+    refuses to inline a non-cheap alias referenced |anchors| times —
+    which tests/test_round12.py pins by counting fold expressions in
+    the optimized plan.  Values are bit-identical to the inline form
+    (same division tree), so every oracle gate is untouched."""
+    return (
+        df.withColumn("__nv__", norm(F.col(vec_col)))
+        .withColumn(out_col, _cell_expr(F.col(vec_col), anchors, nv=F.col("__nv__")))
+        .drop("__nv__")
+    )
+
+
 def _read_anchors(group_dir: str) -> "list[list[float]]":
+    """Published anchors, with crash recovery (ADVICE r11): anchors are
+    staged to ``.tmp._anchors.parquet`` BEFORE the bootstrap epoch
+    commits and renamed into place only AFTER — so durable anchors can
+    never describe cells no reader saw.  A crash in the window between
+    the epoch commit and the rename leaves a committed epoch whose
+    staged anchors just need the rename finished, which any later
+    reader/writer does here; a committed index with NEITHER file is
+    corrupt and refuses loudly rather than silently re-deriving anchors
+    from a different batch (which would orphan every stored cell row)."""
+    import os
+
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{group_dir}/_anchors.parquet")
+    from tubes_spark.sink import Sink
+
+    final = f"{group_dir}/_anchors.parquet"
+    tmp = f"{group_dir}/.tmp._anchors.parquet"
+    if not os.path.exists(final):
+        epochs, _, _ = Sink._committed_epochs(group_dir)
+        if not epochs:
+            raise FileNotFoundError(final)
+        if not os.path.exists(tmp):
+            raise ValueError(
+                f"ANN index {group_dir} has committed epochs but no anchor "
+                "record (neither published nor staged) — the index is "
+                "unreadable; rebuild it rather than re-deriving anchors, "
+                "which would silently reassign every stored cell"
+            )
+        os.replace(tmp, final)  # finish the interrupted publish
+    t = pq.read_table(final)
     rows = sorted(zip(t["aid"].to_pylist(), t["vec"].to_pylist()))
     return [[float(x) for x in vec] for _, vec in rows]
+
+
+def _stage_anchors(group_dir: str, anchors: "list[list[float]]") -> str:
+    """Write the anchor table to the deterministic staging name (NOT
+    yet visible to :func:`_read_anchors` — readers only recover a
+    staged file once an epoch has committed)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(group_dir, exist_ok=True)
+    t = pa.table({
+        "aid": list(range(len(anchors))),
+        "vec": [[float(x) for x in a] for a in anchors],
+    })
+    scratch = f"{group_dir}/..writing._anchors.parquet"
+    pq.write_table(t, scratch)
+    os.replace(scratch, f"{group_dir}/.tmp._anchors.parquet")
+    return f"{group_dir}/.tmp._anchors.parquet"
+
+
+def kmeans_anchors_decimal(
+    batch: DataFrame,
+    n_anchors: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> "list[list[float]]":
+    """Spherical k-means whose trained centroids BOTH engines re-derive
+    bit-identically — the anchor-lifecycle answer for the persisted
+    vector index (VERDICT r11 #1): a real codebook, still under the
+    full DuckDB value-hash gate.
+
+    Why it is exact across engines: every step is either (a) the
+    ordered-fold cosine argmax already proven bit-identical by the
+    anchor-cell gates (assignment; ties break toward the smaller
+    anchor id, like the oracle's ``ORDER BY cos DESC, aid ASC``), or
+    (b) ORDER-FREE integer arithmetic (update): components quantize to
+    ``q = floor(x * scale + 0.5)`` BIGINTs, the per-(cell, dim) sum of
+    BIGINTs is exact regardless of partial-aggregation order, and the
+    rounded mean ``floor((2*sum + cnt) / (2*cnt))`` (half-up, computed
+    in doubles that stay well inside 2^53) is one deterministic IEEE
+    division.  The centroid component is ``q_mean / scale`` — the same
+    double on any engine.  Cosine assignment is scale-invariant, so
+    skipping centroid normalization IS spherical k-means (the
+    normalized mean points the same way as the mean).
+
+    Init: the ``n_anchors`` smallest-``id_col`` vectors (the same rule
+    the untrained bootstrap uses); an iteration's empty cell keeps its
+    previous centroid.  Distributed shape per iteration: one corpus
+    scan assigning cells (|anchors| fold cosines sharing one hoisted
+    norm, no Python), ``posexplode`` + one grouped BIGINT sum (partial
+    map-side), and only the (n_anchors x dims) centroid table reaches
+    the driver.  At 100 TB run it on a bounded hash-sample of the
+    corpus (``_hash_sample``) — centroid quality needs a sample,
+    assignment stays full-corpus."""
+    import math
+
+    head = (
+        batch.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_anchors)
+        .collect()
+    )
+    cent: "list[list[float]]" = [[float(x) for x in r[vec_col]] for r in head]
+    if not cent:
+        return cent
+    dims = len(cent[0])
+    for _ in range(int(iters)):
+        assigned = _with_cell(batch.select(vec_col), vec_col, cent)
+        q = F.floor(F.col("x").cast("double") * F.lit(float(scale)) + F.lit(0.5))
+        sums = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .withColumn("q", q.cast("long"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new = [list(a) for a in cent]
+        for r in sums:
+            qm = float(
+                math.floor((2.0 * float(r["s"]) + float(r["c"])) / (2.0 * float(r["c"])))
+            )
+            new[int(r["cell"])][int(r["pos"])] = qm / float(scale)
+        # cells with no members never appear in `sums` -> keep previous
+        cent = new
+        assert all(len(a) == dims for a in cent)
+    return cent
 
 
 def write_ann_index(
@@ -808,6 +956,7 @@ def write_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_buckets: "int | None" = None,
+    anchors: "list[list[float]] | None" = None,
 ) -> None:
     """Bootstrap (or extend) a PERSISTED vector index as an atomic
     bucketed parquet group — the embedding-space sibling of
@@ -818,48 +967,68 @@ def write_ann_index(
     lists) so no later run ever re-reads or re-embeds the original
     corpus.
 
-    Anchors (cell seeds) are fixed at bootstrap as the ``n_anchors``
-    smallest-``id_col`` vectors of the first batch — deterministic and
-    SQL-reproducible, which keeps every later cell assignment under
-    the DuckDB value-hash gate (at 100 TB swap in k-means centroids
-    via ``kmeans_train_distributed``; assignment, layout, and
-    maintenance are unchanged).  They are published once as a tiny
-    ``_anchors.parquet`` beside the group markers (tmp+rename, like
-    ``_bucketspec.json``) and are immutable for the index's lifetime —
+    Anchors (cell seeds) are fixed at bootstrap.  Pass ``anchors=`` to
+    seed the cells with a TRAINED codebook — the intended 100 TB path:
+    ``kmeans_anchors_decimal`` (decimal-exact spherical k-means whose
+    centroids both engines re-derive bit-identically, so the whole
+    index stays under the DuckDB value-hash gate) or
+    ``kmeans_train_distributed`` (float centroids; recall/contract
+    gates instead).  Grow ``len(anchors)`` ~ sqrt(corpus) at scale so
+    inverted lists — and the within-cell quadratic screen — stay flat;
+    SCALE_PROBE ``ann_anchor_scale`` measures exactly this.  Without
+    ``anchors=`` the bootstrap falls back to the ``n_anchors``
+    smallest-``id_col`` vectors of the first batch (deterministic,
+    SQL-reproducible, fine for bounded corpora).
+
+    Publish ordering (ADVICE r11): anchors are STAGED before the
+    bootstrap epoch is written and renamed to ``_anchors.parquet``
+    only after the epoch's group commit marker lands — mirroring how
+    the marker gates data visibility, so a crash can never leave
+    durable anchors derived from a batch no reader ever saw.  A replay
+    of an already-committed bootstrap epoch reuses the recorded
+    anchors (recovering a staged file if the publish itself crashed)
+    rather than re-deriving them from the replay batch.  Once
+    published they are immutable for the index's lifetime —
     reassigning cells would orphan every stored row.
 
     Scale shape: cell assignment is |anchors| expression-level cosines
-    per row (no shuffle, no Python); the bucketed write is the only
-    shuffle.  Cell count bounds the within-cell quadratic screen —
-    pick n_anchors ~ sqrt(corpus) at scale so inverted lists stay
-    bounded, exactly the IVF sizing rule."""
+    per row sharing ONE hoisted norm fold (no shuffle, no Python); the
+    bucketed write is the only shuffle."""
     import os
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from tubes_spark.sink import _CURRENT_EPOCH, Sink
 
-    if not os.path.exists(f"{group_dir}/_anchors.parquet"):
-        head = (
-            batch.select(id_col, vec_col)
-            .orderBy(F.col(id_col).asc())
-            .limit(n_anchors)
-            .collect()
-        )
-        os.makedirs(group_dir, exist_ok=True)
-        t = pa.table({
-            "aid": list(range(len(head))),
-            "vec": [[float(x) for x in r[vec_col]] for r in head],
-        })
-        pq.write_table(t, f"{group_dir}/.tmp._anchors.parquet")
-        os.replace(
-            f"{group_dir}/.tmp._anchors.parquet", f"{group_dir}/_anchors.parquet"
-        )
-    anchors = _read_anchors(group_dir)
-    cells = batch.select(
-        F.col(id_col), _cell_expr(F.col(vec_col), anchors).alias("cell"), F.col(vec_col)
-    )
+    final = f"{group_dir}/_anchors.parquet"
+    tmp = f"{group_dir}/.tmp._anchors.parquet"
+    epochs_before, _, _ = Sink._committed_epochs(group_dir)
+    if os.path.exists(final) or epochs_before:
+        # established index (or interrupted publish): recorded anchors win
+        cell_anchors = _read_anchors(group_dir)
+        if anchors is not None:
+            passed = [[float(x) for x in a] for a in anchors]
+            if passed != cell_anchors:
+                # like a _bucketspec mismatch: silently re-seeding would
+                # orphan every stored cell row
+                raise ValueError(
+                    f"ANN index {group_dir} already has a published anchor "
+                    "codebook; anchors are immutable for the index's "
+                    "lifetime (rebuild the index to re-seed)"
+                )
+    else:
+        if anchors is not None:
+            cell_anchors = [[float(x) for x in a] for a in anchors]
+        else:
+            head = (
+                batch.select(id_col, vec_col)
+                .orderBy(F.col(id_col).asc())
+                .limit(n_anchors)
+                .collect()
+            )
+            cell_anchors = [[float(x) for x in r[vec_col]] for r in head]
+        _stage_anchors(group_dir, cell_anchors)
+    cells = _with_cell(
+        batch.select(id_col, vec_col), vec_col, cell_anchors
+    ).select(id_col, "cell", vec_col)
     spec = Sink._bucket_spec(group_dir)
     if spec is None:
         if n_buckets is None:
@@ -872,6 +1041,8 @@ def write_ann_index(
         sink(cells)
     finally:
         _CURRENT_EPOCH.reset(token)
+    if not os.path.exists(final) and os.path.exists(tmp):
+        os.replace(tmp, final)  # publish point: epoch committed above
 
 
 def incremental_ann_new(
@@ -882,6 +1053,7 @@ def incremental_ann_new(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     update_index: bool = False,
+    append_scope: str = "all",
     compact_after: "int | None" = None,
 ) -> DataFrame:
     """Arriving-batch SEMANTIC near-dup screen against the persisted
@@ -906,33 +1078,56 @@ def incremental_ann_new(
     Cosines fold dims in index order (``_anchor_cos``), so every
     comparison here is bit-identical to the DuckDB oracle's.
 
-    ``update_index=True`` appends ALL arriving vectors' cell rows as
-    the next committed epoch (the greedy-ingest "all" contract of
-    ``dedup.incremental_minhash_new``, and the same maintenance knobs:
-    ``compact_after=K`` consolidates + gc's once K epochs accumulate
-    past the compaction point — cells-leaf rows are unique per vector,
-    so no key-dedupe applies)."""
+    ``update_index=True`` appends the arriving vectors' cell rows as
+    the next committed epoch.  ``append_scope`` picks the anchoring
+    contract, mirroring ``dedup.incremental_minhash_new`` exactly:
+    ``"all"`` (default) stores EVERY arriving vector — including ones
+    this call just flagged as near-dups — so a later vector is
+    rejected for resembling either a kept representative or a prior
+    rejected variant (greedy-ingest transitive rejection);
+    ``"survivors"`` stores only vectors this call found NEW
+    (``is_new``), so later arrivals are screened only against what was
+    actually ingested — the index stays smaller on dup-heavy streams,
+    at the cost of re-admitting a drifted variant of a rejected vector
+    (r12: the two policies genuinely disagree on drifted-variant
+    chains; tests pin a disagreement case).  Maintenance knobs are
+    shared: ``compact_after=K`` consolidates + gc's once K epochs
+    accumulate past the compaction point — cells-leaf rows are unique
+    per vector, so no key-dedupe applies."""
     import functools
 
     from tubes_spark.sink import _CURRENT_EPOCH, Sink
 
+    # argument contract first (ADVICE r11) — a guaranteed-invalid call
+    # must not pay the eager checkpoint / dir resolution below
+    if compact_after is not None and not update_index:
+        raise ValueError("compact_after requires update_index=True")
+    if append_scope not in ("all", "survivors"):
+        raise ValueError(f"unknown append_scope {append_scope!r}")
+
     anchors = _read_anchors(group_dir)
-    ab = arriving.select(
-        F.col(id_col), F.col(vec_col),
-        _cell_expr(F.col(vec_col), anchors).alias("cell"),
+    ab = _with_cell(
+        arriving.select(id_col, vec_col), vec_col, anchors
     ).localCheckpoint(eager=True)
     spec = Sink._bucket_spec(group_dir)
     epochs, k, kname = Sink._committed_epochs(group_dir)
     sides = []
     if spec is not None:
-        if k is not None:
-            sides.append(Sink._read_bucketed_dir(
-                spark, f"{group_dir}/cells/compact/{kname}", spec["cols"], spec["n"]
-            ))
-        for e in [e for e in epochs if k is None or e > k]:
-            sides.append(Sink._read_bucketed_dir(
-                spark, f"{group_dir}/cells/data/epoch={e}", spec["cols"], spec["n"]
-            ))
+        dirs = (
+            [f"{group_dir}/cells/compact/{kname}"] if k is not None else []
+        ) + [
+            f"{group_dir}/cells/data/epoch={e}"
+            for e in epochs
+            if k is None or e > k
+        ]
+        for d in dirs:
+            # a survivors append can commit an EMPTY epoch (zero part
+            # files — nothing survived); it contributes no rows and has
+            # no footer to register a table from, so skip it
+            if Sink._has_parquet(d):
+                sides.append(
+                    Sink._read_bucketed_dir(spark, d, spec["cols"], spec["n"])
+                )
     else:  # legacy plain layout
         sides = [Sink.read_atomic_group(spark, group_dir, "cells")]
     sim = cosine(F.col(f"a.{vec_col}"), F.col(f"s.{vec_col}"))
@@ -972,9 +1167,11 @@ def incremental_ann_new(
             F.round("__best__", 6).alias("best_sim"),
         )
     )
-    if compact_after is not None and not update_index:
-        raise ValueError("compact_after requires update_index=True")
     if update_index:
+        src = ab
+        if append_scope == "survivors":
+            # only vectors this call found NEW anchor future screens
+            src = ab.join(hits.select(id_col), id_col, "left_anti")
         sink = (
             Sink.atomic_bucketed_group(group_dir, "cells", spec["cols"], spec["n"])
             if spec is not None
@@ -982,7 +1179,7 @@ def incremental_ann_new(
         )
         token = _CURRENT_EPOCH.set((max(epochs) if epochs else -1) + 1)
         try:
-            sink(ab.select(id_col, "cell", vec_col))
+            sink(src.select(id_col, "cell", vec_col))
         finally:
             _CURRENT_EPOCH.reset(token)
         if compact_after is not None:

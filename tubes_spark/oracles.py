@@ -4612,3 +4612,178 @@ SELECT c.vec_id, c.slice, c.cell,
        h.best_sim
 FROM cells c LEFT JOIN hits h USING (vec_id)
 """
+
+
+def _ann_kmeans_iter(prev: str, out: str) -> str:
+    """One decimal-exact spherical k-means iteration as SQL CTEs,
+    mirroring ``similarity.kmeans_anchors_decimal`` step for step:
+    assignment is the ordered-fold cosine argmax (ties -> smaller aid,
+    like every anchor-cell oracle), the update quantizes components to
+    1e-6 BIGINTs (exact order-free sums) and takes the half-up rounded
+    integer mean in one deterministic double division, and an empty
+    cell keeps its previous centroid via the LEFT JOIN + COALESCE."""
+    return f"""
+asg_{out} AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT s0.vec_id, s0.v, {prev}.aid,
+      row_number() OVER (PARTITION BY s0.vec_id
+        ORDER BY {_ANN_COS.format(a="s0.v", b=f"{prev}.av")} DESC,
+                 {prev}.aid ASC) AS rn
+    FROM s0 CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+upd_{out} AS (
+  SELECT cell AS aid, pos,
+    CAST(floor((2*CAST(sum(q) AS DOUBLE) + CAST(count(*) AS DOUBLE))
+         / (2*CAST(count(*) AS DOUBLE))) AS BIGINT) AS nq
+  FROM (
+    SELECT cell, i AS pos, CAST(floor(v[i] * 1000000.0 + 0.5) AS BIGINT) AS q
+    FROM asg_{out}, range(1, 65) t(i)
+  ) GROUP BY cell, pos
+),
+updl_{out} AS (
+  SELECT aid, list(CAST(nq AS DOUBLE) / 1000000.0 ORDER BY pos) AS av
+  FROM upd_{out} GROUP BY aid
+),
+{out} AS (
+  SELECT p.aid, COALESCE(u.av, p.av) AS av
+  FROM {prev} p LEFT JOIN updl_{out} u USING (aid)
+)"""
+
+
+# Trained-codebook vector index: the oracle re-derives the 2-iteration
+# decimal k-means anchors bit-identically (see _ann_kmeans_iter), then
+# replays the same 3-slice incremental screen as the untrained sibling.
+# compact_after=1 on the Spark side is invisible here by design —
+# compaction preserves the cell-row set, which is exactly the invariant
+# this gate now enforces every round (VERDICT r11 #3).
+ORACLES["ann_kmeans_semantic_dedup"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+b AS (
+  SELECT vec_id, CAST(vec_id % 3 AS INTEGER) AS slice,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM base
+),
+s0 AS (SELECT vec_id, v FROM b WHERE slice = 0),
+a0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM s0 ORDER BY vec_id LIMIT 16)
+),{_ann_kmeans_iter("a0", "a1")},{_ann_kmeans_iter("a1", "a2")},
+cells AS (
+  SELECT vec_id, slice, v, aid AS cell FROM (
+    SELECT b.vec_id, b.slice, b.v, a2.aid,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_ANN_COS.format(a="b.v", b="a2.av")} DESC, a2.aid ASC
+      ) AS rn
+    FROM b CROSS JOIN a2
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT n.vec_id, {_ANN_COS.format(a="n.v", b="p.v")} AS ps
+  FROM cells n JOIN cells p ON p.cell = n.cell AND p.slice < n.slice
+),
+hits AS (
+  SELECT vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM pairs WHERE ps >= 0.9 GROUP BY vec_id
+)
+SELECT c.vec_id, c.slice, c.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits,
+       h.best_sim
+FROM cells c LEFT JOIN hits h USING (vec_id)
+"""
+
+
+# Survivor-anchored ANN appends: the oracle unrolls the survivor
+# recursion exactly one level — slice 1 screens against slice 0 (the
+# whole bootstrapped index), slice 2 screens against slice 0 plus the
+# slice-1 rows that had NO hit (the only rows the survivors policy
+# appended).  The drift arithmetic (x + t*y per dim) is two IEEE double
+# ops reproduced verbatim, so the full ledger is value-hash-exact.
+ORACLES["ann_incremental_survivors"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+anch AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+xy AS (
+  SELECT x.vec_id, x.v AS xv, y.v AS yv
+  FROM e x JOIN e y ON y.vec_id = x.vec_id + 1
+  WHERE x.vec_id % 7 = 0
+),
+s1 AS (
+  SELECT vec_id + 200000 AS vec_id,
+         list_transform(range(1, 65),
+                        i -> xv[i] + CAST(0.25 AS DOUBLE) * yv[i]) AS v
+  FROM xy
+),
+s2 AS (
+  SELECT vec_id + 300000 AS vec_id,
+         list_transform(range(1, 65),
+                        i -> xv[i] + CAST(0.55 AS DOUBLE) * yv[i]) AS v
+  FROM xy
+),
+cell0 AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT e.vec_id, e.v, anch.aid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_ANN_COS.format(a="e.v", b="anch.av")} DESC, anch.aid ASC) AS rn
+    FROM e CROSS JOIN anch
+  ) WHERE rn = 1
+),
+cell1 AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT s1.vec_id, s1.v, anch.aid,
+      row_number() OVER (PARTITION BY s1.vec_id
+        ORDER BY {_ANN_COS.format(a="s1.v", b="anch.av")} DESC, anch.aid ASC) AS rn
+    FROM s1 CROSS JOIN anch
+  ) WHERE rn = 1
+),
+cell2 AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT s2.vec_id, s2.v, anch.aid,
+      row_number() OVER (PARTITION BY s2.vec_id
+        ORDER BY {_ANN_COS.format(a="s2.v", b="anch.av")} DESC, anch.aid ASC) AS rn
+    FROM s2 CROSS JOIN anch
+  ) WHERE rn = 1
+),
+hits1 AS (
+  SELECT vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM (
+    SELECT n.vec_id, {_ANN_COS.format(a="n.v", b="p.v")} AS ps
+    FROM cell1 n JOIN cell0 p ON p.cell = n.cell
+  ) WHERE ps >= 0.9 GROUP BY vec_id
+),
+idx2 AS (
+  SELECT vec_id, v, cell FROM cell0
+  UNION ALL
+  SELECT c.vec_id, c.v, c.cell FROM cell1 c
+  LEFT JOIN hits1 h ON c.vec_id = h.vec_id WHERE h.vec_id IS NULL
+),
+hits2 AS (
+  SELECT vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM (
+    SELECT n.vec_id, {_ANN_COS.format(a="n.v", b="p.v")} AS ps
+    FROM cell2 n JOIN idx2 p ON p.cell = n.cell
+  ) WHERE ps >= 0.9 GROUP BY vec_id
+)
+SELECT c.vec_id, CAST(1 AS INTEGER) AS slice, c.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits, h.best_sim
+FROM cell1 c LEFT JOIN hits1 h USING (vec_id)
+UNION ALL
+SELECT c.vec_id, CAST(2 AS INTEGER) AS slice, c.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits, h.best_sim
+FROM cell2 c LEFT JOIN hits2 h USING (vec_id)
+"""

@@ -332,6 +332,23 @@ class Sink:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # external: files stay
 
     @staticmethod
+    def _has_parquet(path: str) -> bool:
+        """True iff the directory holds at least one parquet data file.
+        A committed epoch CAN be legitimately empty — a
+        ``append_scope="survivors"`` batch where every arrival was
+        rejected appends zero rows, and a bucketed write of an empty
+        frame emits no part files — and an empty dir has no footer to
+        infer a schema from, so readers must skip it (r12; the row set
+        it contributes is empty either way)."""
+        from pathlib import Path
+
+        p = Path(path)
+        return p.is_dir() and any(
+            f.name.endswith(".parquet") and not f.name.startswith((".", "_"))
+            for f in p.iterdir()
+        )
+
+    @staticmethod
     def _read_bucketed_dir(
         spark, path: str, cols: "Sequence[str]", n: int
     ) -> DataFrame:
@@ -490,7 +507,10 @@ class Sink:
                 per_file.append(
                     set(_pq.ParquetFile(str(f)).schema_arrow.names) - {"epoch"}
                 )
-            if not per_file:  # non-local path or no files: single footer
+            if not per_file:
+                if Path(s).is_dir() and not Sink._has_parquet(s):
+                    continue  # legitimately empty epoch (survivors append)
+                # non-local path: single footer
                 per_file = [set(spark.read.parquet(s).schema.names) - {"epoch"}]
             union = set().union(*per_file)
             inter = set.intersection(*per_file)
@@ -610,16 +630,25 @@ class Sink:
             mtmp.write_text(new_dir)
             os.replace(mtmp, marker_dir / str(k))  # the group-wide switch point
         if gc:
+            def _drop_dir(path: str) -> None:
+                # ADVICE r11: readers register path-hashed external
+                # bucketed tables over these dirs; a gc'd dir's entry
+                # would otherwise outlive it for the whole session,
+                # accumulating one stale catalog row per compaction of
+                # a long-lived stream.  Recoverable by name, so drop.
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {Sink._bucket_table_name(path)}"
+                )
+                _shutil.rmtree(path, ignore_errors=True)
+
             for name in leaves:
                 for e in epochs:
-                    _shutil.rmtree(
-                        f"{group_dir}/{name}/data/epoch={e}", ignore_errors=True
-                    )
+                    _drop_dir(f"{group_dir}/{name}/data/epoch={e}")
                 cdir = Path(f"{group_dir}/{name}/compact")
                 if cdir.exists():
                     for p in cdir.iterdir():
                         if p.name != new_dir:  # dead tmp/torn/superseded dirs
-                            _shutil.rmtree(p, ignore_errors=True)
+                            _drop_dir(str(p))
         return k
 
     @staticmethod
