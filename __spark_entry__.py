@@ -117,6 +117,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # prefix after the deferred-r7 block)
     "ann_kmeans_semantic_dedup": Q.ann_kmeans_semantic_dedup,
     "ann_incremental_survivors": Q.ann_incremental_survivors,
+    "ann_nprobe_boundary_recall": Q.ann_nprobe_boundary_recall,
     # remaining battery, staleness round ascending then alphabetical
     # last sampled round 8
     "ann_radius_neighbors": Q.ann_radius_neighbors,

@@ -634,8 +634,7 @@ def main() -> None:
         OK = 10_000_000_000
 
         vecs = (
-            load_table(spark, "embeddings", SF_BASE)
-            .filter(F.col("vec_id") % 4 == 0)  # 500 at sf0.1
+            load_table(spark, "embeddings", SF_BASE)  # 2000 at sf0.1
             .select(
                 "vec_id",
                 F.transform("embedding", lambda x: x.cast("double")).alias(
@@ -659,7 +658,7 @@ def main() -> None:
 
         anch = S.kmeans_anchors_decimal(vecs, n_anchors=16, iters=1)
         batch_path = f"{ia_dir}/batch.parquet"
-        (vecs.filter(F.col("vec_id") % 40 == 0)  # 50 at sf0.1
+        (vecs.filter(F.col("vec_id") % 80 == 0)  # 25 at sf0.1
          .withColumn("vec_id", F.col("vec_id") + F.lit(999 * OK))
          .write.parquet(batch_path))
 
@@ -705,19 +704,28 @@ def main() -> None:
             spark.stop()
             spark = get_spark("tubes_annage", shuffle_partitions=64)
             spark.sparkContext.setLogLevel("ERROR")
+            # measure the SMJ shape the join has at real scale: a 100 TB
+            # index side never broadcasts, and at probe scale a
+            # broadcast would bypass exactly the Exchange the layout
+            # exists to eliminate (same discipline as the tests'
+            # no_broadcast fixture)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
             b = spark.read.parquet(batch_path)
             t0 = time.perf_counter()
             S.incremental_ann_new(b, spark, gdir, threshold=0.9).count()
             cold = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            S.incremental_ann_new(b, spark, gdir, threshold=0.9).count()
-            warm = round(time.perf_counter() - t0, 3)
+            warm = float("inf")  # best-of-2: this host bursts
+            for _ in range(2):
+                t0 = time.perf_counter()
+                S.incremental_ann_new(b, spark, gdir, threshold=0.9).count()
+                warm = min(warm, round(time.perf_counter() - t0, 3))
             rows[tag] = {"cold": cold, "warm": warm}
             print(json.dumps({"ann_index_age": tag, **rows[tag]}))
         a1, a100 = rows["bucketed_age1"], rows["bucketed_age100_compacted"]
         payload["ann_index_age"] = {
-            "base": SF_BASE, "index_replicas": 100, "batch_rows": 50,
-            "n_anchors": 16, "results": rows,
+            "base": SF_BASE, "index_replicas": 100, "batch_rows": 25,
+            "index_rows": 200000, "n_anchors": 16, "results": rows,
             "age_ratio_cold_bucketed_compacted": round(a100["cold"] / a1["cold"], 2),
             "legacy_over_bucketed_cold": round(
                 rows["legacy_age100"]["cold"]

@@ -378,3 +378,95 @@ def test_empty_survivors_epoch_is_skippable(spark, tmp_path):
         spark, idx, threshold=0.95,
     ).collect()
     assert [r["is_new"] for r in out2] == [False]
+
+
+# ------------------------------------------------- nprobe + rebuild
+
+
+def test_nprobe_recovers_boundary_pairs_and_matches_bruteforce(spark, tmp_path):
+    """n_probe=2 screens each arriving vector against its top-2 cells:
+    verdicts match a brute-force of exactly that rule, primary cells
+    (and therefore any index append) are unchanged, and at least one
+    boundary-straddling hit is recovered that n_probe=1 missed."""
+    import numpy as np
+
+    V = _vec_corpus(n=60)
+    idx = str(tmp_path / "idx")
+    S.write_ann_index(_vecs(range(30), V, spark), idx, n_anchors=6, n_buckets=4)
+    arr = _vecs(range(30, 50), V, spark)
+    got = {}
+    for p in (1, 2):
+        got[p] = {
+            r["vec_id"]: (r["is_new"], r["n_prior_hits"], r["cell"])
+            for r in S.incremental_ann_new(
+                arr, spark, idx, threshold=0.5, n_probe=p
+            ).collect()
+        }
+    A = np.array(S._read_anchors(idx))
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    M = np.array(V, dtype=np.float64)
+
+    def top_cells(i, p):
+        sc = An @ (M[i] / np.linalg.norm(M[i]))
+        return list(np.lexsort((np.arange(len(sc)), -sc))[:p])
+
+    for i in range(30, 50):
+        for p in (1, 2):
+            pc = top_cells(i, p)
+            hits = [
+                j for j in range(30)
+                if top_cells(j, 1)[0] in pc
+                and float(M[i] @ M[j]
+                          / (np.linalg.norm(M[i]) * np.linalg.norm(M[j]))) >= 0.5
+            ]
+            assert got[p][i] == (not hits, len(hits), top_cells(i, 1)[0]), (p, i)
+    assert all(got[2][i][2] == got[1][i][2] for i in got[1])  # primary stable
+    assert sum(got[2][i][1] for i in got[2]) > sum(got[1][i][1] for i in got[1])
+    with pytest.raises(ValueError, match="n_probe"):
+        S.incremental_ann_new(arr, spark, idx, n_probe=0)
+
+
+def test_rebuild_ann_index_reseeds_from_stored_vectors(spark, tmp_path):
+    """The rebuild arm of the anchor lifecycle: a grown index re-seeds
+    into a NEW dir from its own stored cells leaf (the corpus is never
+    re-read), with a trained codebook; verdicts against the rebuilt
+    index match a fresh index built from the same vectors, and
+    rebuilding INTO an existing index refuses."""
+    V = _vec_corpus(n=60)
+    old = str(tmp_path / "old")
+    S.write_ann_index(_vecs(range(20), V, spark), old, n_anchors=4, n_buckets=4)
+    S.incremental_ann_new(
+        _vecs(range(20, 40), V, spark), spark, old,
+        threshold=0.95, update_index=True,
+    ).collect()
+
+    new = str(tmp_path / "new")
+    code = S.rebuild_ann_index(spark, old, new, n_anchors=8, iters=1)
+    assert S._read_anchors(new) == code and len(code) == 8
+    # the rebuilt index holds every stored vector, reassigned to the
+    # new codebook: a fresh bootstrap from the same vectors agrees
+    fresh = str(tmp_path / "fresh")
+    S.write_ann_index(_vecs(range(40), V, spark), fresh, anchors=code, n_buckets=4)
+    probe = _vecs(range(40, 60), V, spark)
+    a = {(r["vec_id"], r["is_new"], r["n_prior_hits"], r["cell"])
+         for r in S.incremental_ann_new(probe, spark, new, threshold=0.5).collect()}
+    b = {(r["vec_id"], r["is_new"], r["n_prior_hits"], r["cell"])
+         for r in S.incremental_ann_new(probe, spark, fresh, threshold=0.5).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="already holds"):
+        S.rebuild_ann_index(spark, old, new, n_anchors=4)
+
+
+def test_kmeans_train_cap_noop_when_uncapped(spark):
+    """train_cap bounds the training set by md5-arith rank (the bpe
+    train_sample rule — deterministic, engine-portable); a cap at or
+    above the corpus size is a pinned NO-OP, and a real cap still
+    yields a full-shape codebook."""
+    V = _vec_corpus(n=30)
+    batch = _vecs(range(30), V, spark)
+    full = S.kmeans_anchors_decimal(batch, n_anchors=4, iters=2)
+    assert S.kmeans_anchors_decimal(batch, n_anchors=4, iters=2, train_cap=30) == full
+    assert S.kmeans_anchors_decimal(batch, n_anchors=4, iters=2, train_cap=999) == full
+    capped = S.kmeans_anchors_decimal(batch, n_anchors=4, iters=2, train_cap=12)
+    assert len(capped) == 4 and all(len(a) == 8 for a in capped)
+    assert capped != full  # a real cap trains on a different sample

@@ -805,6 +805,31 @@ def _cell_expr(
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _probe_cells_expr(
+    vec_col: Column, anchors: "list[list[float]]", n_probe: int,
+    nv: "Column | None" = None,
+) -> Column:
+    """Top-``n_probe`` cells by cosine, best first — the IVF nprobe
+    rule for the ARRIVING side of the incremental screen (stored
+    vectors always live in exactly one cell, their argmax).  Element 0
+    equals :func:`_cell_expr` exactly: the sort is (score DESC, aid
+    ASC) via an ascending struct sort on (-score, aid), the same
+    tiebreak as the oracle's row_number ORDER BY cos DESC, aid ASC —
+    and double negation is a sign flip, so score order is preserved
+    bit-exactly."""
+    scores = F.array(*[_anchor_cos(vec_col, a, nv=nv) for a in anchors])
+    idx = F.sequence(F.lit(0), F.lit(len(anchors) - 1))
+    ranked = F.sort_array(
+        F.zip_with(
+            scores, idx,
+            lambda s, i: F.struct((-s).alias("ns"), i.cast("int").alias("aid")),
+        )
+    )
+    return F.transform(
+        F.slice(ranked, 1, int(n_probe)), lambda st: st["aid"]
+    )
+
+
 def _with_cell(
     df: DataFrame, vec_col: str, anchors: "list[list[float]]", out_col: str = "cell"
 ) -> DataFrame:
@@ -885,6 +910,7 @@ def kmeans_anchors_decimal(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    train_cap: "int | None" = None,
 ) -> "list[list[float]]":
     """Spherical k-means whose trained centroids BOTH engines re-derive
     bit-identically — the anchor-lifecycle answer for the persisted
@@ -911,11 +937,27 @@ def kmeans_anchors_decimal(
     scan assigning cells (|anchors| fold cosines sharing one hoisted
     norm, no Python), ``posexplode`` + one grouped BIGINT sum (partial
     map-side), and only the (n_anchors x dims) centroid table reaches
-    the driver.  At 100 TB run it on a bounded hash-sample of the
-    corpus (``_hash_sample``) — centroid quality needs a sample,
-    assignment stays full-corpus."""
+    the driver.
+
+    ``train_cap=K`` bounds the training set at 100 TB (centroid
+    quality needs a sample, not the corpus): the K rows ranked first
+    by the md5-arith hash of ``id_col`` — a deterministic,
+    engine-portable shuffle of the corpus, the same rule as
+    ``bpe_train(train_sample=...)``, so a capped trainer stays
+    oracle-re-derivable and the cap is a pinned no-op whenever
+    K >= |batch|.  The plan is a distributed TakeOrderedAndProject
+    (per-partition top-K heaps, no global sort materialized)."""
     import math
 
+    if train_cap is not None:
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        batch = (
+            batch.select(id_col, vec_col)
+            .orderBy(h.asc(), F.col(id_col).asc())
+            .limit(int(train_cap))
+        )
     head = (
         batch.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
@@ -1045,6 +1087,50 @@ def write_ann_index(
         os.replace(tmp, final)  # publish point: epoch committed above
 
 
+def rebuild_ann_index(
+    spark,
+    old_dir: str,
+    new_dir: str,
+    anchors: "list[list[float]] | None" = None,
+    n_anchors: "int | None" = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: "int | None" = None,
+) -> "list[list[float]]":
+    """Re-seed a grown index with a fresh codebook — the rebuild arm of
+    the anchor lifecycle (anchors are immutable in place, so growing
+    the cell count ~ sqrt(N) as the corpus ages means periodically
+    rebuilding into a NEW group dir and switching readers over, the
+    same pattern as any bucket-count change on a bucketed table).
+
+    The original corpus is never re-read: the stored ``cells`` leaf IS
+    the vector set, so the rebuild is one index scan + one bucketed
+    write.  Pass ``anchors=`` (e.g. from :func:`kmeans_anchors_decimal`
+    over the stored vectors) or let this train one here with
+    ``n_anchors`` cells.  Returns the codebook it seeded, so callers
+    can gate/pin it.  ``new_dir`` must not already be an index."""
+    import os
+
+    from tubes_spark.sink import Sink
+
+    if os.path.exists(f"{new_dir}/_anchors.parquet"):
+        raise ValueError(f"{new_dir} already holds an ANN index")
+    stored = Sink.read_atomic_group(spark, old_dir, "cells").select(id_col, vec_col)
+    if anchors is None:
+        if n_anchors is None:
+            raise ValueError("pass anchors= or n_anchors=")
+        anchors = kmeans_anchors_decimal(
+            stored, n_anchors=n_anchors, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    write_ann_index(
+        stored, new_dir, id_col=id_col, vec_col=vec_col,
+        n_buckets=n_buckets, anchors=anchors,
+    )
+    return [[float(x) for x in a] for a in anchors]
+
+
 def incremental_ann_new(
     arriving: DataFrame,
     spark,
@@ -1055,6 +1141,7 @@ def incremental_ann_new(
     update_index: bool = False,
     append_scope: str = "all",
     compact_after: "int | None" = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Arriving-batch SEMANTIC near-dup screen against the persisted
     vector index (SemDeDup's within-cluster rule, Abbas et al. 2023,
@@ -1073,10 +1160,15 @@ def incremental_ann_new(
 
     Recall contract (by construction, same as SemDeDup): only
     same-cell pairs are compared — a near-dup straddling a cell
-    boundary is missed; raise anchor count only with a matching
-    nprobe-style multi-cell assignment if that matters for the corpus.
-    Cosines fold dims in index order (``_anchor_cos``), so every
-    comparison here is bit-identical to the DuckDB oracle's.
+    boundary is missed at ``n_probe=1``.  ``n_probe=P`` (r12) screens
+    each ARRIVING vector against its top-P cells by anchor cosine (the
+    IVF nprobe rule): recall across boundaries rises, candidate pairs
+    scale ~P, and the ledger's ``cell`` / any index append still use
+    the primary (argmax) cell — stored vectors always live in exactly
+    one inverted list, so no pair is ever double-counted.  Cosines
+    fold dims in index order (``_anchor_cos``), so every comparison
+    here is bit-identical to the DuckDB oracle's (the nprobe gate's
+    oracle takes arriving cells at row_number <= P).
 
     ``update_index=True`` appends the arriving vectors' cell rows as
     the next committed epoch.  ``append_scope`` picks the anchoring
@@ -1104,11 +1196,28 @@ def incremental_ann_new(
         raise ValueError("compact_after requires update_index=True")
     if append_scope not in ("all", "survivors"):
         raise ValueError(f"unknown append_scope {append_scope!r}")
+    if int(n_probe) < 1:
+        raise ValueError("n_probe must be >= 1")
 
     anchors = _read_anchors(group_dir)
-    ab = _with_cell(
-        arriving.select(id_col, vec_col), vec_col, anchors
-    ).localCheckpoint(eager=True)
+    if n_probe == 1:
+        ab = _with_cell(
+            arriving.select(id_col, vec_col), vec_col, anchors
+        ).localCheckpoint(eager=True)
+    else:
+        ab = (
+            arriving.select(id_col, vec_col)
+            .withColumn("__nv__", norm(F.col(vec_col)))
+            .withColumn(
+                "__probes__",
+                _probe_cells_expr(
+                    F.col(vec_col), anchors, int(n_probe), nv=F.col("__nv__")
+                ),
+            )
+            .withColumn("cell", F.element_at("__probes__", 1))
+            .drop("__nv__")
+            .localCheckpoint(eager=True)
+        )
     spec = Sink._bucket_spec(group_dir)
     epochs, k, kname = Sink._committed_epochs(group_dir)
     sides = []
@@ -1131,9 +1240,18 @@ def incremental_ann_new(
     else:  # legacy plain layout
         sides = [Sink.read_atomic_group(spark, group_dir, "cells")]
     sim = cosine(F.col(f"a.{vec_col}"), F.col(f"s.{vec_col}"))
+    if n_probe == 1:
+        probe_side, probe_key = ab, "cell"
+    else:
+        # one probe row per (vector, candidate cell); stored vectors are
+        # single-cell, so each (arriving, stored) pair appears once
+        probe_side = ab.select(
+            id_col, vec_col, F.explode("__probes__").alias("__pcell__")
+        )
+        probe_key = "__pcell__"
     hit_frames = [
-        ab.alias("a")
-        .join(s.alias("s"), F.col("a.cell") == F.col("s.cell"))
+        probe_side.alias("a")
+        .join(s.alias("s"), F.col(f"a.{probe_key}") == F.col("s.cell"))
         .where(sim >= F.lit(float(threshold)))
         .select(
             F.col(f"a.{id_col}").alias(id_col),

@@ -4787,3 +4787,56 @@ SELECT c.vec_id, CAST(2 AS INTEGER) AS slice, c.cell,
        COALESCE(h.n_prior_hits, 0) AS n_prior_hits, h.best_sim
 FROM cell2 c LEFT JOIN hits2 h USING (vec_id)
 """
+
+
+# nprobe multi-cell screen: arriving cells are taken at row_number <= P
+# (cos DESC, aid ASC — the same ranking Spark's (-score, aid) struct
+# sort produces bit-exactly); stored vectors stay single-cell, so no
+# pair double-counts.  Both ledgers (P=1, P=2) under one gate.
+ORACLES["ann_nprobe_boundary_recall"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+anch AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)
+),
+mid AS (
+  SELECT x.vec_id + 400000 AS vec_id,
+         list_transform(range(1, 65), i -> x.v[i] + y.v[i]) AS v
+  FROM e x JOIN e y ON y.vec_id = x.vec_id + 1
+  WHERE x.vec_id % 5 = 0
+),
+cell0 AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT e.vec_id, e.v, anch.aid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_ANN_COS.format(a="e.v", b="anch.av")} DESC, anch.aid ASC) AS rn
+    FROM e CROSS JOIN anch
+  ) WHERE rn = 1
+),
+cellm AS (
+  SELECT vec_id, v, aid AS cell, rn FROM (
+    SELECT mid.vec_id, mid.v, anch.aid,
+      row_number() OVER (PARTITION BY mid.vec_id
+        ORDER BY {_ANN_COS.format(a="mid.v", b="anch.av")} DESC, anch.aid ASC) AS rn
+    FROM mid CROSS JOIN anch
+  ) WHERE rn <= 2
+),
+hits AS (
+  SELECT np, vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM (
+    SELECT p_.np, n.vec_id, {_ANN_COS.format(a="n.v", b="s.v")} AS ps
+    FROM (VALUES (1), (2)) p_(np)
+    JOIN cellm n ON n.rn <= p_.np
+    JOIN cell0 s ON s.cell = n.cell
+  ) WHERE ps >= 0.7 GROUP BY np, vec_id
+)
+SELECT c.vec_id, CAST(p_.np AS INTEGER) AS nprobe, c.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits, h.best_sim
+FROM (VALUES (1), (2)) p_(np)
+CROSS JOIN (SELECT vec_id, cell FROM cellm WHERE rn = 1) c
+LEFT JOIN hits h ON h.np = p_.np AND h.vec_id = c.vec_id
+"""

@@ -9446,3 +9446,57 @@ def ann_incremental_survivors(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ann_nprobe_boundary_recall(spark, sf_dir):
+    """Multi-probe (IVF nprobe) assignment on the incremental vector
+    screen (r12 — the recall arm of the anchor lifecycle): a near-dup
+    that STRADDLES a cell boundary is invisible at n_probe=1 by the
+    SemDeDup contract; probing the arriving vector's top-2 cells
+    recovers it for ~2x candidate pairs, no index change at all.
+    Pressure: for every vec_id%5==0 vector X (Y the next by id), the
+    midpoint M = X + Y arrives — ~equidistant from X and Y (cos ~0.7),
+    whose primary cell usually holds only one of them.  The SAME
+    arriving batch is screened at n_probe=1 and n_probe=2 and both
+    ledgers are emitted (nprobe column), so the gate pins exactly
+    which hits the second probe recovers.  Fully value-hash-gated:
+    probe ranking is (cosine DESC, aid ASC) on both engines (a sign
+    flip costs no precision), the ledger cell is always the primary.
+
+    Scale shape: candidate pairs scale linearly with n_probe and the
+    index side is untouched (same bucketed FileScan, zero index-side
+    Exchange); n_probe is the standard IVF recall/cost dial — raise it
+    with anchor count so recall survives the sqrt(N) cell growth."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    mid = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("y.vec_id") == F.col("x.vec_id") + 1)
+        .filter(F.col("x.vec_id") % 5 == 0)
+        .select(
+            (F.col("x.vec_id") + F.lit(400000)).alias("vec_id"),
+            F.zip_with(
+                "x.embedding", "y.embedding", lambda a, b: a + b
+            ).alias("embedding"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="tubes_ann_np_")
+    try:
+        similarity.write_ann_index(e, tmp, n_anchors=16)
+        cols = ["vec_id", "nprobe", "cell", "is_new", "n_prior_hits", "best_sim"]
+        v1 = similarity.incremental_ann_new(
+            mid, spark, tmp, threshold=0.7
+        ).withColumn("nprobe", F.lit(1).cast("int"))
+        v2 = similarity.incremental_ann_new(
+            mid, spark, tmp, threshold=0.7, n_probe=2
+        ).withColumn("nprobe", F.lit(2).cast("int"))
+        out = v1.select(cols).unionByName(v2.select(cols))
+        out = out.localCheckpoint(eager=True)  # pin before the index dir goes
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
