@@ -39,7 +39,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # alphabetically-first keys of the 49-key round-7 cohort = exactly
     # 50.  After this round every battery key holds >=1 driver row and
     # no key's latest row predates round 7.  The 14-key r7 alphabetical
-    # tail heads the round-13 rotation, followed by the 2 queries added
+    # tail heads the round-13 rotation, followed by the 4 queries added
     # in round 12 (which carry local 3-SF hash evidence: sf0.001/0.01/
     # 0.1, vanilla sessions).  Every key passes the identical local
     # DuckDB harness regardless of driver sampling.
@@ -118,6 +118,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_kmeans_semantic_dedup": Q.ann_kmeans_semantic_dedup,
     "ann_incremental_survivors": Q.ann_incremental_survivors,
     "ann_nprobe_boundary_recall": Q.ann_nprobe_boundary_recall,
+    "streaming_ann_incremental_dedup": Q.streaming_ann_incremental_dedup,
     # remaining battery, staleness round ascending then alphabetical
     # last sampled round 8
     "ann_radius_neighbors": Q.ann_radius_neighbors,

@@ -90,6 +90,8 @@ HEADLINE = [
     "ann_incremental_semantic_dedup",  # persisted vector index screen (r11)
     "ann_kmeans_semantic_dedup",      # trained-codebook vector index (r12)
     "ann_incremental_survivors",      # survivor-anchored ANN appends (r12)
+    "ann_nprobe_boundary_recall",     # IVF nprobe recall dial (r12)
+    "streaming_ann_incremental_dedup",  # ANN index loop as micro-batches (r12)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt

@@ -4840,3 +4840,12 @@ FROM (VALUES (1), (2)) p_(np)
 CROSS JOIN (SELECT vec_id, cell FROM cellm WHERE rn = 1) c
 LEFT JOIN hits h ON h.np = p_.np AND h.vec_id = c.vec_id
 """
+
+
+# The streaming ANN-index twin replays the exact corpus/slice/screen
+# semantics of the batch query (trigger k == slice k; the index is the
+# strictly-earlier slices; compaction is decision-invariant), so the
+# two share one oracle.
+ORACLES["streaming_ann_incremental_dedup"] = ORACLES[
+    "ann_incremental_semantic_dedup"
+]

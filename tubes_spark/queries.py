@@ -9500,3 +9500,78 @@ def ann_nprobe_boundary_recall(spark, sf_dir):
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_ann_incremental_dedup(spark, sf_dir):
+    """The persisted VECTOR index under the REAL streaming engine (r12
+    — the embedding-space twin of streaming_dedup_incremental_minhash,
+    so both index families now run their full maintenance loop as
+    micro-batches): the embeddings-plus-20%-replica corpus replays as
+    three vec_id%3 slices; trigger 0 bootstraps the anchor-cell index,
+    each later trigger's foreachBatch screens its batch against the
+    index built by the PRIOR triggers, emits the batch's verdict
+    ledger, and appends its own cell rows as the next committed epoch
+    with ``compact_after=2`` — so the cells-leaf consolidation + gc
+    path fires inside the drain, exactly like the MinHash twin.
+    Decisions are compaction-invariant, so the oracle is the same
+    earlier-slice SemDeDup rule the batch sibling gates (shared SQL).
+
+    Scale shape per trigger: |batch| cell assignments (16 fold cosines
+    sharing one hoisted norm), one bucketed-index join with zero
+    index-side Exchange, one epoch append behind the atomic marker;
+    old vectors are never re-read or re-embedded."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reps = e.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    base = e.unionByName(reps)
+    conds = [F.col("vec_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="tubes_sannid_")
+    try:
+        write_ordered_slices(base, conds, f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        idx_dir = f"{tmp}/idx"
+        out_dir = f"{tmp}/new"
+
+        def fb(batch_df, epoch_id):
+            ep = int(epoch_id)
+            if ep == 0:
+                similarity.write_ann_index(batch_df, idx_dir, n_anchors=16)
+                anchors = similarity._read_anchors(idx_dir)
+                ledger = similarity._with_cell(
+                    batch_df.select("vec_id", "embedding"), "embedding", anchors
+                ).select(
+                    "vec_id",
+                    "cell",
+                    F.lit(True).alias("is_new"),
+                    F.lit(0).cast("int").alias("n_prior_hits"),
+                    F.lit(None).cast("double").alias("best_sim"),
+                )
+            else:
+                ledger = similarity.incremental_ann_new(
+                    batch_df, spark, idx_dir, threshold=0.9,
+                    update_index=True, compact_after=2,
+                )
+            ledger.withColumn("slice", F.lit(ep).cast("int")).select(
+                "vec_id", "slice", "cell", "is_new", "n_prior_hits", "best_sim"
+            ).write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
