@@ -912,7 +912,8 @@ def kmeans_anchors_decimal(
     scale: int = 1_000_000,
     train_cap: "int | None" = None,
 ) -> "list[list[float]]":
-    """Spherical k-means whose trained centroids BOTH engines re-derive
+    """Spherical k-means (Dhillon & Modha 2001, cosine-similarity
+    Lloyd iterations) whose trained centroids BOTH engines re-derive
     bit-identically — the anchor-lifecycle answer for the persisted
     vector index (VERDICT r11 #1): a real codebook, still under the
     full DuckDB value-hash gate.
