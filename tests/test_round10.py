@@ -106,24 +106,25 @@ def test_minhash_band_cap_noop_on_unskewed_corpus(spark):
 
 def test_gate_prefix_leads_with_never_sampled_keys():
     """The driver's correctness gate samples the FIRST 50 dict keys;
-    round-12's contract (VERDICT-r11 #2) is the 12-key deferred-r6
-    alphabetical tail, then the 3 keys added late in round 11 that
-    have never held a driver row, then the 35 alphabetically-first
-    round-7-stale keys.  Pin the ordering so an accidental dict edit
-    can't silently reshuffle the gate plan."""
+    round-13's contract (VERDICT-r12 #2) is the 14-key deferred-r7
+    alphabetical tail, then the 4 queries added after the r12 prefix
+    froze (never yet holding a driver row), then the 32
+    alphabetically-first round-8-stale keys.  Pin the ordering so an
+    accidental dict edit can't silently reshuffle the gate plan."""
     import __spark_entry__ as E
 
     keys = list(E.queries())
-    assert keys[0] == "streaming_funnel_conversions"
-    assert keys[11] == "zorder_key_events"
-    assert keys[12:15] == [
-        "simhash_band_cap_stats",
-        "streaming_dedup_incremental_survivors",
-        "ann_incremental_semantic_dedup",
+    assert keys[0] == "running_user_avg"  # r7 tail, alphabetical head
+    assert keys[13] == "tumbling_hourly"
+    assert keys[14:18] == [
+        "ann_kmeans_semantic_dedup",
+        "ann_nprobe_boundary_recall",
+        "ann_incremental_survivors",
+        "streaming_ann_incremental_dedup",
     ]
-    assert keys[15] == "asof_purchase"  # r7 cohort, alphabetical head
-    assert keys[49] == "route_choose_counts"  # 35th r7 key closes the gate
-    assert keys[50] == "running_user_avg"  # r7 tail heads the r13 rotation
+    assert keys[18] == "ann_radius_neighbors"  # r8 cohort, alpha head
+    assert keys[49] == "semantic_dedup_survivors"  # 32nd r8 key closes it
+    assert keys[50] == "sketch_distinct_users"  # r8 tail heads r14
     assert len(set(keys[:50])) == 50
 
 

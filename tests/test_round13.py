@@ -1,0 +1,303 @@
+"""Round-13 pins — ADVICE r12 fixes.
+
+- ``Sink.read_atomic_group`` skips legitimately-empty committed epochs
+  (an all-rejected survivors append) so a later compaction / legacy
+  read / ``rebuild_ann_index`` no longer dies in schema inference.
+- ``_read_anchors`` tolerates losing the staged-anchor recovery race
+  and falls back to the staged copy on a read-only mount.
+- ``Sink._bucket_table_name`` hashes a normalized path, so
+  registration and gc agree on the catalog table name regardless of
+  trailing slashes / doubled separators in ``group_dir``.
+- ``kmeans_anchors_decimal`` fails loudly when |2*sum + cnt| exceeds
+  2^53 instead of silently losing cross-engine bit-exactness.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tubes_spark.operators import similarity as S
+from tubes_spark.sink import Sink
+
+
+def _vecs(ids, V, spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(ids), "embedding": [V[i] for i in ids]})
+    )
+
+
+def _vec_corpus(n=60, dims=8):
+    import hashlib
+    import struct
+
+    def vec(i):
+        return [
+            struct.unpack(">q", hashlib.md5(f"v{i}d{d}".encode()).digest()[:8])[0]
+            / 2**63
+            for d in range(dims)
+        ]
+
+    return [vec(i) for i in range(n)]
+
+
+# ------------------------------------------- empty-epoch reader guard
+
+
+def test_compact_after_all_rejected_survivors_epoch(spark, tmp_path):
+    """ADVICE r12 (medium) repro: bootstrap -> compact -> all-rejected
+    survivors append (file-less committed epoch) -> compact again.  The
+    second compaction reads the group through read_atomic_group, which
+    used to hand spark.read.parquet ONLY the empty dir and die with
+    UNABLE_TO_INFER_SCHEMA.  Now the empty epoch is skipped and the
+    consolidated rows are exactly the bootstrap's."""
+    V = _vec_corpus(n=30)
+    idx = str(tmp_path / "idx")
+    S.write_ann_index(_vecs(range(10), V, spark), idx, n_anchors=4, n_buckets=4)
+    Sink.compact_atomic_group(spark, idx, gc=True)
+    # replay the stored vectors: every arrival rejected, epoch 1 empty
+    S.incremental_ann_new(
+        _vecs(range(10), V, spark).withColumn("vec_id", F.col("vec_id") + 100),
+        spark, idx, threshold=0.95, update_index=True,
+        append_scope="survivors",
+    ).collect()
+    epochs, k, _ = Sink._committed_epochs(idx)
+    assert epochs == [0, 1] and k == 0
+    # the fixed reader: compact part + zero live rows, no inference crash
+    got = Sink.read_atomic_group(spark, idx, "cells")
+    assert got.count() == 10
+    k2 = Sink.compact_atomic_group(spark, idx, gc=True)
+    assert k2 == 1
+    assert Sink.read_atomic_group(spark, idx, "cells").count() == 10
+    # screens after the compaction still see the stored vectors
+    out = S.incremental_ann_new(
+        _vecs([2], V, spark).withColumn("vec_id", F.col("vec_id") + 300),
+        spark, idx, threshold=0.95,
+    ).collect()
+    assert [r["is_new"] for r in out] == [False]
+
+
+def test_read_atomic_group_all_empty_no_compact_raises_clearly(spark, tmp_path):
+    """When EVERY committed epoch is file-less and no compaction
+    exists, there is nothing to infer a schema from — the reader must
+    say so instead of surfacing Spark's UNABLE_TO_INFER_SCHEMA."""
+    from tubes_spark.sink import _CURRENT_EPOCH
+
+    gdir = str(tmp_path / "g")
+    sink = Sink.atomic_bucketed_group(gdir, "rows", ["x"], 2)
+    df = spark.range(0).select(F.col("id").alias("x"))  # zero rows
+    token = _CURRENT_EPOCH.set(0)
+    try:
+        sink(df)  # bucketed write of an empty frame: no part files
+    finally:
+        _CURRENT_EPOCH.reset(token)
+    epochs, _, _ = Sink._committed_epochs(gdir)
+    assert epochs == [0]
+    assert not Sink._has_parquet(f"{gdir}/rows/data/epoch=0")
+    with pytest.raises(ValueError, match="no readable data files"):
+        Sink.read_atomic_group(spark, gdir, "rows")
+
+
+# ------------------------------------------- anchor recovery race
+
+
+def test_read_anchors_lost_recovery_race(spark, tmp_path, monkeypatch):
+    """Two readers recover the same interrupted publish; the loser's
+    os.replace finds the staged file gone (the winner renamed it) —
+    it must read the now-published anchors, not crash."""
+    V = _vec_corpus(n=10)
+    idx = str(tmp_path / "idx")
+    S.write_ann_index(_vecs(range(8), V, spark), idx, n_anchors=3, n_buckets=2)
+    want = S._read_anchors(idx)
+    final = f"{idx}/_anchors.parquet"
+    tmp = f"{idx}/.tmp._anchors.parquet"
+    os.replace(final, tmp)  # back to the interrupted-publish state
+
+    real_replace = os.replace
+
+    def losing_replace(src, dst):
+        real_replace(src, dst)  # the WINNER's rename
+        raise FileNotFoundError(src)  # what the loser observes
+
+    monkeypatch.setattr(os, "replace", losing_replace)
+    assert S._read_anchors(idx) == want
+    monkeypatch.undo()
+    assert os.path.exists(final) and not os.path.exists(tmp)
+
+
+def test_read_anchors_readonly_mount_falls_back_to_staged(
+    spark, tmp_path, monkeypatch
+):
+    """A reader that CANNOT rename (read-only mount) still reads the
+    staged anchors — the rename only flips visibility; the content is
+    already the publish once an epoch has committed."""
+    V = _vec_corpus(n=10)
+    idx = str(tmp_path / "idx")
+    S.write_ann_index(_vecs(range(8), V, spark), idx, n_anchors=3, n_buckets=2)
+    want = S._read_anchors(idx)
+    final = f"{idx}/_anchors.parquet"
+    tmp = f"{idx}/.tmp._anchors.parquet"
+    os.replace(final, tmp)
+
+    def denied_replace(src, dst):
+        raise PermissionError(src)
+
+    monkeypatch.setattr(os, "replace", denied_replace)
+    assert S._read_anchors(idx) == want
+    monkeypatch.undo()
+    assert os.path.exists(tmp) and not os.path.exists(final)
+    # a writer-capable reader later finishes the publish as usual
+    assert S._read_anchors(idx) == want
+    assert os.path.exists(final)
+
+
+# ------------------------------------------- catalog-name normalization
+
+
+def test_bucket_table_name_is_path_normalized(spark, tmp_path):
+    """Registration and gc hash the same canonical string whatever the
+    caller's separator habits, so the ADVICE-r11 stale-entry cleanup
+    actually fires for non-normalized group_dirs."""
+    base = Sink._bucket_table_name("/a/b/c")
+    assert Sink._bucket_table_name("/a/b/c/") == base
+    assert Sink._bucket_table_name("/a/b//c") == base
+    assert Sink._bucket_table_name("/a/b/./c") == base
+    # end-to-end: register through a doubled-separator dir, gc through
+    # the normalized one — the catalog entry must not survive
+    V = _vec_corpus(n=12)
+    idx = str(tmp_path / "idx")
+    S.write_ann_index(_vecs(range(8), V, spark), idx, n_anchors=3, n_buckets=2)
+    sloppy = idx.replace(str(tmp_path), str(tmp_path) + "/.")
+    assert sloppy != idx
+    S.incremental_ann_new(
+        _vecs([1], V, spark).withColumn("vec_id", F.col("vec_id") + 50),
+        spark, sloppy, threshold=0.95, update_index=True,
+    ).collect()
+    Sink.compact_atomic_group(spark, idx, gc=True)
+    live = {
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES").collect()
+        if r["tableName"].startswith("tubes_bidx_")
+    }
+    assert Sink._bucket_table_name(f"{idx}/cells/data/epoch=0") not in live
+    assert Sink._bucket_table_name(f"{sloppy}/cells/data/epoch=1") not in live
+
+
+# ------------------------------------------- 2^53 exactness guard
+
+
+def test_kmeans_decimal_overflow_fails_loudly(spark):
+    """A component whose quantized 2*sum+cnt exceeds 2^53 would make
+    the rounded mean lose bit-exactness against the oracle — the
+    trainer must refuse, naming the remedy."""
+    big = [[1.0e10] * 4, [1.0e10] * 4, [-1.0e10] * 4]
+    batch = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0, 1, 2], "embedding": big})
+    )
+    with pytest.raises(ValueError, match="2\\^53"):
+        S.kmeans_anchors_decimal(batch, n_anchors=2, iters=1)
+
+
+# ------------------------------------------- vectorized assignment kernel
+
+
+def test_vectorized_kernel_matches_expression_kernel(spark):
+    """VERDICT r12 #1 parity pin: at gate SFs the broadcast-matmul
+    kernel assigns every vector to the SAME cell (and the same probe
+    list) as the bit-exact expression kernel."""
+    V = _vec_corpus(n=200)
+    batch = _vecs(range(200), V, spark)
+    anchors = [V[i] for i in range(0, 40, 4)]  # 10 anchors
+    expr = {
+        r["vec_id"]: r["cell"]
+        for r in S._with_cell(batch, "embedding", anchors, kernel="expr").collect()
+    }
+    vec = {
+        r["vec_id"]: r["cell"]
+        for r in S._with_cell(
+            batch, "embedding", anchors, kernel="vectorized"
+        ).collect()
+    }
+    assert expr == vec
+    # probe lists (IVF nprobe rule): same top-3, same order
+    expr_p = {
+        r["vec_id"]: list(r["p"])
+        for r in batch.withColumn("__nv__", S.norm(F.col("embedding")))
+        .withColumn(
+            "p",
+            S._probe_cells_expr(F.col("embedding"), anchors, 3, nv=F.col("__nv__")),
+        )
+        .collect()
+    }
+    vec_p = {
+        r["vec_id"]: list(r["p"])
+        for r in S._assign_cells_vectorized(
+            batch, "embedding", anchors, out_col="cell", n_probe=3, probes_col="p"
+        ).collect()
+    }
+    assert expr_p == vec_p
+
+
+def test_kernel_dispatch_threshold_and_validation(spark, tmp_path):
+    """auto = expr at/below the threshold, vectorized above; unknown
+    kernels refuse before compute."""
+    t = S._VEC_KERNEL_ANCHOR_THRESHOLD
+    assert S._resolve_kernel("auto", t) == "expr"
+    assert S._resolve_kernel("auto", t + 1) == "vectorized"
+    assert S._resolve_kernel("expr", t + 1000) == "expr"
+    with pytest.raises(ValueError, match="kernel"):
+        S._resolve_kernel("matmul", 4)
+    V = _vec_corpus(n=10)
+    with pytest.raises(ValueError, match="kernel"):
+        S.write_ann_index(
+            _vecs(range(5), V, spark), str(tmp_path / "x"), kernel="matmul"
+        )
+    assert not os.path.exists(str(tmp_path / "x"))  # refused before staging
+    with pytest.raises(ValueError, match="kernel"):
+        S.incremental_ann_new(
+            _vecs(range(5), V, spark), spark, str(tmp_path / "x"), kernel="matmul"
+        )
+
+
+def test_large_codebook_end_to_end(spark, tmp_path):
+    """A 600-anchor codebook — impossible for the expression kernel's
+    plan — builds, screens, and appends through the auto-dispatched
+    matmul kernel, with verdicts matching numpy brute force."""
+    import numpy as np
+
+    V = _vec_corpus(n=800)
+    anchors = [V[i] for i in range(200, 800)]  # 600 cells
+    idx = str(tmp_path / "big")
+    S.write_ann_index(
+        _vecs(range(100), V, spark), idx, anchors=anchors, n_buckets=8
+    )
+    got = {
+        r["vec_id"]: (r["is_new"], r["n_prior_hits"], r["cell"])
+        for r in S.incremental_ann_new(
+            _vecs(range(100, 160), V, spark), spark, idx,
+            threshold=0.5, n_probe=2, update_index=True,
+        ).collect()
+    }
+    A = np.array(anchors, dtype=np.float64)
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    M = np.array(V, dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    def top_cells(i, p):
+        sc = An @ Mn[i]
+        return list(np.lexsort((np.arange(len(sc)), -sc))[:p])
+
+    for i in range(100, 160):
+        pc = top_cells(i, 2)
+        hits = [
+            j for j in range(100)
+            if top_cells(j, 1)[0] in pc and float(Mn[i] @ Mn[j]) >= 0.5
+        ]
+        assert got[i] == (not hits, len(hits), top_cells(i, 1)[0]), i
+    # the appended epoch stored the primary (argmax) cells
+    stored = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{idx}/cells/data/epoch=1").collect()
+    }
+    assert stored == {i: top_cells(i, 1)[0] for i in range(100, 160)}

@@ -830,17 +830,113 @@ def _probe_cells_expr(
     )
 
 
-def _with_cell(
-    df: DataFrame, vec_col: str, anchors: "list[list[float]]", out_col: str = "cell"
+# Anchor counts past this dispatch to the Arrow-batched matmul kernel:
+# each expression-kernel cosine is an O(dims) interpreted fold, so plan
+# size AND per-row cost grow with |anchors| — the ann_anchor_scale probe
+# measured superlinear wall-clock by 160 anchors, while the lifecycle
+# prescribes C ~ sqrt(N) (10^4-10^5 cells at 100 TB).  Every oracle-gated
+# query uses far fewer anchors than this, so gate SFs stay on the
+# bit-exact expression kernel by default.
+_VEC_KERNEL_ANCHOR_THRESHOLD = 128
+
+_KERNELS = ("auto", "expr", "vectorized")
+
+
+def _resolve_kernel(kernel: str, n_anchors: int) -> str:
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
+    if kernel == "auto":
+        return "vectorized" if n_anchors > _VEC_KERNEL_ANCHOR_THRESHOLD else "expr"
+    return kernel
+
+
+def _assign_cells_vectorized(
+    df: DataFrame,
+    vec_col: str,
+    anchors: "list[list[float]]",
+    out_col: str = "cell",
+    n_probe: int = 1,
+    probes_col: "str | None" = None,
 ) -> DataFrame:
-    """``df`` + an anchor-argmax ``cell`` column with the vector norm
-    HOISTED into its own projection, so the interpreted O(dims) norm
-    fold runs once per row instead of once per anchor (ADVICE r11).
-    Catalyst keeps the two projections separate — CollapseProject
-    refuses to inline a non-cheap alias referenced |anchors| times —
-    which tests/test_round12.py pins by counting fold expressions in
-    the optimized plan.  Values are bit-identical to the inline form
-    (same division tree), so every oracle gate is untouched."""
+    """Large-codebook cell assignment (VERDICT r12 #1): ONE broadcast
+    anchor matrix + one Arrow-batched BLAS matmul per corpus batch,
+    `argmax` per row — cost linear in rows and independent of plan
+    size, so the codebook can grow ~ sqrt(N) (10^4+ cells) where the
+    expression kernel's |anchors| interpreted fold expressions per row
+    stop compiling.  Semantics mirror :func:`_cell_expr` exactly:
+    cosine argmax with ties toward the smallest anchor id (numpy's
+    first-max argmax; the probe list uses a STABLE descending sort, so
+    element 0 is the argmax and ties keep ascending aid order).  The
+    only difference is summation order — BLAS pairwise vs the
+    expression kernel's sequential fold — which can flip an argmax
+    only when two anchor cosines agree to ~1 ulp; gate-SF parity is
+    test-pinned, and oracle-gated queries keep the expression kernel
+    (they sit under the threshold).
+
+    With ``probes_col`` set, also emits the top-``n_probe`` cells per
+    row (the IVF nprobe rule, same tiebreak as
+    :func:`_probe_cells_expr`) from the SAME matmul — the arriving
+    side of the incremental screen pays one pass either way."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    A = np.asarray(anchors, dtype=np.float64)
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast(An)
+    in_cols = list(df.columns)
+    fields = list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
+    if probes_col is not None:
+        fields.append(
+            StructField(probes_col, ArrayType(IntegerType(), False), False)
+        )
+    p = int(n_probe)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        M = bc.value  # (C, dims), unit rows
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _to_matrix(pdf[vec_col])
+            sims = (V / np.linalg.norm(V, axis=1, keepdims=True)) @ M.T
+            out = pdf[in_cols].copy()
+            out[out_col] = sims.argmax(axis=1).astype(np.int32)
+            if probes_col is not None:
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+                out[probes_col] = [row.astype(np.int32) for row in order]
+            yield out
+
+    return df.mapInPandas(assign, schema=StructType(fields))
+
+
+def _with_cell(
+    df: DataFrame,
+    vec_col: str,
+    anchors: "list[list[float]]",
+    out_col: str = "cell",
+    kernel: str = "auto",
+) -> DataFrame:
+    """``df`` + an anchor-argmax ``cell`` column.
+
+    ``kernel="expr"`` (the default resolution under
+    ``_VEC_KERNEL_ANCHOR_THRESHOLD`` anchors): pure per-row expressions
+    with the vector norm HOISTED into its own projection, so the
+    interpreted O(dims) norm fold runs once per row instead of once per
+    anchor (ADVICE r11).  Catalyst keeps the two projections separate —
+    CollapseProject refuses to inline a non-cheap alias referenced
+    |anchors| times — which tests/test_round12.py pins by counting fold
+    expressions in the optimized plan.  Values are bit-identical to the
+    inline form (same division tree), so every oracle gate is
+    untouched.
+
+    ``kernel="vectorized"`` (auto above the threshold): the broadcast
+    matmul kernel (:func:`_assign_cells_vectorized`) — the 100 TB path
+    for codebooks grown ~ sqrt(N)."""
+    if _resolve_kernel(kernel, len(anchors)) == "vectorized":
+        return _assign_cells_vectorized(df, vec_col, anchors, out_col=out_col)
     return (
         df.withColumn("__nv__", norm(F.col(vec_col)))
         .withColumn(out_col, _cell_expr(F.col(vec_col), anchors, nv=F.col("__nv__")))
@@ -877,7 +973,21 @@ def _read_anchors(group_dir: str) -> "list[list[float]]":
                 "unreadable; rebuild it rather than re-deriving anchors, "
                 "which would silently reassign every stored cell"
             )
-        os.replace(tmp, final)  # finish the interrupted publish
+        try:
+            os.replace(tmp, final)  # finish the interrupted publish
+        except (FileNotFoundError, PermissionError) as exc:
+            # ADVICE r12: two readers can race to recover the same
+            # interrupted publish (the loser's rename finds tmp gone),
+            # and a reader on a read-only mount cannot rename at all.
+            # The loser reads the now-published file; the read-only
+            # reader falls back to the staged copy, whose CONTENT is
+            # the publish (the rename only flips visibility, and an
+            # epoch has committed, so the staged anchors are live).
+            if not os.path.exists(final):
+                if isinstance(exc, PermissionError) and os.path.exists(tmp):
+                    final = tmp
+                else:
+                    raise
     t = pq.read_table(final)
     rows = sorted(zip(t["aid"].to_pylist(), t["vec"].to_pylist()))
     return [[float(x) for x in vec] for _, vec in rows]
@@ -911,6 +1021,7 @@ def kmeans_anchors_decimal(
     vec_col: str = "embedding",
     scale: int = 1_000_000,
     train_cap: "int | None" = None,
+    kernel: str = "expr",
 ) -> "list[list[float]]":
     """Spherical k-means (Dhillon & Modha 2001, cosine-similarity
     Lloyd iterations) whose trained centroids BOTH engines re-derive
@@ -947,9 +1058,21 @@ def kmeans_anchors_decimal(
     ``bpe_train(train_sample=...)``, so a capped trainer stays
     oracle-re-derivable and the cap is a pinned no-op whenever
     K >= |batch|.  The plan is a distributed TakeOrderedAndProject
-    (per-partition top-K heaps, no global sort materialized)."""
+    (per-partition top-K heaps, no global sort materialized).
+
+    ``kernel`` picks the ASSIGNMENT kernel (r13).  The default
+    ``"expr"`` keeps the bit-identical-across-engines contract above —
+    assignment cosines fold dims in index order on both engines.
+    ``"vectorized"`` assigns through the broadcast-matmul kernel
+    (:func:`_assign_cells_vectorized`): still fully deterministic
+    (per-row numpy math, batch-independent) and the quantized update
+    stays exact integer arithmetic, but BLAS summation order is not
+    the oracle's fold order, so the cross-engine bit-exactness claim
+    is waived — use it (or ``"auto"``) when training real 10^3+ cell
+    codebooks, where no SQL oracle could unroll the CTE anyway."""
     import math
 
+    kernel = _resolve_kernel(kernel, int(n_anchors))
     if train_cap is not None:
         h = F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
@@ -970,7 +1093,7 @@ def kmeans_anchors_decimal(
         return cent
     dims = len(cent[0])
     for _ in range(int(iters)):
-        assigned = _with_cell(batch.select(vec_col), vec_col, cent)
+        assigned = _with_cell(batch.select(vec_col), vec_col, cent, kernel=kernel)
         q = F.floor(F.col("x").cast("double") * F.lit(float(scale)) + F.lit(0.5))
         sums = (
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
@@ -981,6 +1104,19 @@ def kmeans_anchors_decimal(
         )
         new = [list(a) for a in cent]
         for r in sums:
+            # ADVICE r12: the half-up mean is exact only while
+            # |2*sum + cnt| fits a double's 53-bit mantissa; a huge
+            # cell at high `scale` would silently diverge from the
+            # DuckDB oracle past that.  Fail loudly instead — the
+            # remedy is a lower `scale` or a `train_cap`.
+            if abs(2 * int(r["s"]) + int(r["c"])) >= 2**53:
+                raise ValueError(
+                    "kmeans_anchors_decimal: |2*sum + count| for cell "
+                    f"{int(r['cell'])} dim {int(r['pos'])} exceeds 2^53 — "
+                    "the rounded mean would lose bit-exactness across "
+                    "engines; lower `scale` or bound the training set "
+                    "with `train_cap`"
+                )
             qm = float(
                 math.floor((2.0 * float(r["s"]) + float(r["c"])) / (2.0 * float(r["c"])))
             )
@@ -1000,6 +1136,7 @@ def write_ann_index(
     vec_col: str = "embedding",
     n_buckets: "int | None" = None,
     anchors: "list[list[float]] | None" = None,
+    kernel: str = "auto",
 ) -> None:
     """Bootstrap (or extend) a PERSISTED vector index as an atomic
     bucketed parquet group — the embedding-space sibling of
@@ -1035,12 +1172,17 @@ def write_ann_index(
     reassigning cells would orphan every stored row.
 
     Scale shape: cell assignment is |anchors| expression-level cosines
-    per row sharing ONE hoisted norm fold (no shuffle, no Python); the
-    bucketed write is the only shuffle."""
+    per row sharing ONE hoisted norm fold (no shuffle, no Python) up
+    to ``_VEC_KERNEL_ANCHOR_THRESHOLD`` anchors, and ONE Arrow-batched
+    broadcast matmul per batch above it (``kernel="auto"``, r13 — how
+    a sqrt(N)-sized codebook stays assignable); the bucketed write is
+    the only shuffle."""
     import os
 
     from tubes_spark.sink import _CURRENT_EPOCH, Sink
 
+    if kernel not in _KERNELS:  # before any staging/commit side effect
+        raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
     final = f"{group_dir}/_anchors.parquet"
     tmp = f"{group_dir}/.tmp._anchors.parquet"
     epochs_before, _, _ = Sink._committed_epochs(group_dir)
@@ -1070,7 +1212,7 @@ def write_ann_index(
             cell_anchors = [[float(x) for x in r[vec_col]] for r in head]
         _stage_anchors(group_dir, cell_anchors)
     cells = _with_cell(
-        batch.select(id_col, vec_col), vec_col, cell_anchors
+        batch.select(id_col, vec_col), vec_col, cell_anchors, kernel=kernel
     ).select(id_col, "cell", vec_col)
     spec = Sink._bucket_spec(group_dir)
     if spec is None:
@@ -1098,6 +1240,7 @@ def rebuild_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_buckets: "int | None" = None,
+    kernel: str = "auto",
 ) -> "list[list[float]]":
     """Re-seed a grown index with a fresh codebook — the rebuild arm of
     the anchor lifecycle (anchors are immutable in place, so growing
@@ -1124,10 +1267,14 @@ def rebuild_ann_index(
         anchors = kmeans_anchors_decimal(
             stored, n_anchors=n_anchors, iters=iters,
             id_col=id_col, vec_col=vec_col,
+            # rebuilds are where codebooks GROW; auto lets a sqrt(N)
+            # target train through the matmul kernel while small
+            # (oracle-gated) rebuilds keep the bit-exact fold
+            kernel=kernel,
         )
     write_ann_index(
         stored, new_dir, id_col=id_col, vec_col=vec_col,
-        n_buckets=n_buckets, anchors=anchors,
+        n_buckets=n_buckets, anchors=anchors, kernel=kernel,
     )
     return [[float(x) for x in a] for a in anchors]
 
@@ -1143,6 +1290,7 @@ def incremental_ann_new(
     append_scope: str = "all",
     compact_after: "int | None" = None,
     n_probe: int = 1,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Arriving-batch SEMANTIC near-dup screen against the persisted
     vector index (SemDeDup's within-cluster rule, Abbas et al. 2023,
@@ -1199,11 +1347,20 @@ def incremental_ann_new(
         raise ValueError(f"unknown append_scope {append_scope!r}")
     if int(n_probe) < 1:
         raise ValueError("n_probe must be >= 1")
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
 
     anchors = _read_anchors(group_dir)
+    kernel = _resolve_kernel(kernel, len(anchors))
     if n_probe == 1:
         ab = _with_cell(
-            arriving.select(id_col, vec_col), vec_col, anchors
+            arriving.select(id_col, vec_col), vec_col, anchors, kernel=kernel
+        ).localCheckpoint(eager=True)
+    elif kernel == "vectorized":
+        # one matmul yields both the primary cell and the probe list
+        ab = _assign_cells_vectorized(
+            arriving.select(id_col, vec_col), vec_col, anchors,
+            out_col="cell", n_probe=int(n_probe), probes_col="__probes__",
         ).localCheckpoint(eager=True)
     else:
         ab = (

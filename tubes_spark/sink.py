@@ -299,8 +299,18 @@ class Sink:
     @staticmethod
     def _bucket_table_name(path: str) -> str:
         import hashlib
+        import os
 
-        return "tubes_bidx_" + hashlib.md5(path.encode()).hexdigest()[:16]
+        # ADVICE r12: registration (f"{group_dir}/.../compact/{kname}")
+        # and gc (str(Path(...))) build this path differently — a
+        # trailing slash or doubled separator in group_dir would hash to
+        # DIFFERENT table names and the stale catalog entry gc exists to
+        # remove would survive.  Normalize so both sides hash the same
+        # canonical string.
+        return (
+            "tubes_bidx_"
+            + hashlib.md5(os.path.normpath(path).encode()).hexdigest()[:16]
+        )
 
     @staticmethod
     def _write_bucketed_dir(
@@ -438,6 +448,8 @@ class Sink:
         merged schema into the consolidated layout."""
         from pyspark.sql import functions as F
 
+        from pathlib import Path
+
         epochs, k, kdir = Sink._committed_epochs(group_dir)
         if as_of_epoch is not None:
             epochs = [e for e in epochs if e <= as_of_epoch]
@@ -447,13 +459,30 @@ class Sink:
         if k is not None:
             parts.append(spark.read.parquet(f"{group_dir}/{name}/compact/{kdir}"))
         live = [e for e in epochs if k is None or e > k]
-        if live:
+        # ADVICE r12: a committed epoch CAN be legitimately file-less (a
+        # survivors-scope append where every arrival was rejected writes
+        # zero part files), and spark.read.parquet over ONLY such dirs
+        # fails schema inference — so skip local dirs _has_parquet rules
+        # out (they contribute no rows either way).  Non-local paths
+        # (is_dir() False) keep the plain read.
+        live_dirs = [
+            d
+            for d in (f"{group_dir}/{name}/data/epoch={e}" for e in live)
+            if not Path(d).is_dir() or Sink._has_parquet(d)
+        ]
+        if live_dirs:
             rd = spark.read.option("basePath", f"{group_dir}/{name}/data")
             if evolve_schema:
                 rd = rd.option("mergeSchema", "true")
             parts.append(
-                rd.parquet(*[f"{group_dir}/{name}/data/epoch={e}" for e in live])
+                rd.parquet(*live_dirs)
                 .withColumn("epoch", F.col("epoch").cast("int"))
+            )
+        if not parts:
+            raise ValueError(
+                f"leaf {name!r} under {group_dir} has committed epochs but "
+                "no readable data files (every live epoch is empty and no "
+                "compaction exists) — nothing to infer a schema from"
             )
         out = parts[0]
         for p in parts[1:]:
