@@ -301,3 +301,58 @@ def test_large_codebook_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(f"{idx}/cells/data/epoch=1").collect()
     }
     assert stored == {i: top_cells(i, 1)[0] for i in range(100, 160)}
+
+
+# ------------------------------------------- rebuild switch-over contract
+
+
+def test_rebuild_switchover_old_untouched_new_zero_exchange(spark, tmp_path):
+    """VERDICT r12 #4 switch-over pin: rebuilding into a new dir leaves
+    the OLD index byte-untouched (readers mid-switch stay correct), the
+    new dir records the freshly trained codebook, and the screen
+    against the new dir keeps the zero-index-side-Exchange plan shape
+    (every parquet scan bucketed)."""
+    import hashlib
+    import re
+    from pathlib import Path
+
+    V = _vec_corpus(n=60)
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    S.write_ann_index(_vecs(range(20), V, spark), old, n_anchors=4, n_buckets=4)
+    S.incremental_ann_new(
+        _vecs(range(20, 40), V, spark), spark, old, threshold=0.95,
+        update_index=True,
+    ).collect()
+
+    def snap(d):
+        return {
+            str(p.relative_to(d)): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(Path(d).rglob("*"))
+            if p.is_file()
+        }
+
+    before = snap(old)
+    anchors = S.rebuild_ann_index(spark, old, new, n_anchors=6)
+    assert snap(old) == before  # old dir byte-untouched
+    assert S._read_anchors(new) == anchors and len(anchors) == 6
+    # rebuilt leaf holds exactly the stored vector set, re-assigned
+    assert (
+        Sink.read_atomic_group(spark, new, "cells").count() == 40
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = S.incremental_ann_new(
+            _vecs(range(40, 50), V, spark), spark, new, threshold=0.95
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("FileScan parquet") == plan.count("Bucketed: true") > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # refuses to clobber an existing index
+    with pytest.raises(ValueError, match="already holds"):
+        S.rebuild_ann_index(spark, old, new, n_anchors=6)

@@ -4849,3 +4849,149 @@ LEFT JOIN hits h ON h.np = p_.np AND h.vec_id = c.vec_id
 ORACLES["streaming_ann_incremental_dedup"] = ORACLES[
     "ann_incremental_semantic_dedup"
 ]
+
+
+# Rebuild arm of the anchor lifecycle (r13): phase 1 replays the
+# pre-rebuild screen (slice 1 vs the 16-anchor bootstrap, all-scope
+# append semantics = p.slice < n.slice over slices {0,1}); the rebuild
+# trains an 8-cell decimal k-means codebook on the STORED vectors
+# (slices 0+1 — s0 is the training set _ann_kmeans_iter references),
+# re-derived bit-identically; phase 2 is every stored vector's cell
+# under that codebook (the rebuilt index's cells leaf); phase 3
+# screens slice 2 against the rebuilt index.
+ORACLES["ann_rebuild_semantic_dedup"] = f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+),
+b AS (
+  SELECT vec_id, CAST(vec_id % 3 AS INTEGER) AS slice,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM base
+),
+a_old AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM b WHERE slice = 0 ORDER BY vec_id LIMIT 16)
+),
+cells_old AS (
+  SELECT vec_id, slice, v, aid AS cell FROM (
+    SELECT b.vec_id, b.slice, b.v, a_old.aid,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_ANN_COS.format(a="b.v", b="a_old.av")} DESC, a_old.aid ASC
+      ) AS rn
+    FROM b CROSS JOIN a_old WHERE b.slice < 2
+  ) WHERE rn = 1
+),
+hits1 AS (
+  SELECT vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM (
+    SELECT n.vec_id, {_ANN_COS.format(a="n.v", b="p.v")} AS ps
+    FROM cells_old n JOIN cells_old p
+      ON p.cell = n.cell AND p.slice = 0 AND n.slice = 1
+  ) WHERE ps >= 0.9 GROUP BY vec_id
+),
+s0 AS (SELECT vec_id, v FROM b WHERE slice < 2),
+a0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM s0 ORDER BY vec_id LIMIT 8)
+),{_ann_kmeans_iter("a0", "a1")},{_ann_kmeans_iter("a1", "a2")},
+cells_new AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT s0.vec_id, s0.v, a2.aid,
+      row_number() OVER (
+        PARTITION BY s0.vec_id
+        ORDER BY {_ANN_COS.format(a="s0.v", b="a2.av")} DESC, a2.aid ASC
+      ) AS rn
+    FROM s0 CROSS JOIN a2
+  ) WHERE rn = 1
+),
+cells2 AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT b.vec_id, b.v, a2.aid,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_ANN_COS.format(a="b.v", b="a2.av")} DESC, a2.aid ASC
+      ) AS rn
+    FROM b CROSS JOIN a2 WHERE b.slice = 2
+  ) WHERE rn = 1
+),
+hits3 AS (
+  SELECT vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM (
+    SELECT n.vec_id, {_ANN_COS.format(a="n.v", b="p.v")} AS ps
+    FROM cells2 n JOIN cells_new p ON p.cell = n.cell
+  ) WHERE ps >= 0.9 GROUP BY vec_id
+)
+SELECT c.vec_id, CAST(1 AS INTEGER) AS phase, c.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits, h.best_sim
+FROM (SELECT * FROM cells_old WHERE slice = 1) c LEFT JOIN hits1 h USING (vec_id)
+UNION ALL
+SELECT vec_id, CAST(2 AS INTEGER) AS phase, cell,
+       TRUE AS is_new, CAST(0 AS INTEGER) AS n_prior_hits,
+       CAST(NULL AS DOUBLE) AS best_sim
+FROM cells_new
+UNION ALL
+SELECT c.vec_id, CAST(3 AS INTEGER) AS phase, c.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits, h.best_sim
+FROM cells2 c LEFT JOIN hits3 h USING (vec_id)
+"""
+
+
+# Streaming multi-probe twin (r13): trigger k == slice k; the index at
+# trigger k is every earlier slice (all-scope appends); the ARRIVING
+# vector probes its top-2 cells (rn <= 2, cos DESC aid ASC — the same
+# bit-exact ranking as Spark's (-score, aid) struct sort), stored
+# vectors stay in their primary cell, and the ledger cell is the
+# primary.  Compaction between triggers is decision-invariant.
+ORACLES["streaming_ann_nprobe_dedup"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+mid AS (
+  SELECT x.vec_id + 400000 AS vec_id,
+         list_transform(range(1, 65), i -> x.v[i] + y.v[i]) AS v
+  FROM e x JOIN e y ON y.vec_id = x.vec_id + 1
+  WHERE x.vec_id % 5 = 0
+),
+b AS (
+  SELECT vec_id, CAST(vec_id % 3 AS INTEGER) AS slice, v FROM e
+  UNION ALL
+  SELECT vec_id, CAST(vec_id % 3 AS INTEGER) AS slice, v FROM mid
+),
+anch AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM b WHERE slice = 0 ORDER BY vec_id LIMIT 16)
+),
+ranked AS (
+  SELECT vec_id, slice, v, aid AS cell, rn FROM (
+    SELECT b.vec_id, b.slice, b.v, anch.aid,
+      row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {_ANN_COS.format(a="b.v", b="anch.av")} DESC, anch.aid ASC
+      ) AS rn
+    FROM b CROSS JOIN anch
+  ) WHERE rn <= 2
+),
+hits AS (
+  SELECT vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM (
+    SELECT n.vec_id, {_ANN_COS.format(a="n.v", b="p.v")} AS ps
+    FROM ranked n
+    JOIN ranked p ON p.rn = 1 AND p.cell = n.cell AND p.slice < n.slice
+  ) WHERE ps >= 0.7 GROUP BY vec_id
+)
+SELECT c.vec_id, c.slice, c.cell,
+       CASE WHEN c.slice = 0 THEN TRUE ELSE (h.vec_id IS NULL) END AS is_new,
+       CASE WHEN c.slice = 0 THEN 0 ELSE COALESCE(h.n_prior_hits, 0) END
+         AS n_prior_hits,
+       CASE WHEN c.slice = 0 THEN NULL ELSE h.best_sim END AS best_sim
+FROM (SELECT vec_id, slice, cell FROM ranked WHERE rn = 1) c
+LEFT JOIN hits h USING (vec_id)
+"""

@@ -9575,3 +9575,175 @@ def streaming_ann_incremental_dedup(spark, sf_dir):
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ann_rebuild_semantic_dedup(spark, sf_dir):
+    """The REBUILD arm of the anchor lifecycle under the gate (r13,
+    VERDICT r12 #4): anchors are immutable in place, so growing (or
+    here, re-sizing) the codebook means ``rebuild_ann_index`` — one
+    scan of the stored cells leaf (the corpus is never re-read), a
+    fresh ``kmeans_anchors_decimal`` codebook trained on the stored
+    vectors, and a bucketed write into a NEW group dir readers switch
+    to.  Three oracle-gated phases pin the whole path: phase 1 is the
+    pre-rebuild screen (slice 1 vs the 16-anchor bootstrap index,
+    appended all-scope), phase 2 is the REBUILT index's cells leaf
+    read back from disk — every stored vector re-assigned under the
+    freshly trained 8-cell codebook, so a regression anywhere in
+    train/write/switch-over changes these rows — and phase 3 screens
+    slice 2 against the rebuilt index.  The oracle re-derives the
+    trained codebook bit-identically (the decimal k-means CTE
+    technique of ``ann_kmeans_semantic_dedup``), so all three phases
+    sit under the value-hash gate.
+
+    Scale shape: the rebuild is one index scan + one bucketed write,
+    both linear; training is 2 Lloyd passes over the stored leaf.  At
+    a real sqrt(N) codebook the assignment inside both train and write
+    dispatches to the broadcast-matmul kernel (r13) — here it stays on
+    the bit-exact expression kernel because 8, 16 << the threshold.
+    tests/test_round13.py pins the switch-over contract: the old dir
+    is byte-untouched and the new dir's screen plans zero index-side
+    Exchange."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.sink import Sink
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reps = e.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    base = e.unionByName(reps)
+    slices = [base.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    root = tempfile.mkdtemp(prefix="tubes_ann_rb_")
+    old_dir, new_dir = f"{root}/old", f"{root}/new"
+    try:
+        similarity.write_ann_index(slices[0], old_dir, n_anchors=16)
+        v1 = similarity.incremental_ann_new(
+            slices[1], spark, old_dir, threshold=0.9, update_index=True
+        ).select(
+            "vec_id",
+            F.lit(1).cast("int").alias("phase"),
+            "cell",
+            "is_new",
+            "n_prior_hits",
+            "best_sim",
+        )
+        v1 = v1.localCheckpoint(eager=True)  # pre-rebuild verdicts, pinned
+        similarity.rebuild_ann_index(
+            spark, old_dir, new_dir, n_anchors=8, iters=2
+        )
+        rb = Sink.read_atomic_group(spark, new_dir, "cells").select(
+            "vec_id",
+            F.lit(2).cast("int").alias("phase"),
+            "cell",
+            # every stored row was ingested; TRUE (not NULL) keeps the
+            # boolean column null-free, which both pandas bridges
+            # represent identically
+            F.lit(True).alias("is_new"),
+            F.lit(0).cast("int").alias("n_prior_hits"),
+            F.lit(None).cast("double").alias("best_sim"),
+        )
+        v2 = similarity.incremental_ann_new(
+            slices[2], spark, new_dir, threshold=0.9
+        ).select(
+            "vec_id",
+            F.lit(3).cast("int").alias("phase"),
+            "cell",
+            "is_new",
+            "n_prior_hits",
+            "best_sim",
+        )
+        out = v1.unionByName(rb).unionByName(v2)
+        out = out.localCheckpoint(eager=True)  # pin before the dirs go
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_ann_nprobe_dedup(spark, sf_dir):
+    """Multi-probe recall under REAL micro-batch index maintenance
+    (r13, VERDICT r12 #6): the streaming ANN twin runs its screens at
+    ``n_probe=2``, so boundary-straddling near-dups are recovered
+    while the index is being appended and compacted between triggers.
+    Pressure: for every vec_id%5==0 vector X (Y the next by id) the
+    midpoint M = X + Y joins the corpus at id+400000 — roughly
+    equidistant from X and Y (cos ~0.7), so M's primary cell usually
+    holds only one of them and the second probe is what finds the
+    other.  Replay: three vec_id%3 slices under maxFilesPerTrigger=1;
+    trigger 0 bootstraps the 16-anchor index, later triggers screen
+    with n_probe=2 at threshold 0.7, append all-scope, and
+    ``compact_after=2`` fires the cells-leaf consolidation inside the
+    drain.  Fully value-hash-gated: probe ranking is (cosine DESC,
+    aid ASC) on both engines; the ledger cell is always the primary;
+    compaction never changes decisions.
+
+    Scale shape per trigger: |batch| assignments (one hoisted-norm
+    fold under the kernel threshold), candidate pairs ~2x the
+    n_probe=1 cost, zero index-side Exchange, one epoch append behind
+    the atomic marker."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    mid = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("y.vec_id") == F.col("x.vec_id") + 1)
+        .filter(F.col("x.vec_id") % 5 == 0)
+        .select(
+            (F.col("x.vec_id") + F.lit(400000)).alias("vec_id"),
+            F.zip_with(
+                "x.embedding", "y.embedding", lambda a, b: a + b
+            ).alias("embedding"),
+        )
+    )
+    base = e.unionByName(mid)
+    conds = [F.col("vec_id") % 3 == i for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="tubes_sannnp_")
+    try:
+        write_ordered_slices(base, conds, f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        idx_dir = f"{tmp}/idx"
+        out_dir = f"{tmp}/new"
+
+        def fb(batch_df, epoch_id):
+            ep = int(epoch_id)
+            if ep == 0:
+                similarity.write_ann_index(batch_df, idx_dir, n_anchors=16)
+                anchors = similarity._read_anchors(idx_dir)
+                ledger = similarity._with_cell(
+                    batch_df.select("vec_id", "embedding"), "embedding", anchors
+                ).select(
+                    "vec_id",
+                    "cell",
+                    F.lit(True).alias("is_new"),
+                    F.lit(0).cast("int").alias("n_prior_hits"),
+                    F.lit(None).cast("double").alias("best_sim"),
+                )
+            else:
+                ledger = similarity.incremental_ann_new(
+                    batch_df, spark, idx_dir, threshold=0.7,
+                    update_index=True, compact_after=2, n_probe=2,
+                )
+            ledger.withColumn("slice", F.lit(ep).cast("int")).select(
+                "vec_id", "slice", "cell", "is_new", "n_prior_hits", "best_sim"
+            ).write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
