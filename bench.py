@@ -239,6 +239,39 @@ GRAPH_FAMILY = {
     "graph_bfs_hops": "rare_shingles",
 }
 
+# r13: queries whose final plan Catalyst PRUNES under a bare .count()
+# by eliminating a join (left join against a per-key aggregate whose
+# keys are provably distinct, or a join feeding only dropped columns) —
+# a count() times LESS work than producing the result.  Detected by
+# comparing optimized-plan join counts between `df` and
+# `df.groupBy().count()` over the full battery (the ANN/MinHash ledger
+# queries are NOT here: ANN ledgers localCheckpoint(eager) inside the
+# query fn, MinHash verdicts end in a count-relevant anti-join).  The
+# primary `queries` timings keep the count() action for cross-round and
+# BASELINE comparability; these 13 are ALSO timed under a noop write
+# (full materialization of every column) and recorded in the payload's
+# `noop_restate` block so both numbers are on the record.
+COUNT_ELIMINATED = [
+    "bloom_decontaminate_check",
+    "boilerplate_shingle_flags",
+    "dedup_span_coverage",
+    "dedup_span_rewrite",
+    "dsir_importance_weights",
+    "gapfill_hourly_counts",
+    "minhash_estimate_error",
+    "psi_drift_monitor",
+    "retrieval_eval_metrics",
+    "simhash_band_cap_stats",
+    "span_scrub_exact_substrings",
+    "tombstone_delete_propagation",
+    "vocab_oov_rate",
+]
+
+
+def _force(df) -> None:
+    """Materialize every column of every row (noop datasource write)."""
+    df.write.format("noop").mode("overwrite").save()
+
 
 def _make_trigger_listener(spark):
     """Record streaming micro-batch progress PER QUERY ID engine-side,
@@ -489,6 +522,21 @@ def main() -> None:
                 det["sec_per_trigger"] = round(best / det["triggers"], 3)
                 streaming_detail[name] = det
 
+    # r13: full-materialization restate for the count-eliminated tail
+    # (see COUNT_ELIMINATED) — best-of-3 under a noop write, recorded
+    # alongside the primary count() numbers
+    noop_restate: dict[str, float] = {}
+    for name in COUNT_ELIMINATED:
+        if name not in timings:
+            continue
+        fn = queries[name]
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        noop_restate[name] = round(best, 3)
+
     cal_end = _calibrate()
 
     total = round(sum(timings.values()), 3)
@@ -499,6 +547,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "graph_cold_vs_cached": graph_detail,
+        "noop_restate": noop_restate,
         "streaming": streaming,
         "streaming_triggers": streaming_detail,
         "calibration": {"start": cal_start, "end": cal_end},
