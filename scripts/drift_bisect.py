@@ -37,9 +37,10 @@ def main() -> None:
     probe_path = Path(__file__).resolve().parent.parent / "SCALE_PROBE.json"
     payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
     run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
-    rows = {}
-    for name in ["ngram_cosine_top_pairs", "streaming_late_data",
-                 "streaming_fold_rocksdb"]:
+    names = sys.argv[1:] or ["ngram_cosine_top_pairs", "streaming_late_data",
+                             "streaming_fold_rocksdb"]
+    rows = dict(payload.get("drift_bisect", {}).get("results", {}))
+    for name in names:
         spark = get_spark("tubes_drift_bisect", shuffle_partitions=32)
         spark.sparkContext.setLogLevel("ERROR")
         from tubes_spark import queries as Q
