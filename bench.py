@@ -92,6 +92,11 @@ HEADLINE = [
     "ann_incremental_survivors",      # survivor-anchored ANN appends (r12)
     "ann_nprobe_boundary_recall",     # IVF nprobe recall dial (r12)
     "streaming_ann_incremental_dedup",  # ANN index loop as micro-batches (r12)
+    "ann_rebuild_semantic_dedup",     # rebuild arm: re-seed from the cells leaf (r13)
+    "streaming_ann_nprobe_dedup",     # n_probe=2 under micro-batch maintenance (r13)
+    "ann_kernel_parity",              # matmul kernel vs expr kernel under the gate (r13)
+    "cluster_balanced_sample",        # per-cell prototype curation draw (r13)
+    "hard_negative_mining",           # within-cell cross-label contrastive mining (r13)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt

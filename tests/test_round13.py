@@ -356,3 +356,89 @@ def test_rebuild_switchover_old_untouched_new_zero_exchange(spark, tmp_path):
     # refuses to clobber an existing index
     with pytest.raises(ValueError, match="already holds"):
         S.rebuild_ann_index(spark, old, new, n_anchors=6)
+
+
+# --------------------------------- round-13 battery additions (gated)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb001(spark):
+    return spark.read.parquet(f"{SF001}/embeddings.parquet")
+
+
+def _np_cells(V, anchors):
+    import numpy as np
+
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    A = np.asarray(anchors)
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    return (Vn @ An.T).argmax(axis=1)  # first max = smallest aid on ties
+
+
+def test_ann_kernel_parity_gate_zero_mismatch(spark):
+    from tubes_spark import queries as Q
+
+    rows = Q.ann_kernel_parity(spark, SF001).collect()
+    assert sum(r["n_mismatch"] for r in rows) == 0
+    assert sum(r["n_vec"] for r in rows) == 500
+
+
+def test_cluster_balanced_sample_matches_numpy(spark, emb001):
+    import numpy as np
+
+    from tubes_spark import queries as Q
+
+    got = Q.cluster_balanced_sample(spark, SF001).collect()
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], []).append((r["rnk"], r["vec_id"]))
+    assert all(len(v) <= 5 for v in by_cell.values())
+
+    pdf = emb001.orderBy("vec_id").toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    anchors = S.kmeans_anchors_decimal(emb001, n_anchors=8, iters=2)
+    cells = _np_cells(V, anchors)
+    A = np.asarray(anchors)
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos_c = np.einsum("ij,ij->i", Vn, An[cells])
+    ids = pdf["vec_id"].to_numpy()
+    for cell, members in by_cell.items():
+        mask = cells == cell
+        order = sorted(
+            zip(-cos_c[mask], ids[mask])
+        )  # cos DESC, vec_id ASC
+        want = [int(v) for _, v in order[:5]]
+        assert [v for _, v in sorted(members)] == want
+
+
+def test_hard_negative_mining_matches_numpy(spark, emb001):
+    import numpy as np
+
+    from tubes_spark import queries as Q
+
+    got = {r["vec_id"]: r for r in Q.hard_negative_mining(spark, SF001).collect()}
+    pdf = emb001.orderBy("vec_id").toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    anchors = S.kmeans_anchors_decimal(emb001, n_anchors=8, iters=2)
+    cells = _np_cells(V, anchors)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    n_expected = 0
+    for i in range(len(ids)):
+        mask = (cells == cells[i]) & (labels != labels[i])
+        if not mask.any():
+            continue
+        n_expected += 1
+        sims = Vn[mask] @ Vn[i]
+        # top by (cos DESC, neg_id ASC)
+        order = sorted(zip(-sims, ids[mask]))
+        best_id = int(order[0][1])
+        r = got[int(ids[i])]
+        assert r["neg_id"] == best_id, (ids[i], best_id, r)
+        assert r["neg_label"] != r["label"]
+        assert abs(-order[0][0] - r["neg_sim"]) < 1e-5
+    assert len(got) == n_expected

@@ -4995,3 +4995,102 @@ SELECT c.vec_id, c.slice, c.cell,
 FROM (SELECT vec_id, slice, cell FROM ranked WHERE rn = 1) c
 LEFT JOIN hits h USING (vec_id)
 """
+
+
+# Round 13: the vectorized (broadcast-matmul) kernel under the gate —
+# the oracle re-derives the EXPRESSION kernel's assignment (the
+# ordered-fold cosine argmax, ties toward the smaller anchor id) and
+# pins n_mismatch = 0, so any argmax divergence between the BLAS and
+# fold kernels on real data fails the value hash.
+ORACLES["ann_kernel_parity"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+a AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 12)
+),
+cells AS (
+  SELECT vec_id, aid AS cell FROM (
+    SELECT e.vec_id, a.aid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_ANN_COS.format(a="e.v", b="a.av")} DESC, a.aid ASC) AS rn
+    FROM e CROSS JOIN a
+  ) WHERE rn = 1
+)
+SELECT cell, count(*) AS n_vec, CAST(0 AS BIGINT) AS n_mismatch
+FROM cells GROUP BY cell
+"""
+
+
+# Round 13: cluster-balanced prototype sampling — re-derives the
+# 8-anchor 2-iteration decimal k-means codebook (same CTE technique as
+# ann_kmeans_semantic_dedup, trained on the FULL corpus here), assigns
+# every vector, and keeps the 5 most-central per cell.  Ranking uses
+# the unrounded fold cosine; only the output rounds.
+ORACLES["cluster_balanced_sample"] = f"""
+WITH s0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+a0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM s0 ORDER BY vec_id LIMIT 8)
+),{_ann_kmeans_iter("a0", "a1")},{_ann_kmeans_iter("a1", "a2")},
+cells AS (
+  SELECT vec_id, cell, cs FROM (
+    SELECT s0.vec_id, a2.aid AS cell,
+      {_ANN_COS.format(a="s0.v", b="a2.av")} AS cs,
+      row_number() OVER (PARTITION BY s0.vec_id
+        ORDER BY {_ANN_COS.format(a="s0.v", b="a2.av")} DESC, a2.aid ASC) AS rn
+    FROM s0 CROSS JOIN a2
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cell, cs,
+    row_number() OVER (PARTITION BY cell ORDER BY cs DESC, vec_id ASC) AS rnk
+  FROM cells
+)
+SELECT vec_id, cell, CAST(rnk AS INTEGER) AS rnk, round(cs, 6) AS cos_centroid
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# Round 13: hard-negative mining — within the trained cell, the top
+# cross-label neighbor per query (cosine DESC, neg_id ASC).  The pair
+# cosine's division tree d / (sqrt * sqrt) matches the Spark side's
+# hoisted-norm d / (nq * nn) bit-exactly (same three doubles).
+ORACLES["hard_negative_mining"] = f"""
+WITH s0 AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+a0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM s0 ORDER BY vec_id LIMIT 8)
+),{_ann_kmeans_iter("a0", "a1")},{_ann_kmeans_iter("a1", "a2")},
+cells AS (
+  SELECT vec_id, aid AS cell FROM (
+    SELECT s0.vec_id, a2.aid,
+      row_number() OVER (PARTITION BY s0.vec_id
+        ORDER BY {_ANN_COS.format(a="s0.v", b="a2.av")} DESC, a2.aid ASC) AS rn
+    FROM s0 CROSS JOIN a2
+  ) WHERE rn = 1
+),
+c AS (
+  SELECT s0.vec_id, s0.label, s0.v, cells.cell
+  FROM s0 JOIN cells USING (vec_id)
+),
+pairs AS (
+  SELECT q.vec_id, q.label, q.cell,
+         n.vec_id AS neg_id, n.label AS neg_label,
+         {_ANN_COS.format(a="q.v", b="n.v")} AS cs
+  FROM c q JOIN c n ON n.cell = q.cell AND n.label <> q.label
+)
+SELECT vec_id, label, cell, neg_id, neg_label, round(cs, 6) AS neg_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cs DESC, neg_id ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""

