@@ -73,9 +73,13 @@ def main() -> None:
                 "start": cal_start,
                 "end": best_of(Q.flagship_pricing_summary, 3),
             },
-            "r10_sec": R10[name],
-            "ratio_vs_r10": round(drift_now / R10[name], 2),
         })
+        # names outside the hardcoded r10 reference set still get
+        # measured and recorded — just without a ratio row (a KeyError
+        # here used to throw away the whole run's results).
+        if name in R10:
+            row["r10_sec"] = R10[name]
+            row["ratio_vs_r10"] = round(drift_now / R10[name], 2)
         rows[name] = row
         print(json.dumps({"drift_bisect": name, **row}))
         spark.stop()

@@ -999,12 +999,17 @@ def main() -> None:
             sess.sparkContext.setLogLevel("ERROR")
             b = sess.read.parquet(batch_path)
             before = set(rest_stages(sess))
-            out = S.incremental_ann_new(b, sess, gdir, threshold=0.9)
+            # wall-clock and the REST byte totals must cover the SAME
+            # window: the screen's eager assignment checkpoint runs
+            # inside incremental_ann_new, so t0 starts before it, and
+            # the row count moves AFTER the `after` snapshot so its
+            # re-execution stages aren't attributed to the screen.
             t0 = time.perf_counter()
+            out = S.incremental_ann_new(b, sess, gdir, threshold=0.9)
             force(out)
             wall = round(time.perf_counter() - t0, 3)
-            n = out.count()
             after = rest_stages(sess, settle=True)
+            n = out.count()
             new = [s for sid, s in after.items() if sid not in before]
             rows[tag] = {
                 "verdict_rows": int(n),

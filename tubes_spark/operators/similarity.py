@@ -988,7 +988,19 @@ def _read_anchors(group_dir: str) -> "list[list[float]]":
                     final = tmp
                 else:
                     raise
-    t = pq.read_table(final)
+    published = f"{group_dir}/_anchors.parquet"
+    try:
+        t = pq.read_table(final)
+    except FileNotFoundError:
+        # TOCTOU tail of the read-only fallback: between choosing the
+        # staged path and reading it, a writer-capable reader can
+        # finish the recovery rename — the content moved, it didn't
+        # vanish.  Read the published file; anything else is a real
+        # missing-anchor error.
+        if final != published and os.path.exists(published):
+            t = pq.read_table(published)
+        else:
+            raise
     rows = sorted(zip(t["aid"].to_pylist(), t["vec"].to_pylist()))
     return [[float(x) for x in vec] for _, vec in rows]
 
@@ -1099,7 +1111,15 @@ def kmeans_anchors_decimal(
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .withColumn("q", q.cast("long"))
             .groupBy("cell", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("c"))
+            # DECIMAL(38,0) sum: exact to 38 digits, so a huge cell can
+            # never WRAP the way a bigint sum silently does at 2^63 —
+            # the 2^53 guard below sees the true magnitude and fails
+            # loudly instead of blessing a wrapped value that happens
+            # to land back inside the mantissa range.
+            .agg(
+                F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
             .collect()
         )
         new = [list(a) for a in cent]

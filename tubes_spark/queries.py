@@ -9826,7 +9826,8 @@ def cluster_balanced_sample(spark, sf_dir):
             (F.array_position(F.col("__s__"), F.array_max(F.col("__s__"))) - 1)
             .cast("int"),
         )
-        .withColumn("cos_c", F.element_at(F.col("__s__"), F.col("cell") + 1))
+        # the cosine to the assigned (argmax) centroid IS the max score
+        .withColumn("cos_c", F.array_max(F.col("__s__")))
     )
     w = Window.partitionBy("cell").orderBy(
         F.col("cos_c").desc(), F.col("vec_id").asc()
