@@ -1175,6 +1175,104 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--hard-neg-scale" in sys.argv:
+        # r13: hard-negative mining pays the within-cell CROSS-LABEL
+        # pair count — pairs/row ~ N/C like the ANN screen, so the same
+        # codebook law applies: frozen cells at 10x corpus pay ~10x
+        # pairs/row, C ~ sqrt(N) pays ~sqrt(10).  Pair counts are EXACT
+        # cell/label arithmetic (sum_c nc^2 - sum_{c,l} ncl^2, ordered
+        # pairs); wall-clock runs the real miner through the
+        # broadcast-matmul kernels (kernel="vectorized" on every arm so
+        # arms differ only in codebook size — the 45M-pair frozen arm
+        # is exactly the configuration the interpreted fold could not
+        # survive, which is the point of the kernel).
+        from tubes_spark.operators import similarity as S
+
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        OK = 10_000_000_000
+
+        base = load_table(spark, "embeddings", SF_BASE).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+            "label",
+        )
+
+        def rep(d, r):
+            return d.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(r * OK)
+            ).withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        i == F.lit(r % 64), x + F.lit(0.001 * (r + 1))
+                    ).otherwise(x),
+                ),
+            )
+
+        big = rep(base, 0)
+        for r in range(1, 10):
+            big = big.unionByName(rep(base, r))
+        big = big.localCheckpoint(eager=True)
+
+        def stats(corpus, n_anchors, tag):
+            t0 = time.perf_counter()
+            anch = S.kmeans_anchors_decimal(
+                corpus, n_anchors=n_anchors, iters=1, kernel="auto"
+            )
+            train_s = round(time.perf_counter() - t0, 3)
+            per = (
+                S._with_cell(corpus, "embedding", anch, kernel="vectorized")
+                .groupBy("cell", "label").count()
+            )
+            agg = per.groupBy("cell").agg(
+                F.sum("count").alias("nc"),
+                F.sum(F.col("count") * F.col("count")).alias("sq"),
+            )
+            pairs = agg.select(
+                F.sum(F.col("nc") * F.col("nc") - F.col("sq")).alias("p")
+            ).collect()[0]["p"] or 0
+            n = corpus.count()
+            t0 = time.perf_counter()
+            force(S.mine_hard_negatives(corpus, anch, kernel="vectorized"))
+            mine_s = round(time.perf_counter() - t0, 3)
+            row = {
+                "n_anchors": n_anchors, "rows": int(n),
+                "cross_label_pairs": int(pairs),
+                "pairs_per_row": round(pairs / n, 1),
+                "train_sec": train_s, "mine_sec": mine_s,
+            }
+            print(json.dumps({"hard_neg_scale": tag, **row}))
+            return row
+
+        cal_start = calibrate(spark)
+        rows = {
+            "base_8": stats(base, 8, "base_8"),
+            "x10_frozen_8": stats(big, 8, "x10_frozen_8"),
+            "x10_sqrt_25": stats(big, 25, "x10_sqrt_25"),
+            "x10_linear_80": stats(big, 80, "x10_linear_80"),
+        }
+        ppr = lambda k: rows[k]["pairs_per_row"]
+        payload["hard_neg_scale"] = {
+            "base": SF_BASE, "corpus_x": 10,
+            "results": rows,
+            "pairs_per_row_growth": {
+                "frozen_8": round(ppr("x10_frozen_8") / ppr("base_8"), 2),
+                "sqrt_25": round(ppr("x10_sqrt_25") / ppr("base_8"), 2),
+                "linear_80": round(ppr("x10_linear_80") / ppr("base_8"), 2),
+            },
+            "law": "cross-label pairs/row ~ N/C: the miner rides the "
+                   "same codebook sizing rule as the ANN screen; the "
+                   "matmul kernels keep per-pair cost at BLAS rates "
+                   "(gate SFs stay on the bit-exact fold path)",
+            "calibration": {"start": cal_start, "end": calibrate(spark)},
+            "run": run_id,
+        }
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        return
+
     if "--ppjoin-mixed" in sys.argv:
         # VERDICT-r10 #5: the x100 jaccard synth is all-true-near-dups,
         # where PPJoin's length/positional filters structurally cannot

@@ -442,3 +442,26 @@ def test_hard_negative_mining_matches_numpy(spark, emb001):
         assert r["neg_label"] != r["label"]
         assert abs(-order[0][0] - r["neg_sim"]) < 1e-5
     assert len(got) == n_expected
+
+
+def test_mine_hard_negatives_kernel_parity(spark, emb001):
+    """The per-cell matmul mining kernel returns the same ledger as the
+    oracle-exact expression path at gate SF (same negatives, same
+    tiebreaks; neg_sim equal at the 6-dp output rounding)."""
+    e = emb001.select("vec_id", "embedding", "label")
+    anchors = S.kmeans_anchors_decimal(e, n_anchors=8, iters=2)
+    expr = {
+        r["vec_id"]: r
+        for r in S.mine_hard_negatives(e, anchors, kernel="expr").collect()
+    }
+    vec = {
+        r["vec_id"]: r
+        for r in S.mine_hard_negatives(e, anchors, kernel="vectorized").collect()
+    }
+    assert set(expr) == set(vec)
+    for k, r in expr.items():
+        v = vec[k]
+        assert (r["cell"], r["neg_id"], r["neg_label"]) == (
+            v["cell"], v["neg_id"], v["neg_label"]
+        ), (k, r, v)
+        assert abs(r["neg_sim"] - v["neg_sim"]) <= 1e-6

@@ -1485,3 +1485,135 @@ def incremental_ann_new(
                 out = out.localCheckpoint(eager=True)  # pin before gc deletes dirs
                 Sink.compact_atomic_group(spark, group_dir, gc=True)
     return out
+
+
+# --------------------------------------------------- hard-negative mining
+
+def _mine_hard_negatives_vectorized(
+    cells: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-cell matmul mining kernel (r13): one Arrow-batched group per
+    cell, rows sorted by id, queries row-blocked (1024 at a time) so
+    the (block x cell) cosine matrix stays bounded, same-label entries
+    masked to -inf, numpy first-argmax — which on the id-sorted matrix
+    reproduces the expression path's (cosine DESC, neg_id ASC)
+    tiebreak.  BLAS pairwise summation can differ from the sequential
+    fold by ~1 ulp, so this path (like the assignment kernel) waives
+    the bit-exact oracle contract; gate-SF parity vs the expression
+    path is test-pinned and the gated query stays on the fold.
+
+    Scale shape: the shuffle is ONE exchange keyed on the cell (the
+    same partitioning the persisted index stores, so index-resident
+    corpora skip it); per-cell cost is an O(n_c * n_c * dims) matmul
+    instead of interpreted folds — with C ~ sqrt(N) cells that is the
+    ~N^1.5/C total the operator docstring prices, at BLAS rates."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_f = cells.schema[id_col].dataType
+    lb_f = cells.schema[label_col].dataType
+    schema = StructType([
+        StructField(id_col, id_f, False),
+        StructField(label_col, lb_f, True),
+        StructField("cell", IntegerType(), False),
+        StructField("neg_id", id_f, False),
+        StructField("neg_label", lb_f, True),
+        StructField("neg_sim", DoubleType(), False),
+    ])
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        V = _to_matrix(pdf[vec_col])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        labels = pdf[label_col].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        outs = []
+        B = 1024
+        for s in range(0, len(pdf), B):
+            sims = Vn[s : s + B] @ Vn.T
+            sims[labels[s : s + B, None] == labels[None, :]] = -np.inf
+            j = sims.argmax(axis=1)  # first max = smallest id on ties
+            best = sims[np.arange(len(j)), j]
+            keep = best > -np.inf  # rows with no cross-label candidate
+            if not keep.any():
+                continue
+            outs.append(pd.DataFrame({
+                id_col: ids[s : s + B][keep],
+                label_col: labels[s : s + B][keep],
+                "cell": cell,
+                "neg_id": ids[j[keep]],
+                "neg_label": labels[j[keep]],
+                "neg_sim": np.round(best[keep], 6),
+            }))
+        if not outs:
+            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in schema})
+        return pd.concat(outs, ignore_index=True)
+
+    return cells.groupBy("cell").applyInPandas(mine, schema)
+
+
+def mine_hard_negatives(
+    df: DataFrame,
+    anchors: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    kernel: str = "auto",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining (r13): for every row,
+    the most similar vector with a DIFFERENT ``label_col`` inside its
+    anchor-argmax cell — candidates bounded by the cell, never the
+    corpus (the all-pairs pass a naive miner would pay).  Misses a
+    cross-cell negative by construction: the IVF recall trade the
+    nprobe dial tunes.
+
+    ``kernel`` follows the assignment dispatch rule
+    (:func:`_resolve_kernel`): at or under the 128-anchor threshold,
+    assignment AND pair scoring are the sequential-fold expressions
+    both engines compute bit-identically (the per-query norm is
+    hoisted before the join so each pair pays ONE dot fold; division
+    tree ``d / (nq * nn)``) — the oracle-gated regime.  Above it, both
+    go through broadcast-matmul kernels
+    (:func:`_assign_cells_vectorized`, then the per-cell blocked
+    matmul of :func:`_mine_hard_negatives_vectorized`), which is the
+    100 TB path: the fold pays |dims| interpreted ops per pair, the
+    matmul runs at BLAS rates (~100x), and the within-cell pair count
+    is what sqrt(N) codebook growth keeps at ~N^1.5/C."""
+    k = _resolve_kernel(kernel, len(anchors))
+    c = _with_cell(df, vec_col, anchors, kernel=k)
+    if k == "vectorized":
+        return _mine_hard_negatives_vectorized(c, id_col, vec_col, label_col)
+    c = c.withColumn("__hn_nv__", norm(F.col(vec_col)))
+    pairs = c.alias("q").join(
+        c.alias("n"),
+        (F.col("n.cell") == F.col("q.cell"))
+        & (F.col(f"n.{label_col}") != F.col(f"q.{label_col}")),
+    )
+    scored = pairs.select(
+        F.col(f"q.{id_col}").alias(id_col),
+        F.col(f"q.{label_col}").alias(label_col),
+        F.col("q.cell").alias("cell"),
+        F.col(f"n.{id_col}").alias("neg_id"),
+        F.col(f"n.{label_col}").alias("neg_label"),
+        (
+            dot(F.col(f"q.{vec_col}"), F.col(f"n.{vec_col}"))
+            / (F.col("q.__hn_nv__") * F.col("n.__hn_nv__"))
+        ).alias("cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cs").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            id_col, label_col, "cell", "neg_id", "neg_label",
+            F.round("cs", 6).alias("neg_sim"),
+        )
+    )

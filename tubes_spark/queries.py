@@ -9852,49 +9852,21 @@ def hard_negative_mining(spark, sf_dir):
     cross-cell negative by construction — the IVF recall trade the
     nprobe dial tunes (``ann_nprobe_boundary_recall``).
 
-    Fully value-hash-gated: cell assignment and the pair cosine are
-    the ordered-fold forms both engines compute bit-identically; the
-    per-query norm is HOISTED before the join (ADVICE r11 pattern) so
-    each pair pays one dot fold, not three, and the division tree
-    ``d / (nq * nn)`` matches the oracle's
-    ``d / (sqrt(...) * sqrt(...))`` exactly.
+    Thin gate wrapper over ``similarity.mine_hard_negatives``: at this
+    anchor count the dispatch resolves to the sequential-fold kernels
+    both engines compute bit-identically (per-query norm hoisted, one
+    dot fold per pair, division tree ``d / (nq * nn)`` matching the
+    oracle's ``d / (sqrt(...) * sqrt(...))``), so the whole ledger is
+    value-hash-gated.  Above the 128-anchor threshold the SAME call
+    dispatches to the broadcast-matmul assignment + per-cell blocked
+    matmul mining kernels — the 100 TB path (SCALE_PROBE
+    ``hard_neg_scale``); parity is test-pinned at gate SFs.
 
     Scale shape: one shuffle keyed on the cell (both sides co-located;
     with the persisted index the stored side is ALREADY bucketed on
     cell, zero index-side Exchange), within-cell pair fan-out bounded
-    by the largest cell — sqrt(N) codebook growth keeps cells ~sqrt(N)
-    so pairs stay ~N^1.5/C, and the gate-scale fold rescorer is
-    swapped for the Arrow matmul rescorer above the kernel threshold
-    (same dispatch rule as assignment)."""
+    by the largest cell — sqrt(N) codebook growth keeps pairs at
+    ~N^1.5/C."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     anchors = similarity.kmeans_anchors_decimal(e, n_anchors=8, iters=2)
-    c = similarity._with_cell(e, "embedding", anchors).withColumn(
-        "nv", similarity.norm(F.col("embedding"))
-    )
-    pairs = c.alias("q").join(
-        c.alias("n"),
-        (F.col("n.cell") == F.col("q.cell"))
-        & (F.col("n.label") != F.col("q.label")),
-    )
-    scored = pairs.select(
-        F.col("q.vec_id").alias("vec_id"),
-        F.col("q.label").alias("label"),
-        F.col("q.cell").alias("cell"),
-        F.col("n.vec_id").alias("neg_id"),
-        F.col("n.label").alias("neg_label"),
-        (
-            similarity.dot(F.col("q.embedding"), F.col("n.embedding"))
-            / (F.col("q.nv") * F.col("n.nv"))
-        ).alias("cs"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cs").desc(), F.col("neg_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id", "label", "cell", "neg_id", "neg_label",
-            F.round("cs", 6).alias("neg_sim"),
-        )
-    )
+    return similarity.mine_hard_negatives(e, anchors)
