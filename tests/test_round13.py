@@ -465,3 +465,22 @@ def test_mine_hard_negatives_kernel_parity(spark, emb001):
             v["cell"], v["neg_id"], v["neg_label"]
         ), (k, r, v)
         assert abs(r["neg_sim"] - v["neg_sim"]) <= 1e-6
+
+
+def test_cluster_prototypes_kernel_parity(spark, emb001):
+    """The matmul score path returns the same prototype sample as the
+    oracle-exact expression path at gate SF."""
+    e = emb001.select("vec_id", "embedding")
+    anchors = S.kmeans_anchors_decimal(e, n_anchors=8, iters=2)
+    expr = sorted(
+        (r["cell"], r["rnk"], r["vec_id"], r["cos_centroid"])
+        for r in S.cluster_prototypes(e, anchors, m=5, kernel="expr").collect()
+    )
+    vec = sorted(
+        (r["cell"], r["rnk"], r["vec_id"], r["cos_centroid"])
+        for r in S.cluster_prototypes(e, anchors, m=5, kernel="vectorized").collect()
+    )
+    assert len(expr) == len(vec)
+    for a, b in zip(expr, vec):
+        assert a[:3] == b[:3], (a, b)
+        assert abs(a[3] - b[3]) <= 1e-6

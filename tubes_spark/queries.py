@@ -9802,44 +9802,22 @@ def cluster_balanced_sample(spark, sf_dir):
     selection, the balanced-across-semantic-space sample a curation
     pipeline draws instead of uniform sampling (which mirrors the
     corpus skew; cf. cluster-based selection in SemDeDup, Abbas et al.
-    2023).  Fully value-hash-gated: ranking uses the UNROUNDED fold
-    cosine (bit-identical across engines), output rounds to 6 dp.
+    2023).
 
-    Scale shape: trainer = 2 bounded corpus scans + exact BIGINT
-    partial aggregation; assignment = per-row expressions (matmul
-    kernel above 128 anchors); the top-m-per-cell is one shuffle keyed
-    on the cell with AQE-safe cardinality (m * C rows out).  No
-    all-pairs anything."""
+    Thin gate wrapper over ``similarity.cluster_prototypes``: at this
+    anchor count the dispatch resolves to the sequential-fold score
+    expressions both engines compute bit-identically (ranking uses the
+    UNROUNDED fold cosine; output rounds to 6 dp), so the sample is
+    fully value-hash-gated.  Above the 128-anchor threshold the SAME
+    call emits cell + score from one broadcast-matmul pass — the
+    100 TB path; parity is test-pinned at gate SFs.
+
+    Scale shape: trainer = bounded corpus scans + exact BIGINT partial
+    aggregation; zero-shuffle assignment; one cell-keyed exchange for
+    the top-m rank with m * C rows out.  No all-pairs anything."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     anchors = similarity.kmeans_anchors_decimal(e, n_anchors=8, iters=2)
-    scored = (
-        e.withColumn("__nv__", similarity.norm(F.col("embedding")))
-        .withColumn(
-            "__s__",
-            F.array(*[
-                similarity._anchor_cos(F.col("embedding"), a, nv=F.col("__nv__"))
-                for a in anchors
-            ]),
-        )
-        .withColumn(
-            "cell",
-            (F.array_position(F.col("__s__"), F.array_max(F.col("__s__"))) - 1)
-            .cast("int"),
-        )
-        # the cosine to the assigned (argmax) centroid IS the max score
-        .withColumn("cos_c", F.array_max(F.col("__s__")))
-    )
-    w = Window.partitionBy("cell").orderBy(
-        F.col("cos_c").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select(
-            "vec_id", "cell", F.col("rnk").cast("int").alias("rnk"),
-            F.round("cos_c", 6).alias("cos_centroid"),
-        )
-    )
+    return similarity.cluster_prototypes(e, anchors, m=5)
 
 
 def hard_negative_mining(spark, sf_dir):
