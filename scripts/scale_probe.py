@@ -1037,6 +1037,11 @@ def main() -> None:
                    "independent of index size — because the index side "
                    "never crosses an Exchange; the legacy layout "
                    "shuffles the full index through the join",
+            "note": "r13 re-record: wall-clock and REST byte totals now "
+                    "cover the same window (clock starts before the "
+                    "screen's eager checkpoint; the row count runs after "
+                    "the stage snapshot, so its re-execution is not "
+                    "attributed to the screen)",
             "run": run_id,
         }
         probe_path.write_text(json.dumps(payload, indent=1) + "\n")
