@@ -97,6 +97,9 @@ HEADLINE = [
     "ann_kernel_parity",              # matmul kernel vs expr kernel under the gate (r13)
     "cluster_balanced_sample",        # per-cell prototype curation draw (r13)
     "hard_negative_mining",           # within-cell cross-label contrastive mining (r13)
+    "index_hard_negative_mining",     # mining against the payload-carrying index (r13)
+    "index_topk_search",              # persisted-index top-k serving path (r13)
+    "index_filtered_topk",            # metadata-filtered retrieval, pre-rank filter (r13)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt

@@ -1165,6 +1165,7 @@ def write_ann_index(
     n_buckets: "int | None" = None,
     anchors: "list[list[float]] | None" = None,
     kernel: str = "auto",
+    payload_cols: "list[str] | None" = None,
 ) -> None:
     """Bootstrap (or extend) a PERSISTED vector index as an atomic
     bucketed parquet group — the embedding-space sibling of
@@ -1174,6 +1175,13 @@ def write_ann_index(
     index side; vectors are stored in the index (IVF-style inverted
     lists) so no later run ever re-reads or re-embeds the original
     corpus.
+
+    ``payload_cols`` (r13) stores extra per-vector columns in the
+    leaf — e.g. a training ``label`` so :func:`index_hard_negatives`
+    can mine against the index without any corpus re-read.  The
+    payload is part of the leaf schema for the index's lifetime:
+    incremental appends require (and carry) the same columns, and
+    rebuild/compaction preserve them.
 
     Anchors (cell seeds) are fixed at bootstrap.  Pass ``anchors=`` to
     seed the cells with a TRAINED codebook — the intended 100 TB path:
@@ -1239,9 +1247,19 @@ def write_ann_index(
             )
             cell_anchors = [[float(x) for x in r[vec_col]] for r in head]
         _stage_anchors(group_dir, cell_anchors)
+    payload = list(payload_cols or [])
+    reserved = [c for c in payload if c in (id_col, vec_col, "cell", "epoch")]
+    if reserved:
+        raise ValueError(
+            f"payload_cols may not use reserved leaf names: {reserved}"
+        )
+    missing = [c for c in payload if c not in batch.columns]
+    if missing:
+        raise ValueError(f"payload_cols not in batch: {missing}")
     cells = _with_cell(
-        batch.select(id_col, vec_col), vec_col, cell_anchors, kernel=kernel
-    ).select(id_col, "cell", vec_col)
+        batch.select(id_col, vec_col, *payload), vec_col, cell_anchors,
+        kernel=kernel,
+    ).select(id_col, "cell", vec_col, *payload)
     spec = Sink._bucket_spec(group_dir)
     if spec is None:
         if n_buckets is None:
@@ -1288,7 +1306,10 @@ def rebuild_ann_index(
 
     if os.path.exists(f"{new_dir}/_anchors.parquet"):
         raise ValueError(f"{new_dir} already holds an ANN index")
-    stored = Sink.read_atomic_group(spark, old_dir, "cells").select(id_col, vec_col)
+    extra = _leaf_extra_cols(old_dir, id_col, vec_col)
+    stored = Sink.read_atomic_group(spark, old_dir, "cells").select(
+        id_col, vec_col, *extra
+    )
     if anchors is None:
         if n_anchors is None:
             raise ValueError("pass anchors= or n_anchors=")
@@ -1303,8 +1324,73 @@ def rebuild_ann_index(
     write_ann_index(
         stored, new_dir, id_col=id_col, vec_col=vec_col,
         n_buckets=n_buckets, anchors=anchors, kernel=kernel,
+        payload_cols=extra,
     )
     return [[float(x) for x in a] for a in anchors]
+
+
+def _leaf_extra_cols(
+    group_dir: str, id_col: str, vec_col: str
+) -> "list[str]":
+    """Payload column names of the index's ``cells`` leaf (columns
+    beyond id/cell/vector), read from one parquet footer — cheap, no
+    Spark job.  Empty for a payload-free index (the default).  The
+    sink's internal ``epoch`` lineage column is excluded: compaction
+    materializes it into the compact part files (epoch dirs carry it
+    in the directory name instead), so it shows up in footers without
+    ever being user payload — ``payload_cols=["epoch"]`` is rejected
+    at write time for exactly this reason."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tubes_spark.sink import Sink
+
+    epochs, k, kname = Sink._committed_epochs(group_dir)
+    dirs = ([f"{group_dir}/cells/compact/{kname}"] if k is not None else []) + [
+        f"{group_dir}/cells/data/epoch={e}" for e in epochs
+    ]
+    for d in dirs:
+        parts = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if parts:
+            names = pq.ParquetFile(parts[0]).schema_arrow.names
+            return [
+                c for c in names
+                if c not in (id_col, "cell", vec_col, "epoch")
+            ]
+    return []
+
+
+def _read_index_sides(spark, group_dir: str):
+    """Live frames of the index's ``cells`` leaf — the compact part (if
+    any) plus every committed epoch past it, each as a zero-Exchange
+    bucketed read; a survivors append can commit an EMPTY epoch (zero
+    part files — nothing survived), which contributes no rows and has
+    no footer to register a table from, so it is skipped.  Returns
+    (bucket_spec, committed_epochs, frames); legacy plain-layout
+    groups fall back to one unbucketed frame."""
+    from tubes_spark.sink import Sink
+
+    spec = Sink._bucket_spec(group_dir)
+    epochs, k, kname = Sink._committed_epochs(group_dir)
+    sides = []
+    if spec is not None:
+        dirs = (
+            [f"{group_dir}/cells/compact/{kname}"] if k is not None else []
+        ) + [
+            f"{group_dir}/cells/data/epoch={e}"
+            for e in epochs
+            if k is None or e > k
+        ]
+        for d in dirs:
+            if Sink._has_parquet(d):
+                sides.append(
+                    Sink._read_bucketed_dir(spark, d, spec["cols"], spec["n"])
+                )
+    else:  # legacy plain layout
+        sides = [Sink.read_atomic_group(spark, group_dir, "cells")]
+    return spec, epochs, sides
 
 
 def incremental_ann_new(
@@ -1380,19 +1466,30 @@ def incremental_ann_new(
 
     anchors = _read_anchors(group_dir)
     kernel = _resolve_kernel(kernel, len(anchors))
+    # a payload-carrying leaf (r13) makes its columns part of the
+    # append contract: every appended epoch must hold the same schema
+    extra = _leaf_extra_cols(group_dir, id_col, vec_col) if update_index else []
+    missing = [c for c in extra if c not in arriving.columns]
+    if missing:
+        raise ValueError(
+            f"index {group_dir} stores payload columns {extra}; the "
+            f"arriving batch is missing {missing} (update_index appends "
+            "must carry the leaf's full schema)"
+        )
+    asel = arriving.select(id_col, vec_col, *extra)
     if n_probe == 1:
         ab = _with_cell(
-            arriving.select(id_col, vec_col), vec_col, anchors, kernel=kernel
+            asel, vec_col, anchors, kernel=kernel
         ).localCheckpoint(eager=True)
     elif kernel == "vectorized":
         # one matmul yields both the primary cell and the probe list
         ab = _assign_cells_vectorized(
-            arriving.select(id_col, vec_col), vec_col, anchors,
+            asel, vec_col, anchors,
             out_col="cell", n_probe=int(n_probe), probes_col="__probes__",
         ).localCheckpoint(eager=True)
     else:
         ab = (
-            arriving.select(id_col, vec_col)
+            asel
             .withColumn("__nv__", norm(F.col(vec_col)))
             .withColumn(
                 "__probes__",
@@ -1404,27 +1501,7 @@ def incremental_ann_new(
             .drop("__nv__")
             .localCheckpoint(eager=True)
         )
-    spec = Sink._bucket_spec(group_dir)
-    epochs, k, kname = Sink._committed_epochs(group_dir)
-    sides = []
-    if spec is not None:
-        dirs = (
-            [f"{group_dir}/cells/compact/{kname}"] if k is not None else []
-        ) + [
-            f"{group_dir}/cells/data/epoch={e}"
-            for e in epochs
-            if k is None or e > k
-        ]
-        for d in dirs:
-            # a survivors append can commit an EMPTY epoch (zero part
-            # files — nothing survived); it contributes no rows and has
-            # no footer to register a table from, so skip it
-            if Sink._has_parquet(d):
-                sides.append(
-                    Sink._read_bucketed_dir(spark, d, spec["cols"], spec["n"])
-                )
-    else:  # legacy plain layout
-        sides = [Sink.read_atomic_group(spark, group_dir, "cells")]
+    spec, epochs, sides = _read_index_sides(spark, group_dir)
     sim = cosine(F.col(f"a.{vec_col}"), F.col(f"s.{vec_col}"))
     if n_probe == 1:
         probe_side, probe_key = ab, "cell"
@@ -1483,7 +1560,7 @@ def incremental_ann_new(
         )
         token = _CURRENT_EPOCH.set((max(epochs) if epochs else -1) + 1)
         try:
-            sink(src.select(id_col, "cell", vec_col))
+            sink(src.select(id_col, "cell", vec_col, *extra))
         finally:
             _CURRENT_EPOCH.reset(token)
         if compact_after is not None:
@@ -1689,5 +1766,370 @@ def cluster_prototypes(
         .select(
             id_col, "cell", F.col("rnk").cast("int").alias("rnk"),
             F.round("cos_c", 6).alias("cos_centroid"),
+        )
+    )
+
+
+def _mine_vs_stored_vectorized(
+    cells: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-cell matmul kernel for INDEX-BACKED mining: ``cells`` holds
+    stored rows (``__stored__`` = 1) and arriving rows (0) of one
+    logical corpus; for each arriving row, the best cross-label
+    neighbor among the STORED rows of its cell.  Stored candidates are
+    id-sorted before the matmul so numpy's first-argmax reproduces the
+    fold path's (cosine DESC, neg_id ASC) tiebreak; arriving rows are
+    query-blocked like :func:`_mine_hard_negatives_vectorized`."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    id_f = cells.schema[id_col].dataType
+    lb_f = cells.schema[label_col].dataType
+    schema = StructType([
+        StructField(id_col, id_f, False),
+        StructField(label_col, lb_f, True),
+        StructField("cell", IntegerType(), False),
+        StructField("neg_id", id_f, False),
+        StructField("neg_label", lb_f, True),
+        StructField("neg_sim", DoubleType(), False),
+    ])
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        stored = pdf[pdf["__stored__"] == 1].sort_values(
+            id_col, kind="mergesort"
+        ).reset_index(drop=True)
+        arr = pdf[pdf["__stored__"] == 0].reset_index(drop=True)
+        empty = pd.DataFrame({f.name: pd.Series(dtype="object") for f in schema})
+        if len(stored) == 0 or len(arr) == 0:
+            return empty
+        S_ = _to_matrix(stored[vec_col])
+        Sn = S_ / np.linalg.norm(S_, axis=1, keepdims=True)
+        A = _to_matrix(arr[vec_col])
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        s_lab = stored[label_col].to_numpy()
+        s_ids = stored[id_col].to_numpy()
+        a_lab = arr[label_col].to_numpy()
+        a_ids = arr[id_col].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        outs = []
+        B = 1024
+        for s in range(0, len(arr), B):
+            sims = An[s : s + B] @ Sn.T
+            sims[a_lab[s : s + B, None] == s_lab[None, :]] = -np.inf
+            j = sims.argmax(axis=1)
+            best = sims[np.arange(len(j)), j]
+            keep = best > -np.inf
+            if not keep.any():
+                continue
+            outs.append(pd.DataFrame({
+                id_col: a_ids[s : s + B][keep],
+                label_col: a_lab[s : s + B][keep],
+                "cell": cell,
+                "neg_id": s_ids[j[keep]],
+                "neg_label": s_lab[j[keep]],
+                "neg_sim": np.round(best[keep], 6),
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return cells.groupBy("cell").applyInPandas(mine, schema)
+
+
+def index_hard_negatives(
+    arriving: DataFrame,
+    spark,
+    group_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    kernel: str = "auto",
+) -> DataFrame:
+    """Hard-negative mining AGAINST the persisted vector index (r13):
+    for every arriving vector, the most similar STORED vector with a
+    different ``label_col`` in its anchor cell — the index-resident
+    form of :func:`mine_hard_negatives`.  The index must have been
+    written with ``payload_cols=[label_col]`` (labels live in the
+    ``cells`` leaf), so mining never re-reads or re-embeds the
+    original corpus — the same no-corpus-re-read contract as the
+    semantic screen, and the claim the batch miner's docstring prices:
+    the stored side is a bucketed FileScan with ZERO index-side
+    Exchange (plan-pinned in tests).
+
+    ``kernel`` follows the assignment dispatch rule: at/under the
+    128-anchor threshold assignment and pair scoring are the
+    sequential-fold forms under the DuckDB value-hash gate (norms
+    hoisted on BOTH sides — one fold per row per side, one dot fold
+    per pair); above it, matmul assignment + the per-cell blocked
+    matmul of :func:`_mine_vs_stored_vectorized`.
+
+    Scale shape: arriving re-aligns on ``cell`` once (the tiny side);
+    stored inverted lists are read in place per live epoch dir
+    (``compact_after`` on the maintenance path bounds the dir count);
+    within-cell candidates are STORED-side only, so the pair count is
+    |arriving| * n_c — the sqrt(N) codebook rule keeps n_c flat."""
+    import functools
+
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
+    anchors = _read_anchors(group_dir)
+    kernel = _resolve_kernel(kernel, len(anchors))
+    extra = _leaf_extra_cols(group_dir, id_col, vec_col)
+    if label_col not in extra:
+        raise ValueError(
+            f"index {group_dir} does not store {label_col!r} (leaf payload: "
+            f"{extra}); write it with payload_cols=[{label_col!r}] to mine "
+            "against the index"
+        )
+    if label_col not in arriving.columns:
+        raise ValueError(f"arriving batch is missing {label_col!r}")
+    ab = _with_cell(
+        arriving.select(id_col, vec_col, label_col), vec_col, anchors,
+        kernel=kernel,
+    )
+    _, _, sides = _read_index_sides(spark, group_dir)
+    if kernel == "vectorized":
+        stored = functools.reduce(
+            DataFrame.unionByName,
+            [s.select(id_col, "cell", vec_col, label_col) for s in sides],
+        )
+        both = stored.withColumn("__stored__", F.lit(1)).unionByName(
+            ab.select(id_col, "cell", vec_col, label_col).withColumn(
+                "__stored__", F.lit(0)
+            )
+        )
+        return _mine_vs_stored_vectorized(both, id_col, vec_col, label_col)
+    aq = ab.withColumn("__nq__", norm(F.col(vec_col)))
+    frames = []
+    for s in sides:
+        sn = s.withColumn("__ns__", norm(F.col(vec_col)))
+        frames.append(
+            aq.alias("a")
+            .join(
+                sn.alias("s"),
+                (F.col("s.cell") == F.col("a.cell"))
+                & (F.col(f"s.{label_col}") != F.col(f"a.{label_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(id_col),
+                F.col(f"a.{label_col}").alias(label_col),
+                F.col("a.cell").alias("cell"),
+                F.col(f"s.{id_col}").alias("neg_id"),
+                F.col(f"s.{label_col}").alias("neg_label"),
+                (
+                    dot(F.col(f"a.{vec_col}"), F.col(f"s.{vec_col}"))
+                    / (F.col("a.__nq__") * F.col("s.__ns__"))
+                ).alias("cs"),
+            )
+        )
+    scored = functools.reduce(DataFrame.unionByName, frames)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cs").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            id_col, label_col, "cell", "neg_id", "neg_label",
+            F.round("cs", 6).alias("neg_sim"),
+        )
+    )
+
+
+# --------------------------------------------------- index-backed top-k
+
+def _topk_vs_stored_vectorized(
+    cells: DataFrame, id_col: str, vec_col: str, k: int,
+    payload: "list[str]",
+) -> DataFrame:
+    """Per-cell matmul kernel for INDEX-BACKED top-k retrieval:
+    ``cells`` holds stored rows (``__stored__`` = 1) and
+    probe-replicated query rows (0); for each query row, its LOCAL
+    top-k among the stored rows of that cell.  The caller merges the
+    per-cell locals with one global rank — with ``n_probe`` cells per
+    query the merge sees at most ``n_probe * k`` candidate rows per
+    query, independent of list sizes.  Stored candidates are id-sorted
+    before the matmul so numpy's stable argsort reproduces the fold
+    path's (cosine DESC, match_id ASC) tiebreak."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_f = cells.schema[id_col].dataType
+    schema = StructType(
+        [StructField(id_col, id_f, False)]
+        + [StructField(f"match_{c}", cells.schema[c].dataType, True)
+           for c in payload]
+        + [StructField("match_id", id_f, False),
+           StructField("cs", DoubleType(), False)]
+    )
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        stored = pdf[pdf["__stored__"] == 1].sort_values(
+            id_col, kind="mergesort"
+        ).reset_index(drop=True)
+        arr = pdf[pdf["__stored__"] == 0].reset_index(drop=True)
+        empty = pd.DataFrame({f.name: pd.Series(dtype="object") for f in schema})
+        if len(stored) == 0 or len(arr) == 0:
+            return empty
+        S_ = _to_matrix(stored[vec_col])
+        Sn = S_ / np.linalg.norm(S_, axis=1, keepdims=True)
+        A = _to_matrix(arr[vec_col])
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        s_ids = stored[id_col].to_numpy()
+        a_ids = arr[id_col].to_numpy()
+        outs = []
+        B = 1024
+        for s in range(0, len(arr), B):
+            sims = An[s : s + B] @ Sn.T
+            n, m = sims.shape
+            kk = min(int(k), m)
+            # candidate columns in id-ascending order (stored is
+            # id-sorted), then one stable argsort of -sims over that
+            # axis == the fold path's (cos DESC, id ASC) tiebreak;
+            # argpartition first when the list is much longer than k
+            if m > 4 * kk:
+                part = np.sort(np.argpartition(-sims, kk - 1, axis=1)[:, :kk], axis=1)
+            else:
+                part = np.tile(np.arange(m), (n, 1))
+            rows = np.arange(n)[:, None]
+            vals = sims[rows, part]
+            ord_ = np.argsort(-vals, axis=1, kind="stable")[:, :kk]
+            pick = np.take_along_axis(part, ord_, axis=1)
+            top = np.take_along_axis(vals, ord_, axis=1)
+            out = {
+                id_col: np.repeat(a_ids[s : s + B], kk),
+                "match_id": s_ids[pick.ravel()],
+                "cs": top.ravel(),
+            }
+            for c in payload:
+                out[f"match_{c}"] = stored[c].to_numpy()[pick.ravel()]
+            outs.append(pd.DataFrame(out))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return cells.groupBy("cell").applyInPandas(topk, schema)
+
+
+def index_topk(
+    arriving: DataFrame,
+    spark,
+    group_dir: str,
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stored_filter: "Column | str | None" = None,
+    kernel: str = "auto",
+) -> DataFrame:
+    """Top-k similarity SEARCH against the persisted vector index —
+    the serving path of the anchor lifecycle: assign each query vector
+    to its ``n_probe`` nearest anchor cells, scan ONLY those inverted
+    lists (bucketed FileScan, zero index-side Exchange — same plan pin
+    as the screen), rank stored candidates by cosine, keep the global
+    top ``k`` per query with the deterministic (cosine DESC, match_id
+    ASC) tiebreak.  Complements the per-call batch tiers
+    (:func:`knn_ivf`, :func:`knn_pq_adc` …): those rebuild their
+    structure every invocation; this one reads a structure that was
+    built once and maintained incrementally.
+
+    ``stored_filter`` (a ``Column`` or SQL string over the leaf's
+    columns, e.g. ``"label = 2"``) is METADATA-FILTERED retrieval: the
+    predicate lands on the stored scan BEFORE ranking (plain parquet
+    pushdown), so a filtered query still returns k true matches rather
+    than post-filtering the unfiltered top-k down to a remnant.
+    Payload columns come back as ``match_<col>``.
+
+    ``kernel`` follows the assignment dispatch rule (128-anchor
+    threshold): the fold forms under the DuckDB value-hash gate; above
+    it, matmul assignment + the per-cell blocked matmul of
+    :func:`_topk_vs_stored_vectorized`, whose local-top-k bounds the
+    global merge at ``n_probe * k`` candidate rows per query.
+
+    Scale shape: pairs scanned = |queries| * n_probe * n_c, with n_c
+    held flat by the sqrt(N) codebook rule; the recall dial is
+    ``n_probe`` exactly as in the screen (`ann_nprobe_boundary_recall`
+    measures the boundary-pair payoff)."""
+    import functools
+
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    if int(n_probe) < 1:
+        raise ValueError("n_probe must be >= 1")
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
+    anchors = _read_anchors(group_dir)
+    kernel = _resolve_kernel(kernel, len(anchors))
+    extra = _leaf_extra_cols(group_dir, id_col, vec_col)
+    if kernel == "vectorized":
+        ab = _assign_cells_vectorized(
+            arriving.select(id_col, vec_col), vec_col, anchors,
+            out_col="cell", n_probe=int(n_probe), probes_col="__probes__",
+        )
+    else:
+        ab = (
+            arriving.select(id_col, vec_col)
+            .withColumn("__nv__", norm(F.col(vec_col)))
+            .withColumn(
+                "__probes__",
+                _probe_cells_expr(
+                    F.col(vec_col), anchors, int(n_probe), nv=F.col("__nv__")
+                ),
+            )
+            .drop("__nv__")
+        )
+    probe = ab.select(
+        id_col, vec_col, F.explode("__probes__").alias("__pcell__")
+    )
+    _, _, sides = _read_index_sides(spark, group_dir)
+    if stored_filter is not None:
+        pred = (
+            F.expr(stored_filter) if isinstance(stored_filter, str)
+            else stored_filter
+        )
+        sides = [s.filter(pred) for s in sides]
+    mcols = [f"match_{c}" for c in extra]
+    if kernel == "vectorized":
+        stored = functools.reduce(
+            DataFrame.unionByName,
+            [s.select(id_col, "cell", vec_col, *extra) for s in sides],
+        )
+        both = stored.withColumn("__stored__", F.lit(1)).unionByName(
+            probe.withColumnRenamed("__pcell__", "cell")
+            .withColumns({c: F.lit(None).cast(stored.schema[c].dataType)
+                          for c in extra})
+            .select(id_col, "cell", vec_col, *extra)
+            .withColumn("__stored__", F.lit(0))
+        )
+        scored = _topk_vs_stored_vectorized(
+            both, id_col, vec_col, int(k), extra
+        )
+    else:
+        aq = probe.withColumn("__nq__", norm(F.col(vec_col)))
+        frames = []
+        for s in sides:
+            sn = s.withColumn("__ns__", norm(F.col(vec_col)))
+            frames.append(
+                aq.alias("a")
+                .join(sn.alias("s"), F.col("s.cell") == F.col("a.__pcell__"))
+                .select(
+                    F.col(f"a.{id_col}").alias(id_col),
+                    *[F.col(f"s.{c}").alias(f"match_{c}") for c in extra],
+                    F.col(f"s.{id_col}").alias("match_id"),
+                    (
+                        dot(F.col(f"a.{vec_col}"), F.col(f"s.{vec_col}"))
+                        / (F.col("a.__nq__") * F.col("s.__ns__"))
+                    ).alias("cs"),
+                )
+            )
+        scored = functools.reduce(DataFrame.unionByName, frames)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cs").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            id_col, F.col("rank").cast("int").alias("rank"), "match_id",
+            *mcols, F.round("cs", 6).alias("match_sim"),
         )
     )

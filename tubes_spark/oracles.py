@@ -5094,3 +5094,147 @@ FROM (
   FROM pairs
 ) WHERE rn = 1
 """
+
+
+# Round 13: index-backed hard-negative mining, two phases — phase 1
+# mines slice 1 against the bootstrapped slice-0 index, slice 1 is
+# appended (with its label payload), phase 2 mines slice 2 against
+# slices 0+1.  Anchors are the 8 smallest-id STORED (slice 0) vectors
+# (the bootstrap rule); every cosine is the ordered fold.
+ORACLES["index_hard_negative_mining"] = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(vec_id % 3 AS INTEGER) AS slice,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+s0 AS (SELECT vec_id, v FROM e WHERE slice = 0),
+a AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM s0 ORDER BY vec_id LIMIT 8)
+),
+cells AS (
+  SELECT vec_id, aid AS cell FROM (
+    SELECT e.vec_id, a.aid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_ANN_COS.format(a="e.v", b="a.av")} DESC, a.aid ASC) AS rn
+    FROM e CROSS JOIN a
+  ) WHERE rn = 1
+),
+c AS (
+  SELECT e.vec_id, e.label, e.slice, e.v, cells.cell
+  FROM e JOIN cells USING (vec_id)
+),
+pairs AS (
+  SELECT q.vec_id, CAST(1 AS INTEGER) AS phase, q.label, q.cell,
+         n.vec_id AS neg_id, n.label AS neg_label,
+         {_ANN_COS.format(a="q.v", b="n.v")} AS cs
+  FROM c q JOIN c n
+    ON n.cell = q.cell AND n.label <> q.label AND n.slice = 0
+  WHERE q.slice = 1
+  UNION ALL
+  SELECT q.vec_id, CAST(2 AS INTEGER) AS phase, q.label, q.cell,
+         n.vec_id AS neg_id, n.label AS neg_label,
+         {_ANN_COS.format(a="q.v", b="n.v")} AS cs
+  FROM c q JOIN c n
+    ON n.cell = q.cell AND n.label <> q.label AND n.slice IN (0, 1)
+  WHERE q.slice = 2
+)
+SELECT vec_id, phase, label, cell, neg_id, neg_label, round(cs, 6) AS neg_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id, phase ORDER BY cs DESC, neg_id ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""
+
+
+# Round 13: top-k retrieval against the persisted index.  Anchors are
+# the 8 smallest-id STORED vectors (bootstrap rule); queries probe
+# their top-2 anchor cells (cos DESC, aid ASC — Spark's (-score, aid)
+# struct sort, bit-exactly); stored vectors are single-cell; global
+# rank = (cosine DESC, match_id ASC), k=3.
+ORACLES["index_topk_search"] = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+s AS (SELECT * FROM e WHERE vec_id % 3 <> 0),
+q AS (SELECT * FROM e WHERE vec_id % 3 = 0),
+a AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT 8)
+),
+scell AS (
+  SELECT vec_id, label, v, aid AS cell FROM (
+    SELECT s.vec_id, s.label, s.v, a.aid,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY {_ANN_COS.format(a="s.v", b="a.av")} DESC, a.aid ASC) AS rn
+    FROM s CROSS JOIN a
+  ) WHERE rn = 1
+),
+qcell AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT q.vec_id, q.v, a.aid,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_ANN_COS.format(a="q.v", b="a.av")} DESC, a.aid ASC) AS rn
+    FROM q CROSS JOIN a
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT qc.vec_id, n.label AS match_label, n.vec_id AS match_id,
+         {_ANN_COS.format(a="qc.v", b="n.v")} AS cs
+  FROM qcell qc JOIN scell n ON n.cell = qc.cell
+)
+SELECT vec_id, CAST(rn AS INTEGER) AS rank, match_id, match_label,
+       round(cs, 6) AS match_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cs DESC, match_id ASC) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""
+
+
+# Filtered variant: the label predicate restricts CANDIDATES (not the
+# index build — anchors/cells are over all stored rows), so each query
+# still gets up to k true label-1 matches; single-cell probe.
+ORACLES["index_filtered_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+s AS (SELECT * FROM e WHERE vec_id % 3 <> 0),
+q AS (SELECT * FROM e WHERE vec_id % 3 = 0),
+a AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT 8)
+),
+scell AS (
+  SELECT vec_id, label, v, aid AS cell FROM (
+    SELECT s.vec_id, s.label, s.v, a.aid,
+      row_number() OVER (PARTITION BY s.vec_id
+        ORDER BY {_ANN_COS.format(a="s.v", b="a.av")} DESC, a.aid ASC) AS rn
+    FROM s CROSS JOIN a
+  ) WHERE rn = 1
+),
+qcell AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT q.vec_id, q.v, a.aid,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_ANN_COS.format(a="q.v", b="a.av")} DESC, a.aid ASC) AS rn
+    FROM q CROSS JOIN a
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT qc.vec_id, n.label AS match_label, n.vec_id AS match_id,
+         {_ANN_COS.format(a="qc.v", b="n.v")} AS cs
+  FROM qcell qc JOIN scell n ON n.cell = qc.cell AND n.label = 1
+)
+SELECT vec_id, CAST(rn AS INTEGER) AS rank, match_id, match_label,
+       round(cs, 6) AS match_sim
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cs DESC, match_id ASC) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""

@@ -9848,3 +9848,113 @@ def hard_negative_mining(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     anchors = similarity.kmeans_anchors_decimal(e, n_anchors=8, iters=2)
     return similarity.mine_hard_negatives(e, anchors)
+
+
+def index_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining AGAINST the persisted vector index (r13):
+    the index stores ``label`` as a leaf payload column
+    (``write_ann_index(payload_cols=["label"])``), so mining — like
+    the semantic screen — never re-reads the original corpus, and the
+    stored side of the join is a bucketed FileScan with zero
+    index-side Exchange (plan-pinned in tests/test_round13.py).
+
+    Two phases under one gate: slice 0 bootstraps the index
+    (8 smallest-id anchors), phase 1 mines slice 1 against it, slice 1
+    is appended (``incremental_ann_new(update_index=True)`` — the
+    append must CARRY the label payload, so payload-preserving appends
+    are gated here too), and phase 2 mines slice 2 against the grown
+    index.  All fold cosines + hoisted norms — bit-identical to the
+    oracle, which replays both phases with the earlier-slices rule.
+
+    Scale shape: see ``similarity.index_hard_negatives`` — arriving
+    re-aligns on the cell once per phase (tiny side), stored inverted
+    lists read in place, candidates are stored-side-only so pairs =
+    |arriving| * n_c, held flat by sqrt(N) codebook growth."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    slices = [e.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="tubes_ann_ihn_")
+    try:
+        similarity.write_ann_index(
+            slices[0], tmp, n_anchors=8, payload_cols=["label"]
+        )
+        cols = ["vec_id", "phase", "label", "cell", "neg_id", "neg_label",
+                "neg_sim"]
+        p1 = similarity.index_hard_negatives(slices[1], spark, tmp).withColumn(
+            "phase", F.lit(1).cast("int")
+        )
+        p1 = p1.select(cols).localCheckpoint(eager=True)  # before the append
+        similarity.incremental_ann_new(
+            slices[1], spark, tmp, threshold=0.9, update_index=True
+        )
+        p2 = similarity.index_hard_negatives(slices[2], spark, tmp).withColumn(
+            "phase", F.lit(2).cast("int")
+        )
+        # pin each phase BEFORE unioning: checkpointing the union of a
+        # checkpointed child with a live bucketed-scan child trips a
+        # Spark attribute-rewrite bug (NoSuchElementException on the
+        # scan's partitioning attribute); two pinned children union
+        # trivially, and p2 must be pinned before the dir goes anyway
+        p2 = p2.select(cols).localCheckpoint(eager=True)
+        return p1.unionByName(p2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def index_topk_search(spark, sf_dir):
+    """Top-k retrieval against the persisted vector index (r13): the
+    serving path — bootstrap the index on the stored slices
+    (vec_id % 3 != 0, label payload in the leaf), then answer the
+    query slice (vec_id % 3 == 0) with ``index_topk(k=3, n_probe=2)``.
+    Probing 2 cells per query is the recall dial the screen gates
+    (`ann_nprobe_boundary_recall`); the global (cosine DESC, match_id
+    ASC) rank is bit-identical to the oracle's fold replay.
+
+    Scale shape: pairs scanned = |Q| * n_probe * n_c (inverted lists
+    read in place, zero index-side Exchange); the vectorized kernel's
+    per-cell local top-k bounds the merge at n_probe*k rows/query."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    stored = e.filter(F.col("vec_id") % 3 != 0)
+    tmp = tempfile.mkdtemp(prefix="tubes_ann_topk_")
+    try:
+        similarity.write_ann_index(
+            stored, tmp, n_anchors=8, payload_cols=["label"]
+        )
+        out = similarity.index_topk(
+            e.filter(F.col("vec_id") % 3 == 0), spark, tmp, k=3, n_probe=2
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def index_filtered_topk(spark, sf_dir):
+    """METADATA-FILTERED top-k against the persisted index (r13):
+    ``stored_filter="label = 1"`` lands on the stored scan BEFORE
+    ranking, so every query still gets k true label-1 matches —
+    the post-filter-vs-pre-filter distinction that decides whether
+    filtered retrieval works at all (post-filtering the unfiltered
+    top-k returns a remnant).  Same index bootstrap as
+    `index_topk_search`; k=3, single-cell probe."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    stored = e.filter(F.col("vec_id") % 3 != 0)
+    tmp = tempfile.mkdtemp(prefix="tubes_ann_ftk_")
+    try:
+        similarity.write_ann_index(
+            stored, tmp, n_anchors=8, payload_cols=["label"]
+        )
+        out = similarity.index_topk(
+            e.filter(F.col("vec_id") % 3 == 0), spark, tmp, k=3,
+            stored_filter="label = 1",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
