@@ -732,3 +732,83 @@ def test_index_topk_argument_contract(spark, tmp_path):
         S.index_topk(q, spark, d, k=1, n_probe=0)
     with pytest.raises(ValueError, match="kernel"):
         S.index_topk(q, spark, d, k=1, kernel="nope")
+
+
+# --------------------------------- review pins on the r13 index diff
+
+def test_write_ann_index_payload_contract_on_extend(spark, tmp_path):
+    """Extending an established index must carry the leaf's exact
+    payload schema — a mismatched extend epoch is refused before any
+    write (it would break every later union over the leaf)."""
+    V = _vec_corpus(n=30)
+    d = str(tmp_path / "idx")
+    S.write_ann_index(
+        _lvecs(range(10), V, spark), d, n_anchors=3, n_buckets=2,
+        payload_cols=["label"],
+    )
+    with pytest.raises(ValueError, match="payload"):
+        S.write_ann_index(_vecs(range(10, 20), V, spark), d, epoch=1)
+    # payload-free index refuses a payload-adding extend the same way
+    d2 = str(tmp_path / "idx2")
+    S.write_ann_index(_vecs(range(10), V, spark), d2, n_anchors=3, n_buckets=2)
+    with pytest.raises(ValueError, match="payload"):
+        S.write_ann_index(
+            _lvecs(range(10, 20), V, spark), d2, epoch=1,
+            payload_cols=["label"],
+        )
+    # the matching extend still works
+    S.write_ann_index(
+        _lvecs(range(10, 20), V, spark), d, epoch=1, payload_cols=["label"]
+    )
+    assert Sink.read_atomic_group(spark, d, "cells").count() == 20
+
+
+def test_mining_kernels_null_label_parity(spark, tmp_path):
+    """A NULL label pairs with nothing in SQL (NULL <> x drops the
+    pair); the matmul kernels must reproduce that, not NaN != NaN."""
+    V = _vec_corpus(n=24)
+    rows = pd.DataFrame({
+        "vec_id": list(range(24)),
+        "embedding": [V[i] for i in range(24)],
+        "label": [None if i % 4 == 0 else i % 3 for i in range(24)],
+    })
+    df = spark.createDataFrame(rows)
+    anchors = S.kmeans_anchors_decimal(
+        df.select("vec_id", "embedding"), n_anchors=2, iters=1
+    )
+    out_e = S.mine_hard_negatives(df, anchors, kernel="expr").collect()
+    out_v = S.mine_hard_negatives(df, anchors, kernel="vectorized").collect()
+    assert all(r["label"] is not None for r in out_e)
+    assert all(r["neg_label"] is not None for r in out_e)
+    ke = sorted((r["vec_id"], r["neg_id"]) for r in out_e)
+    kv = sorted((r["vec_id"], r["neg_id"]) for r in out_v)
+    assert ke == kv
+    # index-backed miner: same contract
+    d = str(tmp_path / "idx")
+    stored = df.filter(F.col("vec_id") % 2 == 0)
+    S.write_ann_index(
+        stored, d, n_anchors=3, n_buckets=2, payload_cols=["label"]
+    )
+    arr = df.filter(F.col("vec_id") % 2 == 1)
+    ie = S.index_hard_negatives(arr, spark, d, kernel="expr").collect()
+    iv = S.index_hard_negatives(arr, spark, d, kernel="vectorized").collect()
+    assert sorted((r["vec_id"], r["neg_id"]) for r in ie) == sorted(
+        (r["vec_id"], r["neg_id"]) for r in iv
+    )
+    assert all(r["label"] is not None and r["neg_label"] is not None
+               for r in ie)
+
+
+def test_index_ops_on_empty_index_return_empty(spark, tmp_path):
+    """An index whose every live dir is file-less (bootstrap from an
+    empty batch) yields EMPTY retrieval/mining results, not a reduce()
+    TypeError or a misleading missing-payload error."""
+    V = _vec_corpus(n=10)
+    d = str(tmp_path / "idx")
+    S.write_ann_index(
+        _lvecs(range(5), V, spark).filter(F.lit(False)),
+        d, anchors=[V[0], V[1]], n_buckets=2, payload_cols=["label"],
+    )
+    q = _lvecs(range(5), V, spark)
+    assert S.index_topk(q.select("vec_id", "embedding"), spark, d, k=2).count() == 0
+    assert S.index_hard_negatives(q, spark, d).count() == 0

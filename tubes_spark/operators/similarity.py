@@ -1219,10 +1219,30 @@ def write_ann_index(
 
     if kernel not in _KERNELS:  # before any staging/commit side effect
         raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
+    payload = list(payload_cols or [])
+    reserved = [c for c in payload if c in (id_col, vec_col, "cell", "epoch")]
+    if reserved:
+        raise ValueError(
+            f"payload_cols may not use reserved leaf names: {reserved}"
+        )
+    missing = [c for c in payload if c not in batch.columns]
+    if missing:
+        raise ValueError(f"payload_cols not in batch: {missing}")
     final = f"{group_dir}/_anchors.parquet"
     tmp = f"{group_dir}/.tmp._anchors.parquet"
     epochs_before, _, _ = Sink._committed_epochs(group_dir)
     if os.path.exists(final) or epochs_before:
+        # extending an established index: the leaf schema is part of the
+        # index contract — a payload mismatch in either direction would
+        # commit an epoch later readers cannot union with the rest
+        existing = _leaf_extra_cols(group_dir, id_col, vec_col, default=None)
+        if existing is not None and payload != existing:
+            raise ValueError(
+                f"index {group_dir} stores payload columns {existing}; "
+                f"this write declares {payload} — extend epochs must "
+                "carry the leaf's exact schema (rebuild the index to "
+                "change it)"
+            )
         # established index (or interrupted publish): recorded anchors win
         cell_anchors = _read_anchors(group_dir)
         if anchors is not None:
@@ -1329,29 +1349,45 @@ def rebuild_ann_index(
     return [[float(x) for x in a] for a in anchors]
 
 
+def _index_cell_dirs(group_dir: str) -> "list[str]":
+    """The LIVE directories of the index's ``cells`` leaf, in read
+    order: the compact part (if any), then every committed epoch past
+    the compaction point.  The single place the leaf's on-disk layout
+    is spelled out — footer-schema discovery (:func:`_leaf_extra_cols`)
+    and frame reading (:func:`_read_index_sides`) both walk this
+    list, so a layout change cannot make them disagree."""
+    from tubes_spark.sink import Sink
+
+    epochs, k, kname = Sink._committed_epochs(group_dir)
+    return (
+        [f"{group_dir}/cells/compact/{kname}"] if k is not None else []
+    ) + [
+        f"{group_dir}/cells/data/epoch={e}"
+        for e in epochs
+        if k is None or e > k
+    ]
+
+
 def _leaf_extra_cols(
-    group_dir: str, id_col: str, vec_col: str
-) -> "list[str]":
+    group_dir: str, id_col: str, vec_col: str,
+    default: "list[str] | None" = (),
+) -> "list[str] | None":
     """Payload column names of the index's ``cells`` leaf (columns
     beyond id/cell/vector), read from one parquet footer — cheap, no
-    Spark job.  Empty for a payload-free index (the default).  The
-    sink's internal ``epoch`` lineage column is excluded: compaction
-    materializes it into the compact part files (epoch dirs carry it
-    in the directory name instead), so it shows up in footers without
-    ever being user payload — ``payload_cols=["epoch"]`` is rejected
-    at write time for exactly this reason."""
+    Spark job.  When NO live dir holds a part file (nothing to infer
+    from), returns ``default`` — pass ``default=None`` to distinguish
+    "no files yet" from "payload-free leaf".  The sink's internal
+    ``epoch`` lineage column is excluded: compaction materializes it
+    into the compact part files (epoch dirs carry it in the directory
+    name instead), so it shows up in footers without ever being user
+    payload — ``payload_cols=["epoch"]`` is rejected at write time for
+    exactly this reason."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    from tubes_spark.sink import Sink
-
-    epochs, k, kname = Sink._committed_epochs(group_dir)
-    dirs = ([f"{group_dir}/cells/compact/{kname}"] if k is not None else []) + [
-        f"{group_dir}/cells/data/epoch={e}" for e in epochs
-    ]
-    for d in dirs:
+    for d in _index_cell_dirs(group_dir):
         parts = sorted(glob.glob(os.path.join(d, "*.parquet")))
         if parts:
             names = pq.ParquetFile(parts[0]).schema_arrow.names
@@ -1359,7 +1395,7 @@ def _leaf_extra_cols(
                 c for c in names
                 if c not in (id_col, "cell", vec_col, "epoch")
             ]
-    return []
+    return None if default is None else list(default)
 
 
 def _read_index_sides(spark, group_dir: str):
@@ -1373,17 +1409,10 @@ def _read_index_sides(spark, group_dir: str):
     from tubes_spark.sink import Sink
 
     spec = Sink._bucket_spec(group_dir)
-    epochs, k, kname = Sink._committed_epochs(group_dir)
+    epochs, _, _ = Sink._committed_epochs(group_dir)
     sides = []
     if spec is not None:
-        dirs = (
-            [f"{group_dir}/cells/compact/{kname}"] if k is not None else []
-        ) + [
-            f"{group_dir}/cells/data/epoch={e}"
-            for e in epochs
-            if k is None or e > k
-        ]
-        for d in dirs:
+        for d in _index_cell_dirs(group_dir):
             if Sink._has_parquet(d):
                 sides.append(
                     Sink._read_bucketed_dir(spark, d, spec["cols"], spec["n"])
@@ -1616,13 +1645,20 @@ def _mine_hard_negatives_vectorized(
         V = _to_matrix(pdf[vec_col])
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         labels = pdf[label_col].to_numpy()
+        # a NULL label pairs with nothing (SQL: NULL <> x is NULL, the
+        # join drops it) — mask those rows/columns like same-label ones
+        # so the kernel matches the expression path on nullable labels
+        lab_na = pd.isna(pdf[label_col]).to_numpy()
         ids = pdf[id_col].to_numpy()
         cell = int(pdf["cell"].iloc[0])
         outs = []
         B = 1024
         for s in range(0, len(pdf), B):
             sims = Vn[s : s + B] @ Vn.T
-            sims[labels[s : s + B, None] == labels[None, :]] = -np.inf
+            sims[
+                (labels[s : s + B, None] == labels[None, :])
+                | lab_na[s : s + B, None] | lab_na[None, :]
+            ] = -np.inf
             j = sims.argmax(axis=1)  # first max = smallest id on ties
             best = sims[np.arange(len(j)), j]
             keep = best > -np.inf  # rows with no cross-label candidate
@@ -1811,15 +1847,22 @@ def _mine_vs_stored_vectorized(
         A = _to_matrix(arr[vec_col])
         An = A / np.linalg.norm(A, axis=1, keepdims=True)
         s_lab = stored[label_col].to_numpy()
+        s_na = pd.isna(stored[label_col]).to_numpy()
         s_ids = stored[id_col].to_numpy()
         a_lab = arr[label_col].to_numpy()
+        a_na = pd.isna(arr[label_col]).to_numpy()
         a_ids = arr[id_col].to_numpy()
         cell = int(pdf["cell"].iloc[0])
         outs = []
         B = 1024
         for s in range(0, len(arr), B):
             sims = An[s : s + B] @ Sn.T
-            sims[a_lab[s : s + B, None] == s_lab[None, :]] = -np.inf
+            # NULL labels pair with nothing, matching the fold path's
+            # SQL null semantics (NULL <> x drops the pair)
+            sims[
+                (a_lab[s : s + B, None] == s_lab[None, :])
+                | a_na[s : s + B, None] | s_na[None, :]
+            ] = -np.inf
             j = sims.argmax(axis=1)
             best = sims[np.arange(len(j)), j]
             keep = best > -np.inf
@@ -1876,15 +1919,33 @@ def index_hard_negatives(
         raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
     anchors = _read_anchors(group_dir)
     kernel = _resolve_kernel(kernel, len(anchors))
-    extra = _leaf_extra_cols(group_dir, id_col, vec_col)
+    if label_col not in arriving.columns:
+        raise ValueError(f"arriving batch is missing {label_col!r}")
+    extra = _leaf_extra_cols(group_dir, id_col, vec_col, default=None)
+    if extra is None:
+        # the index holds no stored rows at all (every live dir is
+        # file-less) — nothing to mine against; empty result, typed
+        # from the arriving frame
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, StructField, StructType,
+        )
+
+        idt = arriving.schema[id_col].dataType
+        lbt = arriving.schema[label_col].dataType
+        return spark.createDataFrame([], StructType([
+            StructField(id_col, idt),
+            StructField(label_col, lbt),
+            StructField("cell", IntegerType()),
+            StructField("neg_id", idt),
+            StructField("neg_label", lbt),
+            StructField("neg_sim", DoubleType()),
+        ]))
     if label_col not in extra:
         raise ValueError(
             f"index {group_dir} does not store {label_col!r} (leaf payload: "
             f"{extra}); write it with payload_cols=[{label_col!r}] to mine "
             "against the index"
         )
-    if label_col not in arriving.columns:
-        raise ValueError(f"arriving batch is missing {label_col!r}")
     ab = _with_cell(
         arriving.select(id_col, vec_col, label_col), vec_col, anchors,
         kernel=kernel,
@@ -1982,21 +2043,16 @@ def _topk_vs_stored_vectorized(
         B = 1024
         for s in range(0, len(arr), B):
             sims = An[s : s + B] @ Sn.T
-            n, m = sims.shape
-            kk = min(int(k), m)
-            # candidate columns in id-ascending order (stored is
-            # id-sorted), then one stable argsort of -sims over that
-            # axis == the fold path's (cos DESC, id ASC) tiebreak;
-            # argpartition first when the list is much longer than k
-            if m > 4 * kk:
-                part = np.sort(np.argpartition(-sims, kk - 1, axis=1)[:, :kk], axis=1)
-            else:
-                part = np.tile(np.arange(m), (n, 1))
-            rows = np.arange(n)[:, None]
-            vals = sims[rows, part]
-            ord_ = np.argsort(-vals, axis=1, kind="stable")[:, :kk]
-            pick = np.take_along_axis(part, ord_, axis=1)
-            top = np.take_along_axis(vals, ord_, axis=1)
+            kk = min(int(k), sims.shape[1])
+            # stored columns are id-ascending, so ONE stable argsort of
+            # -sims == the fold path's (cos DESC, id ASC) tiebreak even
+            # when ties land exactly at the k-th place (an argpartition
+            # prefilter would keep an arbitrary subset of boundary ties
+            # — duplicate stored vectors are a designed-for state under
+            # append_scope="all", so tie-exactness is part of the
+            # kernel-parity contract, worth the O(m log m) vs O(m))
+            pick = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            top = np.take_along_axis(sims, pick, axis=1)
             out = {
                 id_col: np.repeat(a_ids[s : s + B], kk),
                 "match_id": s_ids[pick.ravel()],
@@ -2059,7 +2115,21 @@ def index_topk(
         raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
     anchors = _read_anchors(group_dir)
     kernel = _resolve_kernel(kernel, len(anchors))
-    extra = _leaf_extra_cols(group_dir, id_col, vec_col)
+    extra = _leaf_extra_cols(group_dir, id_col, vec_col, default=None)
+    if extra is None:
+        # the index holds no stored rows — empty result (no payload
+        # columns can exist when no leaf file does)
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, StructField, StructType,
+        )
+
+        idt = arriving.schema[id_col].dataType
+        return spark.createDataFrame([], StructType([
+            StructField(id_col, idt),
+            StructField("rank", IntegerType()),
+            StructField("match_id", idt),
+            StructField("match_sim", DoubleType()),
+        ]))
     if kernel == "vectorized":
         ab = _assign_cells_vectorized(
             arriving.select(id_col, vec_col), vec_col, anchors,
