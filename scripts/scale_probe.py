@@ -1278,6 +1278,136 @@ def main() -> None:
         spark.stop()
         return
 
+    if "--ann-topk-scale" in sys.argv:
+        # r13 serving path: index_topk scans candidates = sum of the
+        # probed cells' inverted-list sizes, so per-query cost obeys
+        # TWO dials — linear in n_probe at a fixed index (recall dial),
+        # and ~N/C per probe under corpus growth (the codebook law the
+        # screen/miner already measure: frozen C at 10x corpus pays
+        # ~10x candidates/query, C ~ sqrt(N) pays ~sqrt(10)).
+        # Candidate counts are EXACT (probe assignments joined to cell
+        # sizes — no serve run needed); wall-clock runs the real
+        # operator end-to-end (persisted index on disk, bucketed read,
+        # matmul kernels) as corroboration.  A fixed 1%-of-base query
+        # set is reused verbatim on every arm so arms differ only in
+        # index/codebook/probe configuration.
+        import shutil
+        import tempfile
+
+        from tubes_spark.operators import similarity as S
+
+        run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
+        payload = json.loads(probe_path.read_text()) if probe_path.exists() else {}
+        OK = 10_000_000_000
+
+        base = load_table(spark, "embeddings", SF_BASE).select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+
+        def rep(d, r):
+            return d.withColumn("vec_id", F.col("vec_id") + F.lit(r * OK)).withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: F.when(
+                        i == F.lit(r % 64), x + F.lit(0.001 * (r + 1))
+                    ).otherwise(x),
+                ),
+            )
+
+        big = rep(base, 0)
+        for r in range(1, 10):
+            big = big.unionByName(rep(base, r))
+        big = big.localCheckpoint(eager=True)
+        queries = base.filter(F.col("vec_id") % 7 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(999 * OK)
+        ).localCheckpoint(eager=True)
+        n_q = queries.count()
+
+        def serve_stats(corpus, n_anchors, n_probe, tag):
+            t0 = time.perf_counter()
+            anch = S.kmeans_anchors_decimal(
+                corpus, n_anchors=n_anchors, iters=1, kernel="auto"
+            )
+            train_s = round(time.perf_counter() - t0, 3)
+            tmp = tempfile.mkdtemp(prefix="tubes_topk_probe_")
+            try:
+                t0 = time.perf_counter()
+                S.write_ann_index(
+                    corpus, tmp, anchors=anch, kernel="vectorized"
+                )
+                build_s = round(time.perf_counter() - t0, 3)
+                sizes = (
+                    S._with_cell(corpus, "embedding", anch, kernel="vectorized")
+                    .groupBy("cell").count()
+                )
+                cand = (
+                    S._assign_cells_vectorized(
+                        queries, "embedding", anch,
+                        out_col="cell", n_probe=n_probe, probes_col="__p__",
+                    )
+                    .select(F.explode("__p__").alias("cell"))
+                    .join(sizes, "cell")
+                    .agg(F.sum("count").alias("c"))
+                    .collect()[0]["c"]
+                    or 0
+                )
+                t0 = time.perf_counter()
+                force(S.index_topk(
+                    queries, spark, tmp, k=10, n_probe=n_probe,
+                    kernel="vectorized",
+                ))
+                serve_s = round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            row = {
+                "n_anchors": n_anchors, "n_probe": n_probe,
+                "index_rows": corpus.count(), "queries": int(n_q),
+                "candidates": int(cand),
+                "cand_per_query": round(cand / n_q, 1),
+                "train_sec": train_s, "build_sec": build_s,
+                "serve_sec": serve_s,
+                "serve_ms_per_query": round(1000 * serve_s / n_q, 3),
+            }
+            print(json.dumps({"ann_topk_scale": tag, **row}))
+            return row
+
+        cal_start = calibrate(spark)
+        rows = {
+            "base_8_p1": serve_stats(base, 8, 1, "base_8_p1"),
+            "base_8_p2": serve_stats(base, 8, 2, "base_8_p2"),
+            "base_8_p4": serve_stats(base, 8, 4, "base_8_p4"),
+            "x10_frozen_8_p2": serve_stats(big, 8, 2, "x10_frozen_8_p2"),
+            "x10_sqrt_25_p2": serve_stats(big, 25, 2, "x10_sqrt_25_p2"),
+            "x10_linear_80_p2": serve_stats(big, 80, 2, "x10_linear_80_p2"),
+        }
+        cpq = lambda t: rows[t]["cand_per_query"]
+        payload["ann_topk_scale"] = {
+            "base": SF_BASE, "corpus_x": 10,
+            "results": rows,
+            "nprobe_growth_at_fixed_index": {
+                "p2_over_p1": round(cpq("base_8_p2") / cpq("base_8_p1"), 2),
+                "p4_over_p1": round(cpq("base_8_p4") / cpq("base_8_p1"), 2),
+            },
+            "cand_per_query_growth_at_p2": {
+                "frozen_8": round(cpq("x10_frozen_8_p2") / cpq("base_8_p2"), 2),
+                "sqrt_25": round(cpq("x10_sqrt_25_p2") / cpq("base_8_p2"), 2),
+                "linear_80": round(cpq("x10_linear_80_p2") / cpq("base_8_p2"), 2),
+            },
+            "law": "candidates/query = sum of probed inverted-list "
+                   "sizes: linear in n_probe at a fixed index, ~N/C "
+                   "per probe under growth — the serving path rides "
+                   "the same sqrt(N) codebook rule as the screen and "
+                   "miner, with n_probe the recall dial priced by "
+                   "ann_nprobe_boundary_recall",
+            "calibration": {"start": cal_start, "end": calibrate(spark)},
+            "run": run_id,
+        }
+        probe_path.write_text(json.dumps(payload, indent=1) + "\n")
+        spark.stop()
+        return
+
     if "--ppjoin-mixed" in sys.argv:
         # VERDICT-r10 #5: the x100 jaccard synth is all-true-near-dups,
         # where PPJoin's length/positional filters structurally cannot
