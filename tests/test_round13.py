@@ -812,3 +812,33 @@ def test_index_ops_on_empty_index_return_empty(spark, tmp_path):
     q = _lvecs(range(5), V, spark)
     assert S.index_topk(q.select("vec_id", "embedding"), spark, d, k=2).count() == 0
     assert S.index_hard_negatives(q, spark, d).count() == 0
+
+
+def test_ann_index_stats_invariant_under_compaction(spark, tmp_path):
+    """The per-cell histogram spans every live dir and is identical
+    before and after compaction (stats describe the SET, not the
+    layout); empty index yields an empty, typed frame."""
+    V = _vec_corpus(n=40)
+    d = str(tmp_path / "idx")
+    S.write_ann_index(_vecs(range(20), V, spark), d, n_anchors=4, n_buckets=4)
+    S.incremental_ann_new(
+        _vecs(range(20, 30), V, spark).withColumn(
+            "vec_id", F.col("vec_id") + 100
+        ),
+        spark, d, threshold=2.0, update_index=True,
+    ).count()
+    before = sorted(map(tuple, S.ann_index_stats(spark, d).collect()))
+    assert sum(r[1] for r in before) == 30
+    Sink.compact_atomic_group(spark, d, gc=True)
+    after = sorted(map(tuple, S.ann_index_stats(spark, d).collect()))
+    assert before == after
+    d2 = str(tmp_path / "empty")
+    S.write_ann_index(
+        _vecs(range(5), V, spark).filter(F.lit(False)), d2,
+        anchors=[V[0], V[1]], n_buckets=2,
+    )
+    empty = S.ann_index_stats(spark, d2)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "cell", "n_vectors", "min_id", "max_id"
+    ]

@@ -2203,3 +2203,46 @@ def index_topk(
             *mcols, F.round("cs", 6).alias("match_sim"),
         )
     )
+
+
+def ann_index_stats(
+    spark,
+    group_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list statistics of the persisted index, read from the
+    index's own ``cells`` leaf (never the corpus): one row per anchor
+    cell with the list size and the id range it spans.  The operator's
+    job is retrain/skew observability — the sqrt(N) codebook rule is a
+    TARGET, and the way an operator notices a fat cell (hub vectors, a
+    drifted corpus) or a dead codebook region is exactly this
+    histogram; `rebuild_ann_index` is the remedy it motivates.
+
+    Scale shape: a bucketed FileScan per live dir + one partial agg on
+    the bucket key — no join, no corpus read; cost ~ |index| / cells
+    per task regardless of corpus size."""
+    import functools
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    _, _, sides = _read_index_sides(spark, group_dir)
+    frames = [s.select("cell", id_col) for s in sides]
+    if not frames:
+        return spark.createDataFrame([], StructType([
+            StructField("cell", IntegerType()),
+            StructField("n_vectors", LongType()),
+            StructField("min_id", LongType()),
+            StructField("max_id", LongType()),
+        ]))
+    stored = functools.reduce(DataFrame.unionByName, frames)
+    return (
+        stored.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )

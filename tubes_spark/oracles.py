@@ -5238,3 +5238,37 @@ FROM (
   FROM pairs
 ) WHERE rn <= 3
 """
+
+
+# The streaming serving twin replays the exact stored/query split of
+# the batch query against the SAME static index — retrieval never
+# mutates the index, and the drained union over disjoint query slices
+# is the batch result row-for-row, so the two share one oracle.
+ORACLES["streaming_index_topk"] = ORACLES["index_topk_search"]
+
+
+# Round 13: per-cell inverted-list histogram of the persisted index
+# (bootstrap = slices 0+1, appended epoch = slice 2; anchors are the 8
+# smallest-id BOOTSTRAP vectors, every vector single-cell).
+ORACLES["ann_index_stats"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+b AS (SELECT * FROM e WHERE vec_id % 3 <> 2),
+a AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM b ORDER BY vec_id LIMIT 8)
+),
+cells AS (
+  SELECT vec_id, aid AS cell FROM (
+    SELECT e.vec_id, a.aid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_ANN_COS.format(a="e.v", b="a.av")} DESC, a.aid ASC) AS rn
+    FROM e CROSS JOIN a
+  ) WHERE rn = 1
+)
+SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_id,
+       max(vec_id) AS max_id
+FROM cells GROUP BY cell
+"""

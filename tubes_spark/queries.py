@@ -9958,3 +9958,93 @@ def index_filtered_topk(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def streaming_index_topk(spark, sf_dir):
+    """The serving path under REAL micro-batch triggers (r13): a
+    STATIC payload-carrying index answers a stream of query vectors —
+    the production shape where retrieval runs continuously while the
+    index is rebuilt/compacted on a slower cadence.  The query slice
+    (vec_id % 3 == 0) arrives as two file-replay triggers
+    (maxFilesPerTrigger=1); each trigger runs ``index_topk(k=3,
+    n_probe=2)`` against the same index, appends its verdicts, and the
+    drained union over disjoint query slices IS the batch result —
+    so this query shares `index_topk_search`'s oracle verbatim
+    (retrieval never mutates the index; trigger boundaries cannot
+    change any row).
+
+    Scale shape per trigger: |batch| * n_probe * n_c candidate scans
+    against the bucketed leaf, zero index-side Exchange, no state
+    store (retrieval is stateless — the index itself is the state)."""
+    import shutil
+    import tempfile
+
+    from tubes_spark.streaming.run import write_ordered_slices
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    stored = e.filter(F.col("vec_id") % 3 != 0)
+    qset = e.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    conds = [F.col("vec_id") % 6 == 0, F.col("vec_id") % 6 == 3]
+    tmp = tempfile.mkdtemp(prefix="tubes_stopk_")
+    try:
+        idx_dir = f"{tmp}/idx"
+        out_dir = f"{tmp}/out"
+        similarity.write_ann_index(
+            stored, idx_dir, n_anchors=8, payload_cols=["label"]
+        )
+        write_ordered_slices(qset, conds, f"{tmp}/in")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+
+        def fb(batch_df, epoch_id):
+            similarity.index_topk(
+                batch_df, spark, idx_dir, k=3, n_probe=2
+            ).write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return (
+            spark.read.parquet(out_dir)
+            .select("vec_id", "rank", "match_id", "match_label", "match_sim")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ann_index_stats(spark, sf_dir):
+    """Index observability under the gate (r13): bootstrap the index
+    on two corpus slices, append the third as a maintenance epoch, and
+    read the per-cell inverted-list histogram (size + id span) from
+    the index's own leaf — the operator's view of codebook health
+    (fat cells = hub vectors or drift; the retrain signal
+    `rebuild_ann_index` answers).  Aggregates span the bootstrap epoch
+    AND the appended epoch, so multi-dir stats are what's gated.  The
+    oracle replays the assignment rule (anchors = 8 smallest-id
+    vectors of the bootstrap slices) over the full corpus."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="tubes_astat_")
+    try:
+        similarity.write_ann_index(
+            e.filter(F.col("vec_id") % 3 != 2), tmp, n_anchors=8
+        )
+        similarity.incremental_ann_new(
+            e.filter(F.col("vec_id") % 3 == 2), spark, tmp,
+            threshold=2.0, update_index=True,
+        ).count()  # drive the append (threshold 2.0: nothing flagged)
+        return similarity.ann_index_stats(spark, tmp).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
