@@ -102,6 +102,7 @@ HEADLINE = [
     "index_filtered_topk",            # metadata-filtered retrieval, pre-rank filter (r13)
     "streaming_index_topk",           # serving under micro-batch triggers (r13)
     "ann_index_stats",                # inverted-list histogram observability (r13)
+    "ann_index_delete",               # tombstone + purge right-to-be-forgotten (r13)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt

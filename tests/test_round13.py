@@ -842,3 +842,80 @@ def test_ann_index_stats_invariant_under_compaction(spark, tmp_path):
     assert [f.name for f in empty.schema.fields] == [
         "cell", "n_vectors", "min_id", "max_id"
     ]
+
+
+# ------------------------------------------------ tombstone deletes
+
+def test_ann_delete_tombstone_then_purge_lifecycle(spark, tmp_path):
+    """delete_from_ann_index hides ids from every reader at once
+    (screen, top-k, stats, rebuild); purge_ann_tombstones scrubs them
+    physically, is decision-invariant, clears the applied batches, and
+    a rerun is a no-op."""
+    import glob
+
+    V = _vec_corpus(n=40)
+    d = str(tmp_path / "idx")
+    S.write_ann_index(
+        _lvecs(range(20), V, spark), d, n_anchors=4, n_buckets=4,
+        payload_cols=["label"],
+    )
+    doomed = [0, 3, 6, 9]
+    n = S.delete_from_ann_index(spark, d, ids=doomed)
+    assert n == 4
+    # every reader forgets at once
+    stats = S.ann_index_stats(spark, d).collect()
+    assert sum(r["n_vectors"] for r in stats) == 16
+    q = _lvecs(range(20), V, spark).select("vec_id", "embedding")
+    tk = S.index_topk(q, spark, d, k=20).collect()
+    assert not {r["match_id"] for r in tk} & set(doomed)
+    scr = {r["vec_id"]: r["is_new"] for r in S.incremental_ann_new(
+        _vecs(doomed, V, spark).withColumn("vec_id", F.col("vec_id") + 900),
+        spark, d, threshold=0.9999,
+    ).collect()}
+    assert all(scr.values())  # their stored copies are forgotten
+    # rebuild must not resurrect them
+    d2 = str(tmp_path / "idx2")
+    S.rebuild_ann_index(spark, d, d2, n_anchors=3)
+    assert Sink.read_atomic_group(spark, d2, "cells").count() == 16
+    # purge: physically gone, decisions unchanged, batches cleared
+    before = sorted(map(tuple, S.ann_index_stats(spark, d).collect()))
+    removed = S.purge_ann_tombstones(spark, d)
+    assert removed == 4
+    assert sorted(map(tuple, S.ann_index_stats(spark, d).collect())) == before
+    assert Sink.read_atomic_group(spark, d, "cells").count() == 16
+    assert not glob.glob(f"{d}/_tombstones/ts-*")
+    assert S.purge_ann_tombstones(spark, d) == 0  # rerun: no-op
+    # deleting by predicate over payload works too: ids 1..19 with
+    # vec_id % 3 == 1 are the 7 surviving label-1 rows
+    assert S.delete_from_ann_index(spark, d, predicate="label = 1") == 7
+    assert sum(
+        r["n_vectors"] for r in S.ann_index_stats(spark, d).collect()
+    ) == 9
+
+
+def test_ann_delete_argument_contract_and_staged_invisibility(
+    spark, tmp_path
+):
+    import os
+
+    V = _vec_corpus(n=10)
+    d = str(tmp_path / "idx")
+    S.write_ann_index(_vecs(range(10), V, spark), d, n_anchors=2, n_buckets=2)
+    with pytest.raises(ValueError, match="exactly one"):
+        S.delete_from_ann_index(spark, d)
+    with pytest.raises(ValueError, match="exactly one"):
+        S.delete_from_ann_index(spark, d, ids=[1], predicate="vec_id = 1")
+    # a half-written (staged, unrenamed) batch is invisible to readers
+    os.makedirs(f"{d}/_tombstones/.tmp.ts-dead", exist_ok=True)
+    _vecs([1], V, spark).select("vec_id").write.mode("overwrite").parquet(
+        f"{d}/_tombstones/.tmp.ts-dead"
+    )
+    assert S._read_tombstones(spark, d) is None
+    assert sum(
+        r["n_vectors"] for r in S.ann_index_stats(spark, d).collect()
+    ) == 10
+    # deleting ids that are not stored is a no-op for readers
+    assert S.delete_from_ann_index(spark, d, ids=[999]) == 1
+    assert sum(
+        r["n_vectors"] for r in S.ann_index_stats(spark, d).collect()
+    ) == 10

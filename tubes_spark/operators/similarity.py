@@ -1327,8 +1327,16 @@ def rebuild_ann_index(
     if os.path.exists(f"{new_dir}/_anchors.parquet"):
         raise ValueError(f"{new_dir} already holds an ANN index")
     extra = _leaf_extra_cols(old_dir, id_col, vec_col)
-    stored = Sink.read_atomic_group(spark, old_dir, "cells").select(
-        id_col, vec_col, *extra
+    # read through the sides helper so published tombstones are
+    # excluded — a rebuild must not resurrect deleted ids in new_dir
+    import functools
+
+    _, _, _sides = _read_index_sides(spark, old_dir)
+    if not _sides:
+        raise ValueError(f"index {old_dir} holds no live stored rows")
+    stored = functools.reduce(
+        DataFrame.unionByName,
+        [s.select(id_col, vec_col, *extra) for s in _sides],
     )
     if anchors is None:
         if n_anchors is None:
@@ -1405,7 +1413,13 @@ def _read_index_sides(spark, group_dir: str):
     part files — nothing survived), which contributes no rows and has
     no footer to register a table from, so it is skipped.  Returns
     (bucket_spec, committed_epochs, frames); legacy plain-layout
-    groups fall back to one unbucketed frame."""
+    groups fall back to one unbucketed frame.
+
+    Published tombstones (:func:`delete_from_ann_index`) are excluded
+    HERE, so every consumer — screen, mining, top-k, stats, rebuild —
+    forgets deleted ids at once: a broadcast anti-join per frame (the
+    tombstone side is tiny; the index side still never crosses an
+    Exchange).  No tombstones → no extra plan nodes."""
     from tubes_spark.sink import Sink
 
     spec = Sink._bucket_spec(group_dir)
@@ -1419,6 +1433,12 @@ def _read_index_sides(spark, group_dir: str):
                 )
     else:  # legacy plain layout
         sides = [Sink.read_atomic_group(spark, group_dir, "cells")]
+    tombs = _read_tombstones(spark, group_dir)
+    if tombs is not None and sides:
+        key = tombs.columns[0]
+        sides = [
+            s.join(F.broadcast(tombs), on=key, how="left_anti") for s in sides
+        ]
     return spec, epochs, sides
 
 
@@ -2246,3 +2266,198 @@ def ann_index_stats(
             F.max(id_col).alias("max_id"),
         )
     )
+
+
+# --------------------------------------------------- index deletes
+
+def _read_tombstones(spark, group_dir: str):
+    """Published tombstone batches of the index, unioned and deduped —
+    a single-id-column DataFrame, or None when no tombstones exist.
+    Publish protocol: each delete writes its ids under a run-unique
+    ``_tombstones/.tmp.ts-*`` directory and renames to ``ts-*`` last,
+    so a half-written batch is never visible."""
+    import glob
+
+    from tubes_spark.sink import Sink
+
+    dirs = [
+        d for d in sorted(glob.glob(f"{group_dir}/_tombstones/ts-*"))
+        if Sink._has_parquet(d)
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).distinct()
+
+
+def delete_from_ann_index(
+    spark,
+    group_dir: str,
+    ids: "list | None" = None,
+    predicate: "str | None" = None,
+    id_col: str = "vec_id",
+) -> int:
+    """LOGICAL delete from the persisted vector index (tombstones) —
+    the right-to-be-forgotten path: the doomed ids land in a small
+    ``_tombstones`` batch (atomic rename publish) and from that moment
+    every reader — screen, mining, top-k, stats, rebuild — excludes
+    them via a broadcast anti-join (no index-side Exchange; the
+    tombstone side is tiny and broadcast).  Data is only PHYSICALLY
+    gone after :func:`purge_ann_tombstones`, which rewrites the leaf
+    without the doomed rows and clears the applied batches — the same
+    logical-now/physical-later split Delta/Iceberg use, because at
+    100 TB an eager rewrite per deletion request is not a plan.
+
+    Pass ``ids`` (an explicit list) or ``predicate`` (a SQL boolean
+    over the leaf's columns — id, cell, vector, payload), exactly one.
+    Returns the number of ids tombstoned in this batch.  Deleting an
+    id not in the index is a no-op by construction (anti-join).
+
+    Semantics caveat (standard tombstone-by-key, as in log
+    compaction): the tombstone hides EVERY stored row with that id —
+    including rows appended after the delete — until a purge applies
+    and clears the batch.  Re-ingesting a deleted id as a new fact
+    belongs after the purge."""
+    import os
+    import uuid
+
+    from pyspark.sql.types import StructField, StructType
+
+    if (ids is None) == (predicate is None):
+        raise ValueError("pass exactly one of ids= or predicate=")
+    _, _, sides = _read_index_sides(spark, group_dir)
+    if not sides:
+        return 0  # nothing stored, nothing to forget
+    import functools
+
+    if predicate is not None:
+        stored = functools.reduce(
+            DataFrame.unionByName,
+            [s.drop("epoch") if "epoch" in s.columns else s for s in sides],
+        )
+        doomed = stored.filter(F.expr(predicate)).select(id_col).distinct()
+    else:
+        idt = sides[0].schema[id_col].dataType
+        doomed = spark.createDataFrame(
+            [(i,) for i in ids], StructType([StructField(id_col, idt)])
+        ).distinct()
+    n = doomed.count()
+    if n == 0:
+        return 0
+    ts_dir = f"{group_dir}/_tombstones"
+    os.makedirs(ts_dir, exist_ok=True)
+    name = f"ts-{uuid.uuid4().hex[:8]}"
+    tmp = f"{ts_dir}/.tmp.{name}"
+    doomed.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, f"{ts_dir}/{name}")  # publish point
+    return int(n)
+
+
+def purge_ann_tombstones(
+    spark,
+    group_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """PHYSICAL scrub of tombstoned rows: consolidate the live leaf
+    minus every published tombstone into a fresh bucket-preserving
+    compact directory, publish it with the standard ``_compacted``
+    marker rename, gc the superseded dirs, and clear the applied
+    tombstone batches.  Readers are never wrong mid-purge (the marker
+    renames last, exactly like compaction); a crash at any point
+    leaves either the pre-purge view (tombstones still anti-joined at
+    read) or the post-purge one.  Re-running after a crash finishes
+    the job — the purge is idempotent over the same tombstone set.
+    Compliance note: ids are physically gone only when this returns;
+    epoch lineage of surviving rows is preserved (the compact part
+    keeps the ``epoch`` column), so as-of reads of survivors still
+    work while purged ids are gone from ALL history — the GDPR
+    requirement that wins over time travel.
+
+    Returns the number of rows physically removed.  Scale shape: one
+    bucketed scan + one bucketed write of the live index (the same
+    cost class as compaction — amortize by batching deletion requests
+    into one purge), tombstones broadcast."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from tubes_spark.sink import Sink
+
+    spec = Sink._bucket_spec(group_dir)
+    if spec is None:
+        raise ValueError(
+            "purge_ann_tombstones requires the bucketed index layout"
+        )
+    ts_files = [
+        d for d in sorted(glob.glob(f"{group_dir}/_tombstones/ts-*"))
+        if Sink._has_parquet(d)
+    ]  # snapshot FIRST: batches published after this survive the purge
+    if not ts_files:
+        return 0
+    epochs, kk, kname = Sink._committed_epochs(group_dir)
+    if not epochs:
+        raise ValueError(f"no committed epochs under {group_dir}")
+    k = max(epochs)
+    extra = _leaf_extra_cols(group_dir, id_col, vec_col) or []
+    cols = [id_col, "cell", vec_col, *extra, "epoch"]
+    import functools
+
+    frames = []
+    if kk is not None:
+        d = f"{group_dir}/cells/compact/{kname}"
+        if Sink._has_parquet(d):
+            frames.append(
+                Sink._read_bucketed_dir(spark, d, spec["cols"], spec["n"])
+                .select(cols)
+            )
+    for e in epochs:
+        if kk is None or e > kk:
+            d = f"{group_dir}/cells/data/epoch={e}"
+            if Sink._has_parquet(d):
+                frames.append(
+                    Sink._read_bucketed_dir(spark, d, spec["cols"], spec["n"])
+                    .withColumn("epoch", F.lit(int(e)))
+                    .select(cols)
+                )
+    tombs = spark.read.parquet(*ts_files).distinct()
+    key = tombs.columns[0]
+    if not frames:
+        removed = 0
+    else:
+        live = functools.reduce(DataFrame.unionByName, frames)
+        kept = live.join(F.broadcast(tombs), on=key, how="left_anti")
+        kept = kept.withColumn("epoch", F.col("epoch").cast("int"))
+        n_before = live.count()
+        new_dir = f"upto={k}.purge.{uuid.uuid4().hex[:8]}"
+        cdir = f"{group_dir}/cells/compact"
+        os.makedirs(cdir, exist_ok=True)
+        tmp = f"{cdir}/.tmp.{new_dir}"
+        Sink._write_bucketed_dir(kept, tmp, spec["cols"], spec["n"])
+        os.replace(tmp, f"{cdir}/{new_dir}")
+        import pathlib
+
+        marker_dir = pathlib.Path(group_dir) / "_compacted"
+        marker_dir.mkdir(parents=True, exist_ok=True)
+        mtmp = marker_dir / f".tmp.{k}"
+        mtmp.write_text(new_dir)
+        os.replace(mtmp, marker_dir / str(k))  # the atomic scrub point
+        n_after = Sink._read_bucketed_dir(
+            spark, f"{cdir}/{new_dir}", spec["cols"], spec["n"]
+        ).count()
+        removed = int(n_before - n_after)
+
+        def _drop_dir(path: str) -> None:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {Sink._bucket_table_name(path)}"
+            )
+            shutil.rmtree(path, ignore_errors=True)
+
+        for e in epochs:
+            _drop_dir(f"{group_dir}/cells/data/epoch={e}")
+        for p in pathlib.Path(cdir).iterdir():
+            if p.name != new_dir:
+                _drop_dir(str(p))
+    for d in ts_files:  # applied — physically done, clear the batches
+        shutil.rmtree(d, ignore_errors=True)
+    return removed

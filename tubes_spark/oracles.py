@@ -5272,3 +5272,72 @@ SELECT cell, count(*) AS n_vectors, min(vec_id) AS min_id,
        max(vec_id) AS max_id
 FROM cells GROUP BY cell
 """
+
+
+# Round 13: the delete lifecycle.  One probe batch (every vec_id%7==0
+# vector re-arrived at id+500000) screened three times at the
+# self-match threshold 0.9999: phase 0 against the full stored set,
+# phases 1 (tombstoned) and 2 (purged) against the survivors — the
+# purge is decision-invariant by construction, so phases 1 and 2 share
+# one hit set.  Anchors = 8 smallest-id vectors of the bootstrap
+# slices (vec_id % 3 <> 2); the appended slice obeys the same rule.
+ORACLES["ann_index_delete"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+b AS (SELECT * FROM e WHERE vec_id % 3 <> 2),
+a AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS aid, v AS av
+  FROM (SELECT vec_id, v FROM b ORDER BY vec_id LIMIT 8)
+),
+scell AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT e.vec_id, e.v, a.aid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_ANN_COS.format(a="e.v", b="a.av")} DESC, a.aid ASC) AS rn
+    FROM e CROSS JOIN a
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id + 500000 AS vec_id, v FROM e WHERE vec_id % 7 = 0
+),
+pc AS (
+  SELECT vec_id, v, aid AS cell FROM (
+    SELECT p.vec_id, p.v, a.aid,
+      row_number() OVER (PARTITION BY p.vec_id
+        ORDER BY {_ANN_COS.format(a="p.v", b="a.av")} DESC, a.aid ASC) AS rn
+    FROM probe p CROSS JOIN a
+  ) WHERE rn = 1
+),
+hits0 AS (
+  SELECT vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM (
+    SELECT p.vec_id, {_ANN_COS.format(a="p.v", b="s.v")} AS ps
+    FROM pc p JOIN scell s ON s.cell = p.cell
+  ) WHERE ps >= 0.9999 GROUP BY vec_id
+),
+hits1 AS (
+  SELECT vec_id, CAST(count(*) AS INTEGER) AS n_prior_hits,
+         round(max(ps), 6) AS best_sim
+  FROM (
+    SELECT p.vec_id, {_ANN_COS.format(a="p.v", b="s.v")} AS ps
+    FROM pc p JOIN scell s ON s.cell = p.cell AND s.vec_id % 7 <> 0
+  ) WHERE ps >= 0.9999 GROUP BY vec_id
+)
+SELECT p.vec_id, CAST(0 AS INTEGER) AS phase, p.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits, h.best_sim
+FROM pc p LEFT JOIN hits0 h USING (vec_id)
+UNION ALL
+SELECT p.vec_id, CAST(1 AS INTEGER) AS phase, p.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits, h.best_sim
+FROM pc p LEFT JOIN hits1 h USING (vec_id)
+UNION ALL
+SELECT p.vec_id, CAST(2 AS INTEGER) AS phase, p.cell,
+       (h.vec_id IS NULL) AS is_new,
+       COALESCE(h.n_prior_hits, 0) AS n_prior_hits, h.best_sim
+FROM pc p LEFT JOIN hits1 h USING (vec_id)
+"""

@@ -10048,3 +10048,61 @@ def ann_index_stats(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def ann_index_delete(spark, sf_dir):
+    """Right-to-be-forgotten on the persisted vector index (r13),
+    three screens of ONE probe batch under one gate: the probe is
+    every to-be-deleted vector re-arrived at id+500000 with a
+    self-match threshold (0.9999), so each phase's verdicts read the
+    index's memory of those vectors directly.  Phase 0 (pre-delete):
+    every probe matches its stored copy — is_new false.  Phase 1
+    (post-`delete_from_ann_index(predicate="vec_id % 7 = 0")`): the
+    tombstone anti-join forgets them logically — is_new true unless a
+    SURVIVING vector happens to clear the threshold.  Phase 2
+    (post-`purge_ann_tombstones`): physically scrubbed, decisions
+    identical to phase 1 — the purge is decision-invariant, which is
+    exactly what the shared oracle hashes.
+
+    Scale shape: the tombstone side is broadcast (no index-side
+    Exchange at any phase); the purge is one bucketed scan + bucketed
+    write, the compaction cost class, amortized by batching deletes."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="tubes_anndel_")
+    try:
+        similarity.write_ann_index(
+            e.filter(F.col("vec_id") % 3 != 2), tmp, n_anchors=8
+        )
+        similarity.incremental_ann_new(
+            e.filter(F.col("vec_id") % 3 == 2), spark, tmp,
+            threshold=2.0, update_index=True,
+        ).count()
+        probe = e.filter(F.col("vec_id") % 7 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(500000)
+        )
+        cols = ["vec_id", "phase", "cell", "is_new", "n_prior_hits",
+                "best_sim"]
+
+        def screen(phase):
+            return (
+                similarity.incremental_ann_new(
+                    probe, spark, tmp, threshold=0.9999
+                )
+                .withColumn("phase", F.lit(phase).cast("int"))
+                .select(cols)
+                .localCheckpoint(eager=True)
+            )
+
+        p0 = screen(0)
+        similarity.delete_from_ann_index(
+            spark, tmp, predicate="vec_id % 7 = 0"
+        )
+        p1 = screen(1)
+        similarity.purge_ann_tombstones(spark, tmp)
+        p2 = screen(2)
+        return p0.unionByName(p1).unionByName(p2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
