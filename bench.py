@@ -103,6 +103,7 @@ HEADLINE = [
     "streaming_index_topk",           # serving under micro-batch triggers (r13)
     "ann_index_stats",                # inverted-list histogram observability (r13)
     "ann_index_delete",               # tombstone + purge right-to-be-forgotten (r13)
+    "index_pq_topk",                  # PQ-compressed serving index, 32x smaller leaf (r13)
     "streaming_funnel_conversions",   # keyed-arbitrary-state funnel detection
     "gapfill_hourly_counts",          # dense time-series gap filling
     "unpivot_doc_metrics",            # wide-to-long melt

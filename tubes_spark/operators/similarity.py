@@ -636,11 +636,18 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Encode every vector to its m-byte PQ code (array<int> of
     per-subspace nearest-centroid ids).  Arrow-batched matmul per
-    subspace; no shuffle — encoding is a pure per-row projection."""
+    subspace; no shuffle — encoding is a pure per-row projection.
+    ``keep_cols`` pass through unchanged (e.g. a pre-assigned ``cell``
+    on the persisted-index write path, avoiding a re-join by id)."""
     m, _k, sub = codebooks.shape
+    keep = list(keep_cols)
+    kschema = ", ".join(
+        f"{c} {corpus.schema[c].dataType.simpleString()}" for c in keep
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -656,14 +663,15 @@ def pq_encode(
                 dots = block @ codebooks[j].T
                 c2 = (codebooks[j] ** 2).sum(axis=1)
                 codes[:, j] = np.argmin(c2[None, :] - 2 * dots, axis=1)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "pq_code": list(codes),
-            })
+            out = {id_col: pdf[id_col].to_numpy(), "pq_code": list(codes)}
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} long, pq_code array<long>"
-    )
+    sch = f"{id_col} long, pq_code array<long>"
+    if kschema:
+        sch += ", " + kschema
+    return corpus.select(id_col, vec_col, *keep).mapInPandas(encode, schema=sch)
 
 
 def knn_pq_adc(
@@ -1513,6 +1521,14 @@ def incremental_ann_new(
     if kernel not in _KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
 
+    import os as _os
+
+    if _os.path.exists(f"{group_dir}/_pq.parquet"):
+        raise ValueError(
+            f"{group_dir} is a PQ-compressed index (no stored vectors); "
+            "screens need the full-vector index — serve it with "
+            "index_topk_pq instead"
+        )
     anchors = _read_anchors(group_dir)
     kernel = _resolve_kernel(kernel, len(anchors))
     # a payload-carrying leaf (r13) makes its columns part of the
@@ -2133,6 +2149,13 @@ def index_topk(
         raise ValueError("n_probe must be >= 1")
     if kernel not in _KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
+    import os as _os
+
+    if _os.path.exists(f"{group_dir}/_pq.parquet"):
+        raise ValueError(
+            f"{group_dir} is a PQ-compressed index (no stored vectors); "
+            "serve it with index_topk_pq"
+        )
     anchors = _read_anchors(group_dir)
     kernel = _resolve_kernel(kernel, len(anchors))
     extra = _leaf_extra_cols(group_dir, id_col, vec_col, default=None)
@@ -2461,3 +2484,298 @@ def purge_ann_tombstones(
     for d in ts_files:  # applied — physically done, clear the batches
         shutil.rmtree(d, ignore_errors=True)
     return removed
+
+
+# --------------------------------------------------- persisted PQ index
+
+def _stage_pq(group_dir: str, codebooks: np.ndarray) -> str:
+    """Stage the PQ codebooks next to the anchors (same
+    publish-after-commit discipline): (m, k, sub) float64 flattened to
+    one row per (subspace, centroid)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(group_dir, exist_ok=True)
+    m, k, _sub = codebooks.shape
+    t = pa.table({
+        "j": [j for j in range(m) for _ in range(k)],
+        "c": [c for _ in range(m) for c in range(k)],
+        "vals": [
+            [float(x) for x in codebooks[j, c]]
+            for j in range(m) for c in range(k)
+        ],
+    })
+    scratch = f"{group_dir}/..writing._pq.parquet"
+    pq.write_table(t, scratch)
+    os.replace(scratch, f"{group_dir}/.tmp._pq.parquet")
+    return f"{group_dir}/.tmp._pq.parquet"
+
+
+def _read_pq_codebooks(group_dir: str) -> np.ndarray:
+    """Published PQ codebooks as (m, k, sub) float64, finishing an
+    interrupted publish exactly like :func:`_read_anchors` (same
+    crash/race/read-only fallbacks, same corrupt-index refusal)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tubes_spark.sink import Sink
+
+    final = f"{group_dir}/_pq.parquet"
+    tmp = f"{group_dir}/.tmp._pq.parquet"
+    if not os.path.exists(final):
+        epochs, _, _ = Sink._committed_epochs(group_dir)
+        if not epochs:
+            raise FileNotFoundError(final)
+        if not os.path.exists(tmp):
+            raise ValueError(
+                f"PQ index {group_dir} has committed epochs but no codebook "
+                "record (neither published nor staged) — the index is "
+                "unreadable; rebuild it from the corpus"
+            )
+        try:
+            os.replace(tmp, final)
+        except (FileNotFoundError, PermissionError) as exc:
+            if not os.path.exists(final):
+                if isinstance(exc, PermissionError) and os.path.exists(tmp):
+                    final = tmp
+                else:
+                    raise
+    published = f"{group_dir}/_pq.parquet"
+    try:
+        t = pq.read_table(final)
+    except FileNotFoundError:
+        if final != published and os.path.exists(published):
+            t = pq.read_table(published)
+        else:
+            raise
+    js = t["j"].to_pylist()
+    cs = t["c"].to_pylist()
+    vals = t["vals"].to_pylist()
+    m = max(js) + 1
+    k = max(cs) + 1
+    sub = len(vals[0])
+    books = np.zeros((m, k, sub))
+    for j, c, v in zip(js, cs, vals):
+        books[j, c] = v
+    return books
+
+
+def write_pq_ann_index(
+    batch: DataFrame,
+    group_dir: str,
+    n_anchors: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    epoch: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: "int | None" = None,
+    anchors: "list[list[float]] | None" = None,
+    kernel: str = "auto",
+    sample_cap: int = 4096,
+    seed: int = 11,
+) -> None:
+    """Bootstrap (or extend) a PQ-COMPRESSED persisted vector index:
+    the same atomic bucketed group as :func:`write_ann_index`, but the
+    ``cells`` leaf stores (id, cell, pq_code) — ``m`` bytes of code
+    per vector instead of the full float vector.  At dim=64 float32
+    that is a 32x smaller index: the difference between an index that
+    fits hot storage at 10^11 vectors and one that does not (Jegou et
+    al. 2011, the IVFADC layout).  Anchors (IVF cells) AND the PQ
+    codebooks are trained at bootstrap and published together after
+    the bootstrap epoch commits (the anchors' crash discipline covers
+    both); extend epochs encode with the STORED codebooks, so codes
+    stay comparable for the index's lifetime.
+
+    The trade against :func:`write_ann_index`: no stored vectors means
+    serving is approximate-only (:func:`index_topk_pq`; no exact
+    rerank without the corpus), screens/mining don't apply, and a
+    rebuild must re-read the corpus.  Store the full-vector index when
+    you can afford it; store this when you cannot.
+
+    Scale shape: assignment + encoding are one Arrow pass (broadcast
+    anchors + codebooks, no shuffle); the bucketed write is the only
+    Exchange, and the leaf it writes is ~m bytes/row."""
+    import os
+
+    from tubes_spark.sink import _CURRENT_EPOCH, Sink
+
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
+    final = f"{group_dir}/_anchors.parquet"
+    epochs_before, _, _ = Sink._committed_epochs(group_dir)
+    if os.path.exists(final) or epochs_before:
+        cell_anchors = _read_anchors(group_dir)
+        books = _read_pq_codebooks(group_dir)
+        if anchors is not None:
+            passed = [[float(x) for x in a] for a in anchors]
+            if passed != cell_anchors:
+                raise ValueError(
+                    f"PQ index {group_dir} already has a published anchor "
+                    "codebook; anchors are immutable for the index's "
+                    "lifetime (rebuild the index to re-seed)"
+                )
+    else:
+        if anchors is not None:
+            cell_anchors = [[float(x) for x in a] for a in anchors]
+        else:
+            head = (
+                batch.select(id_col, vec_col)
+                .orderBy(F.col(id_col).asc())
+                .limit(n_anchors)
+                .collect()
+            )
+            cell_anchors = [[float(x) for x in r[vec_col]] for r in head]
+        _stage_anchors(group_dir, cell_anchors)
+        dim = len(cell_anchors[0])
+        books = pq_train(batch, dim, m, n_codes, vec_col, sample_cap, seed)
+        _stage_pq(group_dir, books)
+    kernel = _resolve_kernel(kernel, len(cell_anchors))
+    cells = _with_cell(
+        batch.select(id_col, vec_col), vec_col, cell_anchors, kernel=kernel
+    )
+    leaf = pq_encode(cells, books, id_col, vec_col, keep_cols=["cell"]).select(
+        id_col, "cell", "pq_code"
+    )
+    spec = Sink._bucket_spec(group_dir)
+    if spec is None:
+        if n_buckets is None:
+            n_buckets = max(batch.sparkSession.sparkContext.defaultParallelism, 8)
+        sink = Sink.atomic_bucketed_group(group_dir, "cells", ["cell"], int(n_buckets))
+    else:
+        sink = Sink.atomic_bucketed_group(group_dir, "cells", spec["cols"], spec["n"])
+    token = _CURRENT_EPOCH.set(int(epoch))
+    try:
+        sink(leaf)
+    finally:
+        _CURRENT_EPOCH.reset(token)
+    tmp_a = f"{group_dir}/.tmp._anchors.parquet"
+    if not os.path.exists(final) and os.path.exists(tmp_a):
+        os.replace(tmp_a, final)
+    tmp_p = f"{group_dir}/.tmp._pq.parquet"
+    final_p = f"{group_dir}/_pq.parquet"
+    if not os.path.exists(final_p) and os.path.exists(tmp_p):
+        os.replace(tmp_p, final_p)
+
+
+def index_topk_pq(
+    arriving: DataFrame,
+    spark,
+    group_dir: str,
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "auto",
+) -> DataFrame:
+    """Approximate top-k against the PQ-compressed persisted index via
+    asymmetric distance computation: assign each query to its
+    ``n_probe`` nearest anchor cells, join the probed inverted lists
+    (bucketed FileScan of ~m-byte code rows — no vectors are read
+    because none are stored), and score each (query, code) pair by
+    summed per-subspace squared distances to the query's sub-vectors.
+    Codebooks are trained on unit-norm vectors, so ADC distance is
+    monotone in cosine and ranking agrees with the exact metric up to
+    quantization error.  Returns (id, rank, match_id, adc_dist) with
+    the deterministic (adc ASC, match_id ASC) tiebreak.
+
+    Unlike :func:`knn_pq_adc` (per-call batch tier) the queries are
+    NEVER collected to the driver: each Arrow batch of joined pairs
+    carries its query vectors and computes distances row-block-wise —
+    the query set can itself be cluster-sized.
+
+    Approximation contract (rows-only key — float k-means codebooks
+    are not oracle-derivable): recall vs the exact fold path is pinned
+    by brute-force tests (`tests/test_round13.py`), and the candidate
+    law is the serving law (`SCALE_PROBE .ann_topk_scale`) — pairs =
+    |Q| * n_probe * n_c at ~m bytes each."""
+    import functools
+
+    if int(k) < 1:
+        raise ValueError("k must be >= 1")
+    if int(n_probe) < 1:
+        raise ValueError("n_probe must be >= 1")
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
+    anchors = _read_anchors(group_dir)
+    books = _read_pq_codebooks(group_dir)
+    kernel = _resolve_kernel(kernel, len(anchors))
+    mm, _kk, sub = books.shape
+    if kernel == "vectorized":
+        ab = _assign_cells_vectorized(
+            arriving.select(id_col, vec_col), vec_col, anchors,
+            out_col="cell", n_probe=int(n_probe), probes_col="__probes__",
+        )
+    else:
+        ab = (
+            arriving.select(id_col, vec_col)
+            .withColumn("__nv__", norm(F.col(vec_col)))
+            .withColumn(
+                "__probes__",
+                _probe_cells_expr(
+                    F.col(vec_col), anchors, int(n_probe), nv=F.col("__nv__")
+                ),
+            )
+            .drop("__nv__")
+        )
+    probe = ab.select(
+        id_col, vec_col, F.explode("__probes__").alias("__pcell__")
+    )
+    _, _, sides = _read_index_sides(spark, group_dir)
+    if not sides:
+        from pyspark.sql.types import (
+            DoubleType, IntegerType, StructField, StructType,
+        )
+
+        idt = arriving.schema[id_col].dataType
+        return spark.createDataFrame([], StructType([
+            StructField(id_col, idt),
+            StructField("rank", IntegerType()),
+            StructField("match_id", idt),
+            StructField("adc_dist", DoubleType()),
+        ]))
+    pairs = functools.reduce(DataFrame.unionByName, [
+        probe.alias("a")
+        .join(s.alias("s"), F.col("s.cell") == F.col("a.__pcell__"))
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"a.{vec_col}").alias("__qv__"),
+            F.col(f"s.{id_col}").alias("match_id"),
+            F.col("s.pq_code").alias("__code__"),
+        )
+        for s in sides
+    ])
+
+    def adc(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = _to_matrix(pdf["__qv__"])
+            qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+            codes = np.stack(pdf["__code__"].to_numpy()).astype(np.int64)
+            est = np.zeros(len(pdf))
+            for j in range(mm):
+                block = qm[:, j * sub:(j + 1) * sub]
+                cent = books[j][codes[:, j]]
+                est += ((block - cent) ** 2).sum(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "match_id": pdf["match_id"].to_numpy(),
+                "adc_dist": np.round(est, 6),
+            })
+
+    scored = pairs.mapInPandas(
+        adc, schema=f"{id_col} long, match_id long, adc_dist double"
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, F.col("rank").cast("int").alias("rank"),
+                "match_id", "adc_dist")
+    )

@@ -10106,3 +10106,32 @@ def ann_index_delete(spark, sf_dir):
         return p0.unionByName(p1).unionByName(p2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def index_pq_topk(spark, sf_dir):
+    """Top-k serving against the PQ-COMPRESSED persisted index (r13):
+    same IVF probe discipline as `index_topk_search` (k=3, n_probe=2),
+    but the stored side is ~8 bytes of code per vector instead of a
+    256-byte float vector — the 32x index-size trade that makes a
+    10^11-vector serving index fit hot storage (Jegou et al. 2011
+    IVFADC).  Rows-only by design: the PQ codebooks are float k-means
+    (not oracle-derivable); the approximation contract is pinned by
+    numpy-replay and recall tests (`tests/test_round13.py`) and the
+    candidate-volume law is the measured serving law
+    (`SCALE_PROBE .ann_topk_scale`) at ~m bytes per candidate."""
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="tubes_pqidx_")
+    try:
+        similarity.write_pq_ann_index(
+            e.filter(F.col("vec_id") % 3 != 0), tmp,
+            n_anchors=8, m=8, n_codes=16,
+        )
+        out = similarity.index_topk_pq(
+            e.filter(F.col("vec_id") % 3 == 0), spark, tmp, k=3, n_probe=2
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
