@@ -1044,3 +1044,64 @@ def test_pq_index_recall_and_plan(spark, tmp_path):
         assert "Bucketed: true" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ----------------------------------- review pins on the delete/PQ diff
+
+def test_purge_wipe_everything_and_pq_delete_lifecycle(spark, tmp_path):
+    """A wipe-everything purge succeeds (empty compact dir is a
+    legitimately empty index, not a schema error), and the delete
+    lifecycle works on the PQ leaf too — no assumed vector column."""
+    import glob
+
+    V = _vec_corpus(n=30)
+    # full-vector index: delete ALL ids, purge, index is empty but sane
+    d = str(tmp_path / "idx")
+    S.write_ann_index(_vecs(range(10), V, spark), d, n_anchors=3, n_buckets=2)
+    assert S.delete_from_ann_index(spark, d, predicate="true") == 10
+    assert S.purge_ann_tombstones(spark, d) == 10
+    assert not glob.glob(f"{d}/_tombstones/ts-*")
+    assert S.ann_index_stats(spark, d).count() == 0
+    q = _vecs(range(5), V, spark)
+    assert S.index_topk(q.select("vec_id", "embedding"), spark, d, k=2).count() == 0
+    # rebuild of the all-deleted index refuses with the precise error
+    with pytest.raises(ValueError, match="no live stored rows"):
+        S.rebuild_ann_index(spark, d, str(tmp_path / "idx2"), n_anchors=2)
+    # PQ index: tombstone + purge end-to-end
+    pqd = str(tmp_path / "pq")
+    S.write_pq_ann_index(
+        _vecs(range(20), V, spark), pqd, n_anchors=3, m=4, n_codes=8,
+        n_buckets=2,
+    )
+    assert S.delete_from_ann_index(spark, pqd, ids=[0, 5, 10]) == 3
+    got = S.index_topk_pq(q, spark, pqd, k=20, n_probe=3).collect()
+    assert not {r["match_id"] for r in got} & {0, 5, 10}
+    assert S.purge_ann_tombstones(spark, pqd) == 3
+    got2 = S.index_topk_pq(q, spark, pqd, k=20, n_probe=3).collect()
+    assert {r["match_id"] for r in got2} == set(range(20)) - {0, 5, 10}
+    # rebuild of a PQ index refuses with the clear trade message
+    with pytest.raises(ValueError, match="PQ-compressed"):
+        S.rebuild_ann_index(spark, pqd, str(tmp_path / "pq2"), n_anchors=2)
+
+
+def test_pq_guard_covers_staged_publish_window(spark, tmp_path):
+    """A PQ index whose codebook publish crashed mid-window (staged
+    .tmp._pq.parquet only) must still be refused by the full-vector
+    ops with the clear error, not an unresolved-column crash."""
+    import os
+
+    V = _vec_corpus(n=12)
+    d = str(tmp_path / "pq")
+    S.write_pq_ann_index(
+        _vecs(range(10), V, spark), d, n_anchors=2, m=4, n_codes=8,
+        n_buckets=2,
+    )
+    os.replace(f"{d}/_pq.parquet", f"{d}/.tmp._pq.parquet")
+    q = _vecs(range(5), V, spark)
+    with pytest.raises(ValueError, match="PQ-compressed"):
+        S.index_topk(q.select("vec_id", "embedding"), spark, d, k=2)
+    with pytest.raises(ValueError, match="PQ-compressed"):
+        S.incremental_ann_new(q, spark, d, threshold=0.9)
+    # the PQ reader itself recovers the interrupted publish as before
+    assert S._read_pq_codebooks(d).shape == (4, 8, 2)
+    assert os.path.exists(f"{d}/_pq.parquet")

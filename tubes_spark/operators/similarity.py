@@ -960,63 +960,66 @@ def _with_cell(
     )
 
 
-def _read_anchors(group_dir: str) -> "list[list[float]]":
-    """Published anchors, with crash recovery (ADVICE r11): anchors are
-    staged to ``.tmp._anchors.parquet`` BEFORE the bootstrap epoch
-    commits and renamed into place only AFTER — so durable anchors can
-    never describe cells no reader saw.  A crash in the window between
-    the epoch commit and the rename leaves a committed epoch whose
-    staged anchors just need the rename finished, which any later
-    reader/writer does here; a committed index with NEITHER file is
-    corrupt and refuses loudly rather than silently re-deriving anchors
-    from a different batch (which would orphan every stored cell row)."""
+def _read_published_table(group_dir: str, fname: str, missing_msg: str):
+    """Read a staged-then-published group artifact with full crash
+    recovery (ADVICE r11/r12): the artifact is staged to
+    ``.tmp.<fname>`` BEFORE the bootstrap epoch commits and renamed
+    into place only AFTER, so a durable record can never describe a
+    batch no reader saw.  Recovery cases handled here, identically for
+    every artifact (anchors, PQ codebooks, ...):
+
+    - publish crashed mid-window: any later reader finishes the rename;
+    - two readers race that recovery: the loser's rename finds the
+      staged file gone and reads the now-published one;
+    - a read-only mount cannot rename: read the staged copy, whose
+      CONTENT is the publish (the rename only flips visibility, and an
+      epoch has committed, so the staged record is live) — with a
+      TOCTOU tail where a writer-capable reader finishes the rename
+      between path choice and read (the content moved, it did not
+      vanish: re-read the published file);
+    - committed epochs with NEITHER file: the group is corrupt —
+      refuse with ``missing_msg`` rather than silently re-deriving."""
     import os
 
     import pyarrow.parquet as pq
 
     from tubes_spark.sink import Sink
 
-    final = f"{group_dir}/_anchors.parquet"
-    tmp = f"{group_dir}/.tmp._anchors.parquet"
+    final = f"{group_dir}/{fname}"
+    tmp = f"{group_dir}/.tmp.{fname}"
     if not os.path.exists(final):
         epochs, _, _ = Sink._committed_epochs(group_dir)
         if not epochs:
             raise FileNotFoundError(final)
         if not os.path.exists(tmp):
-            raise ValueError(
-                f"ANN index {group_dir} has committed epochs but no anchor "
-                "record (neither published nor staged) — the index is "
-                "unreadable; rebuild it rather than re-deriving anchors, "
-                "which would silently reassign every stored cell"
-            )
+            raise ValueError(missing_msg)
         try:
             os.replace(tmp, final)  # finish the interrupted publish
         except (FileNotFoundError, PermissionError) as exc:
-            # ADVICE r12: two readers can race to recover the same
-            # interrupted publish (the loser's rename finds tmp gone),
-            # and a reader on a read-only mount cannot rename at all.
-            # The loser reads the now-published file; the read-only
-            # reader falls back to the staged copy, whose CONTENT is
-            # the publish (the rename only flips visibility, and an
-            # epoch has committed, so the staged anchors are live).
             if not os.path.exists(final):
                 if isinstance(exc, PermissionError) and os.path.exists(tmp):
                     final = tmp
                 else:
                     raise
-    published = f"{group_dir}/_anchors.parquet"
+    published = f"{group_dir}/{fname}"
     try:
-        t = pq.read_table(final)
+        return pq.read_table(final)
     except FileNotFoundError:
-        # TOCTOU tail of the read-only fallback: between choosing the
-        # staged path and reading it, a writer-capable reader can
-        # finish the recovery rename — the content moved, it didn't
-        # vanish.  Read the published file; anything else is a real
-        # missing-anchor error.
         if final != published and os.path.exists(published):
-            t = pq.read_table(published)
-        else:
-            raise
+            return pq.read_table(published)
+        raise
+
+
+def _read_anchors(group_dir: str) -> "list[list[float]]":
+    """Published anchors (see :func:`_read_published_table` for the
+    staged-publish crash/race/read-only recovery contract)."""
+    t = _read_published_table(
+        group_dir, "_anchors.parquet",
+        f"ANN index {group_dir} has committed epochs but no anchor "
+        "record (neither published nor staged) — the index is "
+        "unreadable; rebuild it rather than re-deriving anchors, "
+        "which would silently reassign every stored cell",
+    )
     rows = sorted(zip(t["aid"].to_pylist(), t["vec"].to_pylist()))
     return [[float(x) for x in vec] for _, vec in rows]
 
@@ -1334,18 +1337,31 @@ def rebuild_ann_index(
 
     if os.path.exists(f"{new_dir}/_anchors.parquet"):
         raise ValueError(f"{new_dir} already holds an ANN index")
+    if _is_pq_index(old_dir):
+        raise ValueError(
+            f"{old_dir} is a PQ-compressed index (no stored vectors); a "
+            "rebuild must re-read the original corpus and write a fresh "
+            "index — see write_pq_ann_index's docstring for the trade"
+        )
     extra = _leaf_extra_cols(old_dir, id_col, vec_col)
     # read through the sides helper so published tombstones are
     # excluded — a rebuild must not resurrect deleted ids in new_dir
     import functools
 
     _, _, _sides = _read_index_sides(spark, old_dir)
-    if not _sides:
-        raise ValueError(f"index {old_dir} holds no live stored rows")
-    stored = functools.reduce(
-        DataFrame.unionByName,
-        [s.select(id_col, vec_col, *extra) for s in _sides],
+    stored = (
+        functools.reduce(
+            DataFrame.unionByName,
+            [s.select(id_col, vec_col, *extra) for s in _sides],
+        )
+        if _sides
+        else None
     )
+    # rows, not files: an all-deleted index has live dirs whose every
+    # row the tombstone anti-join removes — refuse before training a
+    # codebook on a 0-row corpus with a confusing downstream error
+    if stored is None or not stored.take(1):
+        raise ValueError(f"index {old_dir} holds no live stored rows")
     if anchors is None:
         if n_anchors is None:
             raise ValueError("pass anchors= or n_anchors=")
@@ -1521,9 +1537,7 @@ def incremental_ann_new(
     if kernel not in _KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
 
-    import os as _os
-
-    if _os.path.exists(f"{group_dir}/_pq.parquet"):
+    if _is_pq_index(group_dir):
         raise ValueError(
             f"{group_dir} is a PQ-compressed index (no stored vectors); "
             "screens need the full-vector index — serve it with "
@@ -2102,6 +2116,37 @@ def _topk_vs_stored_vectorized(
     return cells.groupBy("cell").applyInPandas(topk, schema)
 
 
+def _probe_assign(
+    arriving: DataFrame,
+    id_col: str,
+    vec_col: str,
+    anchors: "list[list[float]]",
+    kernel: str,
+    n_probe: int,
+) -> DataFrame:
+    """Probe-cell assignment shared by the serving paths (full-vector
+    and PQ top-k): (id, vec, __probes__) with the primary cell first —
+    matmul above the kernel-dispatch threshold, the bit-exact hoisted-
+    norm fold expression under it.  One definition so a tiebreak or
+    threshold fix cannot diverge the two."""
+    if kernel == "vectorized":
+        return _assign_cells_vectorized(
+            arriving.select(id_col, vec_col), vec_col, anchors,
+            out_col="cell", n_probe=int(n_probe), probes_col="__probes__",
+        )
+    return (
+        arriving.select(id_col, vec_col)
+        .withColumn("__nv__", norm(F.col(vec_col)))
+        .withColumn(
+            "__probes__",
+            _probe_cells_expr(
+                F.col(vec_col), anchors, int(n_probe), nv=F.col("__nv__")
+            ),
+        )
+        .drop("__nv__")
+    )
+
+
 def index_topk(
     arriving: DataFrame,
     spark,
@@ -2149,9 +2194,7 @@ def index_topk(
         raise ValueError("n_probe must be >= 1")
     if kernel not in _KERNELS:
         raise ValueError(f"unknown kernel {kernel!r}; pick one of {_KERNELS}")
-    import os as _os
-
-    if _os.path.exists(f"{group_dir}/_pq.parquet"):
+    if _is_pq_index(group_dir):
         raise ValueError(
             f"{group_dir} is a PQ-compressed index (no stored vectors); "
             "serve it with index_topk_pq"
@@ -2173,23 +2216,7 @@ def index_topk(
             StructField("match_id", idt),
             StructField("match_sim", DoubleType()),
         ]))
-    if kernel == "vectorized":
-        ab = _assign_cells_vectorized(
-            arriving.select(id_col, vec_col), vec_col, anchors,
-            out_col="cell", n_probe=int(n_probe), probes_col="__probes__",
-        )
-    else:
-        ab = (
-            arriving.select(id_col, vec_col)
-            .withColumn("__nv__", norm(F.col(vec_col)))
-            .withColumn(
-                "__probes__",
-                _probe_cells_expr(
-                    F.col(vec_col), anchors, int(n_probe), nv=F.col("__nv__")
-                ),
-            )
-            .drop("__nv__")
-        )
+    ab = _probe_assign(arriving, id_col, vec_col, anchors, kernel, n_probe)
     probe = ab.select(
         id_col, vec_col, F.explode("__probes__").alias("__pcell__")
     )
@@ -2357,7 +2384,12 @@ def delete_from_ann_index(
             DataFrame.unionByName,
             [s.drop("epoch") if "epoch" in s.columns else s for s in sides],
         )
-        doomed = stored.filter(F.expr(predicate)).select(id_col).distinct()
+        # pin: the count below and the tombstone write share one scan,
+        # and a concurrent append cannot split the two views
+        doomed = (
+            stored.filter(F.expr(predicate)).select(id_col).distinct()
+            .localCheckpoint(eager=True)
+        )
     else:
         idt = sides[0].schema[id_col].dataType
         doomed = spark.createDataFrame(
@@ -2422,8 +2454,6 @@ def purge_ann_tombstones(
     if not epochs:
         raise ValueError(f"no committed epochs under {group_dir}")
     k = max(epochs)
-    extra = _leaf_extra_cols(group_dir, id_col, vec_col) or []
-    cols = [id_col, "cell", vec_col, *extra, "epoch"]
     import functools
 
     frames = []
@@ -2432,7 +2462,6 @@ def purge_ann_tombstones(
         if Sink._has_parquet(d):
             frames.append(
                 Sink._read_bucketed_dir(spark, d, spec["cols"], spec["n"])
-                .select(cols)
             )
     for e in epochs:
         if kk is None or e > kk:
@@ -2441,14 +2470,18 @@ def purge_ann_tombstones(
                 frames.append(
                     Sink._read_bucketed_dir(spark, d, spec["cols"], spec["n"])
                     .withColumn("epoch", F.lit(int(e)))
-                    .select(cols)
                 )
     tombs = spark.read.parquet(*ts_files).distinct()
     key = tombs.columns[0]
     if not frames:
         removed = 0
     else:
-        live = functools.reduce(DataFrame.unionByName, frames)
+        # column list from the leaf itself (full-vector OR PQ layout —
+        # the purge works for both; it never assumes a vector column)
+        cols = [c for c in frames[0].columns if c != "epoch"] + ["epoch"]
+        live = functools.reduce(
+            DataFrame.unionByName, [f.select(cols) for f in frames]
+        )
         kept = live.join(F.broadcast(tombs), on=key, how="left_anti")
         kept = kept.withColumn("epoch", F.col("epoch").cast("int"))
         n_before = live.count()
@@ -2465,9 +2498,16 @@ def purge_ann_tombstones(
         mtmp = marker_dir / f".tmp.{k}"
         mtmp.write_text(new_dir)
         os.replace(mtmp, marker_dir / str(k))  # the atomic scrub point
-        n_after = Sink._read_bucketed_dir(
-            spark, f"{cdir}/{new_dir}", spec["cols"], spec["n"]
-        ).count()
+        # a wipe-everything purge writes an empty (file-less) compact
+        # dir — a legitimately empty index, not a readable-schema error
+        final_dir = f"{cdir}/{new_dir}"
+        n_after = (
+            Sink._read_bucketed_dir(
+                spark, final_dir, spec["cols"], spec["n"]
+            ).count()
+            if Sink._has_parquet(final_dir)
+            else 0
+        )
         removed = int(n_before - n_after)
 
         def _drop_dir(path: str) -> None:
@@ -2487,6 +2527,18 @@ def purge_ann_tombstones(
 
 
 # --------------------------------------------------- persisted PQ index
+
+def _is_pq_index(group_dir: str) -> bool:
+    """True when the group is a PQ-compressed index — published
+    ``_pq.parquet`` OR a staged ``.tmp._pq.parquet`` (the
+    crashed-mid-publish window ``_read_pq_codebooks`` recovers), so
+    full-vector ops refuse with a clear error in that window too."""
+    import os
+
+    return os.path.exists(f"{group_dir}/_pq.parquet") or os.path.exists(
+        f"{group_dir}/.tmp._pq.parquet"
+    )
+
 
 def _stage_pq(group_dir: str, codebooks: np.ndarray) -> str:
     """Stage the PQ codebooks next to the anchors (same
@@ -2514,43 +2566,14 @@ def _stage_pq(group_dir: str, codebooks: np.ndarray) -> str:
 
 
 def _read_pq_codebooks(group_dir: str) -> np.ndarray:
-    """Published PQ codebooks as (m, k, sub) float64, finishing an
-    interrupted publish exactly like :func:`_read_anchors` (same
-    crash/race/read-only fallbacks, same corrupt-index refusal)."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    from tubes_spark.sink import Sink
-
-    final = f"{group_dir}/_pq.parquet"
-    tmp = f"{group_dir}/.tmp._pq.parquet"
-    if not os.path.exists(final):
-        epochs, _, _ = Sink._committed_epochs(group_dir)
-        if not epochs:
-            raise FileNotFoundError(final)
-        if not os.path.exists(tmp):
-            raise ValueError(
-                f"PQ index {group_dir} has committed epochs but no codebook "
-                "record (neither published nor staged) — the index is "
-                "unreadable; rebuild it from the corpus"
-            )
-        try:
-            os.replace(tmp, final)
-        except (FileNotFoundError, PermissionError) as exc:
-            if not os.path.exists(final):
-                if isinstance(exc, PermissionError) and os.path.exists(tmp):
-                    final = tmp
-                else:
-                    raise
-    published = f"{group_dir}/_pq.parquet"
-    try:
-        t = pq.read_table(final)
-    except FileNotFoundError:
-        if final != published and os.path.exists(published):
-            t = pq.read_table(published)
-        else:
-            raise
+    """Published PQ codebooks as (m, k, sub) float64 (staged-publish
+    recovery shared with the anchors — :func:`_read_published_table`)."""
+    t = _read_published_table(
+        group_dir, "_pq.parquet",
+        f"PQ index {group_dir} has committed epochs but no codebook "
+        "record (neither published nor staged) — the index is "
+        "unreadable; rebuild it from the corpus",
+    )
     js = t["j"].to_pylist()
     cs = t["c"].to_pylist()
     vals = t["vals"].to_pylist()
@@ -2704,23 +2727,7 @@ def index_topk_pq(
     books = _read_pq_codebooks(group_dir)
     kernel = _resolve_kernel(kernel, len(anchors))
     mm, _kk, sub = books.shape
-    if kernel == "vectorized":
-        ab = _assign_cells_vectorized(
-            arriving.select(id_col, vec_col), vec_col, anchors,
-            out_col="cell", n_probe=int(n_probe), probes_col="__probes__",
-        )
-    else:
-        ab = (
-            arriving.select(id_col, vec_col)
-            .withColumn("__nv__", norm(F.col(vec_col)))
-            .withColumn(
-                "__probes__",
-                _probe_cells_expr(
-                    F.col(vec_col), anchors, int(n_probe), nv=F.col("__nv__")
-                ),
-            )
-            .drop("__nv__")
-        )
+    ab = _probe_assign(arriving, id_col, vec_col, anchors, kernel, n_probe)
     probe = ab.select(
         id_col, vec_col, F.explode("__probes__").alias("__pcell__")
     )
@@ -2767,9 +2774,16 @@ def index_topk_pq(
                 "adc_dist": np.round(est, 6),
             })
 
-    scored = pairs.mapInPandas(
-        adc, schema=f"{id_col} long, match_id long, adc_dist double"
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # id dtypes from the actual frames (query side / stored side), so
+    # the result schema matches the empty-index branch whatever the
+    # caller's id type is
+    scored = pairs.mapInPandas(adc, schema=StructType([
+        StructField(id_col, pairs.schema[id_col].dataType),
+        StructField("match_id", pairs.schema["match_id"].dataType),
+        StructField("adc_dist", DoubleType()),
+    ]))
     w = Window.partitionBy(id_col).orderBy(
         F.col("adc_dist").asc(), F.col("match_id").asc()
     )
