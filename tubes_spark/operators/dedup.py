@@ -719,7 +719,7 @@ def write_minhash_index(
     spec = Sink._bucket_spec(group_dir)
     if spec is None:
         if n_buckets is None:
-            n_buckets = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+            n_buckets = Sink.size_derived_buckets(df)
         sink = Sink.atomic_bucketed_group(
             group_dir, "bands", ["band", "key"], int(n_buckets)
         )

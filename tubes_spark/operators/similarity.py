@@ -48,6 +48,84 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ------------------------------------------------------------ SQL-string form
+#
+# The Column builders above compose expression trees through py4j one
+# call at a time: a 16-anchor x 64-dim cell assignment is ~6,000 round
+# trips (every F.lit, every lambda), measured at ~1.7 s of DRIVER time
+# per construction — and the heavy ANN queries build it 6+ times each
+# (guide §1: the profile showed 40k py4j round trips per query, 65% of
+# wall in driver-side gaps).  These helpers render the IDENTICAL
+# Catalyst tree as ONE SQL string parsed by ONE F.expr call, so plan,
+# codegen, and every double produced are unchanged — only the Python
+# construction cost collapses.  tests/test_round13.py pins value parity
+# against the Column form.
+
+def _sql_double(v: float) -> str:
+    """A Spark SQL DOUBLE literal that parses to exactly this IEEE
+    double: repr() is the shortest round-tripping decimal, and the D
+    suffix forces DoubleType (a bare 0.1 would parse as DECIMAL)."""
+    import math as _math
+
+    f = float(v)
+    if not _math.isfinite(f):
+        raise ValueError(f"non-finite anchor component: {v!r}")
+    return repr(f) + "D"
+
+
+def _sql_arr(vals) -> str:
+    return "array(" + ", ".join(_sql_double(v) for v in vals) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """SQL form of :func:`dot` — same zip_with/aggregate fold, same
+    dim order, same double."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    """SQL form of :func:`norm` — same sequential fold."""
+    return (
+        f"SQRT(aggregate({a}, 0.0D, (acc, v) -> acc + "
+        f"CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def _sql_anchor_cos(vec: str, anchor: "list[float]", nv: "str | None") -> str:
+    """SQL form of :func:`_anchor_cos`: same division tree
+    ``d / (nv * na)``, anchor norm pre-folded in Python exactly as the
+    Column form does."""
+    na = float(sum(v * v for v in anchor)) ** 0.5
+    nv_s = nv if nv is not None else _sql_norm(vec)
+    return f"{_sql_dot(vec, _sql_arr(anchor))} / ({nv_s} * {_sql_double(na)})"
+
+
+def _sql_cell_expr(
+    vec: str, anchors: "list[list[float]]", nv: "str | None"
+) -> str:
+    scores = (
+        "array(" + ", ".join(_sql_anchor_cos(vec, a, nv) for a in anchors) + ")"
+    )
+    return f"CAST(array_position({scores}, array_max({scores})) - 1 AS INT)"
+
+
+def _sql_probe_cells(
+    vec: str, anchors: "list[list[float]]", n_probe: int, nv: "str | None"
+) -> str:
+    scores = (
+        "array(" + ", ".join(_sql_anchor_cos(vec, a, nv) for a in anchors) + ")"
+    )
+    idx = f"sequence(0, {len(anchors) - 1})"
+    ranked = (
+        f"sort_array(zip_with({scores}, {idx}, (s, i) -> "
+        f"named_struct('ns', -s, 'aid', CAST(i AS INT))))"
+    )
+    return f"transform(slice({ranked}, 1, {int(n_probe)}), st -> st.aid)"
+
+
 # ---------------------------------------------------------------- numpy core
 
 def _to_matrix(series: pd.Series) -> np.ndarray:
@@ -953,9 +1031,13 @@ def _with_cell(
     for codebooks grown ~ sqrt(N)."""
     if _resolve_kernel(kernel, len(anchors)) == "vectorized":
         return _assign_cells_vectorized(df, vec_col, anchors, out_col=out_col)
+    # r13 (optimization): the assignment tree is rendered as one SQL
+    # string (see the SQL-string-form section) — the same Catalyst
+    # expression, built in 2 py4j calls instead of ~6,000
+    vq = f"`{vec_col}`"
     return (
-        df.withColumn("__nv__", norm(F.col(vec_col)))
-        .withColumn(out_col, _cell_expr(F.col(vec_col), anchors, nv=F.col("__nv__")))
+        df.withColumn("__nv__", F.expr(_sql_norm(vq)))
+        .withColumn(out_col, F.expr(_sql_cell_expr(vq, anchors, "`__nv__`")))
         .drop("__nv__")
     )
 
@@ -1294,7 +1376,7 @@ def write_ann_index(
     spec = Sink._bucket_spec(group_dir)
     if spec is None:
         if n_buckets is None:
-            n_buckets = max(batch.sparkSession.sparkContext.defaultParallelism, 8)
+            n_buckets = Sink.size_derived_buckets(batch)
         sink = Sink.atomic_bucketed_group(group_dir, "cells", ["cell"], int(n_buckets))
     else:
         sink = Sink.atomic_bucketed_group(group_dir, "cells", spec["cols"], spec["n"])
@@ -1556,39 +1638,59 @@ def incremental_ann_new(
             "must carry the leaf's full schema)"
         )
     asel = arriving.select(id_col, vec_col, *extra)
-    if n_probe == 1:
-        ab = _with_cell(
-            asel, vec_col, anchors, kernel=kernel
-        ).localCheckpoint(eager=True)
-    elif kernel == "vectorized":
+    # r13 (optimization): the arriving-side norm is computed ONCE per
+    # row here and CARRIED through the checkpoint — the screen join
+    # below divides by it instead of re-folding norm(a.vec) per
+    # CANDIDATE PAIR (the pair count is |arriving| x cell size; the
+    # interpreted O(dims) fold per pair was ~2/3 of the screen stage's
+    # CPU).  The division tree is unchanged — d / (nv * ns) — so every
+    # double, and every oracle gate built on it, is bit-identical.
+    vq = f"`{vec_col}`"
+    if kernel == "vectorized" and n_probe > 1:
         # one matmul yields both the primary cell and the probe list
         ab = _assign_cells_vectorized(
             asel, vec_col, anchors,
             out_col="cell", n_probe=int(n_probe), probes_col="__probes__",
-        ).localCheckpoint(eager=True)
+        ).withColumn("__nv__", F.expr(_sql_norm(vq))).localCheckpoint(eager=True)
+    elif kernel == "vectorized":
+        ab = _assign_cells_vectorized(
+            asel, vec_col, anchors, out_col="cell"
+        ).withColumn("__nv__", F.expr(_sql_norm(vq))).localCheckpoint(eager=True)
+    elif n_probe == 1:
+        ab = (
+            asel
+            .withColumn("__nv__", F.expr(_sql_norm(vq)))
+            .withColumn(
+                "cell", F.expr(_sql_cell_expr(vq, anchors, "`__nv__`"))
+            )
+            .localCheckpoint(eager=True)
+        )
     else:
         ab = (
             asel
-            .withColumn("__nv__", norm(F.col(vec_col)))
+            .withColumn("__nv__", F.expr(_sql_norm(vq)))
             .withColumn(
                 "__probes__",
-                _probe_cells_expr(
-                    F.col(vec_col), anchors, int(n_probe), nv=F.col("__nv__")
-                ),
+                F.expr(_sql_probe_cells(vq, anchors, int(n_probe), "`__nv__`")),
             )
             .withColumn("cell", F.element_at("__probes__", 1))
-            .drop("__nv__")
             .localCheckpoint(eager=True)
         )
     spec, epochs, sides = _read_index_sides(spark, group_dir)
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"s.{vec_col}"))
+    # stored-side norm: once per stored ROW (a narrow projection over
+    # the bucketed scan — hash partitioning on `cell` is preserved, so
+    # the index side still joins with zero Exchange)
+    sides = [s.withColumn("__ns__", F.expr(_sql_norm(vq))) for s in sides]
+    sim = F.expr(_sql_dot(f"a.{vq}", f"s.{vq}")) / (
+        F.col("a.__nv__") * F.col("s.__ns__")
+    )
     if n_probe == 1:
         probe_side, probe_key = ab, "cell"
     else:
         # one probe row per (vector, candidate cell); stored vectors are
         # single-cell, so each (arriving, stored) pair appears once
         probe_side = ab.select(
-            id_col, vec_col, F.explode("__probes__").alias("__pcell__")
+            id_col, vec_col, "__nv__", F.explode("__probes__").alias("__pcell__")
         )
         probe_key = "__pcell__"
     hit_frames = [
@@ -1824,15 +1926,13 @@ def cluster_prototypes(
             df, vec_col, anchors, out_col="cell", score_col="cos_c"
         )
     else:
+        vq = f"`{vec_col}`"
+        scores_sql = "array(" + ", ".join(
+            _sql_anchor_cos(vq, a, "`__nv__`") for a in anchors
+        ) + ")"
         scored = (
-            df.withColumn("__nv__", norm(F.col(vec_col)))
-            .withColumn(
-                "__s__",
-                F.array(*[
-                    _anchor_cos(F.col(vec_col), a, nv=F.col("__nv__"))
-                    for a in anchors
-                ]),
-            )
+            df.withColumn("__nv__", F.expr(_sql_norm(vq)))
+            .withColumn("__s__", F.expr(scores_sql))
             .withColumn(
                 "cell",
                 (
@@ -2134,14 +2234,13 @@ def _probe_assign(
             arriving.select(id_col, vec_col), vec_col, anchors,
             out_col="cell", n_probe=int(n_probe), probes_col="__probes__",
         )
+    vq = f"`{vec_col}`"
     return (
         arriving.select(id_col, vec_col)
-        .withColumn("__nv__", norm(F.col(vec_col)))
+        .withColumn("__nv__", F.expr(_sql_norm(vq)))
         .withColumn(
             "__probes__",
-            _probe_cells_expr(
-                F.col(vec_col), anchors, int(n_probe), nv=F.col("__nv__")
-            ),
+            F.expr(_sql_probe_cells(vq, anchors, int(n_probe), "`__nv__`")),
         )
         .drop("__nv__")
     )
@@ -2666,7 +2765,7 @@ def write_pq_ann_index(
     spec = Sink._bucket_spec(group_dir)
     if spec is None:
         if n_buckets is None:
-            n_buckets = max(batch.sparkSession.sparkContext.defaultParallelism, 8)
+            n_buckets = Sink.size_derived_buckets(batch)
         sink = Sink.atomic_bucketed_group(group_dir, "cells", ["cell"], int(n_buckets))
     else:
         sink = Sink.atomic_bucketed_group(group_dir, "cells", spec["cols"], spec["n"])

@@ -3386,7 +3386,11 @@ def streaming_topk_spacesaving(spark, sf_dir):
             F.floor((F.col("event_id") - F.lit(int(mn))) * 3 / F.lit(span)) == i
             for i in range(3)
         ]
-        write_ordered_slices(base.drop("event_id"), conds, f"{tmp}/in")
+        # event_id stays in the written slice files purely so the slice
+        # predicates resolve in the one-pass writer; the readStream
+        # schema below declares only (tok, bucket), so the parquet
+        # reader prunes it and the stream is unchanged
+        write_ordered_slices(base, conds, f"{tmp}/in")
         stream = (
             spark.readStream.schema("tok string, bucket int")
             .option("maxFilesPerTrigger", "1")
@@ -4110,13 +4114,16 @@ def streaming_upsert_latest(spark, sf_dir):
             latest.write.mode("overwrite").parquet(nxt)
             state["path"] = nxt
 
-        q = (
-            stream.writeStream.foreachBatch(upsert)
-            .queryName(f"stream_upsert_{uuid.uuid4().hex[:8]}")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        from tubes_spark.streaming.run import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .queryName(f"stream_upsert_{uuid.uuid4().hex[:8]}")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(600)
         res = (
             spark.read.parquet(state["path"])
@@ -4566,13 +4573,16 @@ def streaming_incremental_rollup(spark, sf_dir):
             part.write.mode("overwrite").parquet(nxt)
             state["path"] = nxt
 
-        q = (
-            stream.writeStream.foreachBatch(add_batch)
-            .queryName(f"stream_rollup_{uuid.uuid4().hex[:8]}")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        from tubes_spark.streaming.run import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(add_batch)
+                .queryName(f"stream_rollup_{uuid.uuid4().hex[:8]}")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(600)
         res = (
             spark.read.parquet(state["path"])
@@ -8658,12 +8668,15 @@ def streaming_cdc_upsert(spark, sf_dir):
             )
 
         sink = Sink.atomic_parquet_group(f"{tmp}/out", {"state": state_leaf})
-        q = (
-            stream.writeStream.foreachBatch(sink.for_each_batch())
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        from tubes_spark.streaming.run import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(sink.for_each_batch())
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(120)
         res = (
             Sink.read_atomic_latest(
@@ -8744,12 +8757,15 @@ def streaming_dedup_incremental_minhash(spark, sf_dir):
                 "slice", F.lit(ep).cast("int")
             ).write.mode("append").parquet(out_dir)
 
-        q = (
-            stream.writeStream.foreachBatch(fb)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        from tubes_spark.streaming.run import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(fb)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(180)
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
@@ -8810,12 +8826,15 @@ def streaming_dedup_incremental_survivors(spark, sf_dir):
                 "slice", F.lit(ep).cast("int")
             ).write.mode("append").parquet(out_dir)
 
-        q = (
-            stream.writeStream.foreachBatch(fb)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        from tubes_spark.streaming.run import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(fb)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(180)
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
@@ -9288,10 +9307,13 @@ def ann_incremental_semantic_dedup(spark, sf_dir):
     try:
         similarity.write_ann_index(slices[0], tmp, n_anchors=16)
         anchors = similarity._read_anchors(tmp)
-        v0 = slices[0].select(
+        # _with_cell (hoisted-norm SQL kernel) instead of the inline
+        # Column-built _cell_expr: same argmax values (test-pinned),
+        # one F.expr construction instead of ~6k py4j round trips
+        v0 = similarity._with_cell(slices[0], "embedding", anchors).select(
             "vec_id",
             F.lit(0).cast("int").alias("slice"),
-            similarity._cell_expr(F.col("embedding"), anchors).alias("cell"),
+            "cell",
             F.lit(True).alias("is_new"),
             F.lit(0).cast("int").alias("n_prior_hits"),
             F.lit(None).cast("double").alias("best_sim"),
@@ -9565,12 +9587,15 @@ def streaming_ann_incremental_dedup(spark, sf_dir):
                 "vec_id", "slice", "cell", "is_new", "n_prior_hits", "best_sim"
             ).write.mode("append").parquet(out_dir)
 
-        q = (
-            stream.writeStream.foreachBatch(fb)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        from tubes_spark.streaming.run import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(fb)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(180)
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
@@ -9737,12 +9762,15 @@ def streaming_ann_nprobe_dedup(spark, sf_dir):
                 "vec_id", "slice", "cell", "is_new", "n_prior_hits", "best_sim"
             ).write.mode("append").parquet(out_dir)
 
-        q = (
-            stream.writeStream.foreachBatch(fb)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        from tubes_spark.streaming.run import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(fb)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(180)
         return spark.read.parquet(out_dir).localCheckpoint(eager=True)
     finally:
@@ -10004,12 +10032,15 @@ def streaming_index_topk(spark, sf_dir):
                 batch_df, spark, idx_dir, k=3, n_probe=2
             ).write.mode("append").parquet(out_dir)
 
-        q = (
-            stream.writeStream.foreachBatch(fb)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
+        from tubes_spark.streaming.run import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(fb)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination(180)
         return (
             spark.read.parquet(out_dir)

@@ -201,12 +201,39 @@ class Sink:
             commit = Path(group_dir) / "_commits" / str(ep)
             if commit.exists():
                 return  # clean replay: whole group already committed
-            for name in sorted(leaves):
+
+            def write_leaf(name: str) -> None:
                 t = leaves[name]
                 out = t(df) if t is not None else df
                 out.write.mode("overwrite").parquet(
                     f"{group_dir}/{name}/data/epoch={ep}"
                 )
+
+            names = sorted(leaves)
+            if len(names) == 1:
+                write_leaf(names[0])
+            else:
+                # leaf writes are independent jobs gated by ONE marker:
+                # overlap them (guide §2.6) so the group commits in the
+                # slowest leaf's time, not the sum — on a cluster the
+                # later jobs back-fill the earlier jobs' task tails.
+                # Failure semantics are unchanged: any leaf error aborts
+                # before the marker, leaving only orphan dirs no reader
+                # sees (the crash-injection tests pin exactly this).
+                import contextvars
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(len(names), 4)) as px:
+                    futs = [
+                        # each leaf runs under a COPY of the caller's
+                        # context so transforms that read _CURRENT_EPOCH
+                        # (the cdc/tombstone leaves do) see the epoch —
+                        # a bare pool thread starts from an empty context
+                        px.submit(contextvars.copy_context().run, write_leaf, n)
+                        for n in names
+                    ]
+                    for fut in futs:
+                        fut.result()
             commit.parent.mkdir(parents=True, exist_ok=True)
             tmp = commit.parent / f".tmp.{ep}"
             tmp.write_text("")
@@ -270,6 +297,34 @@ class Sink:
         if not p.exists():
             return None
         return json.loads(p.read_text())
+
+    @staticmethod
+    def size_derived_buckets(df: DataFrame, floor: int = 8, cap: int = 4096) -> int:
+        """Default bucket count for a NEW persisted index: derived from
+        the PLAN-ESTIMATED size of the frame being written (one py4j
+        stats call, no job), not from the session's core count (r13
+        optimization — guide §2: partitioning constants tuned to
+        local-mode parallelism are wrong at both ends.  The old
+        ``defaultParallelism`` default wrote 32 near-empty files per
+        epoch for a 2,000-row bootstrap on local[32], and would write
+        only 32 buckets for a 100 TB corpus on a big cluster).  Target:
+        ``$TUBES_SPARK_BUCKET_TARGET_BYTES`` (default 256 MB of
+        plan-estimated — i.e. uncompressed — bytes per bucket, landing
+        near the guide's 100 MB-1 GB post-compression file target),
+        clamped to [floor, cap].  Only the DEFAULT changes: an explicit
+        ``n_buckets`` and every already-recorded ``_bucketspec`` win."""
+        import math as _math
+
+        target = int(
+            os.environ.get("TUBES_SPARK_BUCKET_TARGET_BYTES", "0") or 0
+        ) or (256 * 1024 * 1024)
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = 0
+        return max(int(floor), min(int(cap), _math.ceil(est / target) or 1))
 
     @staticmethod
     def _record_bucket_spec(

@@ -20,6 +20,50 @@ from pyspark.sql import functions as F
 from tubes_spark.sink import Sink
 
 
+def state_sized_shuffle(spark: SparkSession, n: "int | None" = None):
+    """Context manager: run the enclosed STREAMING query start under a
+    state-sized ``spark.sql.shuffle.partitions``, restoring the
+    session's previous value on exit (r13 optimization, guide §2/§5).
+
+    A stateful micro-batch commits one state-store file per shuffle
+    partition per trigger, and every trigger schedules that many tasks
+    — so the partition count should be sized to the STATE VOLUME, not
+    the core count (the bench's own drain measured 62k -> 94k ev/s
+    going 8 -> 4 partitions at sf0.1, and a vanilla driver session runs
+    these drains at the 200 default: 200 state files per trigger for a
+    few thousand state rows).  The default is
+    ``min(current, $TUBES_SPARK_STREAM_PARTS or 8)`` — parameterised so
+    a deployment with genuinely large keyed state raises it (state
+    should be ~100 MB-1 GB per partition, the same sizing rule as any
+    shuffle), while a query that already chose a smaller count keeps
+    it.  Streaming queries pin the count into the checkpoint's offset
+    metadata at start, so restoring the session value afterwards never
+    touches a running stream.  Partition count never changes WHAT any
+    keyed/windowed operator computes — only how it is sharded — which
+    the driver gate independently re-verifies against the oracle."""
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def _scope():
+        key = "spark.sql.shuffle.partitions"
+        cap = n
+        if cap is None:
+            cap = int(os.environ.get("TUBES_SPARK_STREAM_PARTS", "0") or 0) or 8
+        prev = spark.conf.get(key)
+        try:
+            cur = int(prev)
+        except (TypeError, ValueError):
+            cur = cap
+        spark.conf.set(key, str(min(cur, int(cap))))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+    return _scope()
+
+
 def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     return (
         spark.readStream.format("rate")
@@ -57,13 +101,85 @@ def write_ordered_slices(df: DataFrame, conds, path: str,
     import glob
     import os
 
+    # r13 (optimization): ONE pass instead of one filter+shuffle+write
+    # job per slice — the per-slice form re-ran the whole upstream plan
+    # n times (8 slices x ~0.8 s on the full-outer-join feed at sf0.1).
+    # Each row is tagged with EVERY slice index whose predicate it
+    # matches (explode — identical multiset to the old per-slice
+    # filters, including rows matching several conds), hash-partitioned
+    # on the slice id so each slice lands in exactly one task, and
+    # written once with partitionBy; the files are then lifted into the
+    # flat replay dir with the same strictly increasing mtimes.
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    run_id = uuid.uuid4().hex[:8]  # calls may APPEND to the same dir
+    staging = tempfile.mkdtemp(prefix="tubes_slices_")
+    try:
+        tags = F.array_compact(
+            F.array(*[F.when(c, F.lit(i)) for i, c in enumerate(conds)])
+        )
+        try:
+            tagged = df.withColumn("__slice__", F.explode(tags))
+            tagged.schema  # force analysis before any write side effect
+        except Exception:
+            # a cond may reference a column df no longer carries —
+            # df.filter() resolves such missing references through the
+            # child plan, a Project cannot; keep the (slower) per-slice
+            # filter path for that case
+            _write_slices_per_cond(df, conds, path, base_epoch)
+            return
+        (
+            tagged
+            .repartition(max(len(conds), 1), "__slice__")
+            .write.partitionBy("__slice__")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        os.makedirs(path, exist_ok=True)
+        stamped: set = set()
+        for i in range(len(conds)):
+            parts = sorted(glob.glob(f"{staging}/__slice__={i}/*.parquet"))
+            if not parts:
+                # an EMPTY slice must still contribute one (0-row) file:
+                # the replay contract is one trigger per slice, and a
+                # missing file would renumber every later trigger's
+                # foreachBatch epoch id
+                df.limit(0).repartition(1).write.mode("append").parquet(path)
+                parts = [
+                    p for p in glob.glob(f"{path}/*.parquet") if p not in stamped
+                ]
+                dests = parts
+            else:
+                dests = []
+                for j, p in enumerate(parts):
+                    dest = os.path.join(
+                        path, f"part-{run_id}-slice{i:05d}-{j}.parquet"
+                    )
+                    os.replace(p, dest)
+                    dests.append(dest)
+            for p in dests:
+                os.utime(p, (base_epoch + i, base_epoch + i))
+                stamped.add(p)
+        mtimes = {os.path.getmtime(p) for p in stamped}
+        assert len(mtimes) == len(conds), "slice mtimes must be distinct"
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _write_slices_per_cond(df: DataFrame, conds, path: str,
+                           base_epoch: int) -> None:
+    """Pre-r13 per-slice writer: one filter+repartition(1)+write job per
+    slice.  Kept as the fallback for predicates that only resolve
+    through ``df.filter``'s missing-reference lookup."""
+    import glob
+    import os
+
     stamped: set = set()
     for i, cond in enumerate(conds):
-        # repartition(1), NOT coalesce(1): coalesce collapses the whole
-        # upstream (scan + filter + any union) into the single write
-        # task — measured 7.1 s vs 1.0 s per slice on a union plan at
-        # sf0.1 (the r7 full-outer join spent 40 s of its 50 s here).
-        # The shuffle decouples scan parallelism from the 1-file write.
         df.filter(cond).repartition(1).write.mode("append").parquet(path)
         for p in glob.glob(f"{path}/*.parquet"):
             if p not in stamped:
@@ -91,7 +207,11 @@ def run_stream(
     )
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    # the partition count is cloned into the query's own session (and
+    # checkpoint offset metadata) inside start(), so restoring the
+    # session conf right after is safe for the still-running stream
+    with state_sized_shuffle(df.sparkSession):
+        return w.start()
 
 
 def take_while_stream(
@@ -146,7 +266,8 @@ def take_while_stream(
     )
     if available_now:
         w = w.trigger(availableNow=True)
-    q = w.start()
+    with state_sized_shuffle(df.sparkSession):
+        q = w.start()
     import time
 
     deadline = time.monotonic() + timeout_s
@@ -352,14 +473,15 @@ def merge_streams_interleaved(
             f.write(entry)
         os.replace(tmp_path, os.path.join(ledger_dir, f"epoch={bid}.json"))
 
-    q = (
-        u.writeStream.foreachBatch(handle)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    with state_sized_shuffle(u.sparkSession):
+        q = (
+            u.writeStream.foreachBatch(handle)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     out = a.sparkSession.read.option("basePath", out_dir).parquet(
         f"{out_dir}/epoch=*"
     )
@@ -379,12 +501,13 @@ def drain_to_df(df: DataFrame, name: str, output_mode: str = "complete",
     streaming plans face the same oracle gate as batch ones.  Memory
     sink rows live on the driver: only use for aggregated (small)
     results."""
-    q = (
-        df.writeStream.queryName(name)
-        .format("memory")
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    with state_sized_shuffle(df.sparkSession):
+        q = (
+            df.writeStream.queryName(name)
+            .format("memory")
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     return df.sparkSession.table(name)
