@@ -2890,7 +2890,8 @@ def streaming_funnel_conversions(spark, sf_dir, n_slices=4):
             stream.groupBy("user_id"), window_us=30 * 60 * 1_000_000
         )
         out = drain_to_df(
-            conv, f"stream_funnel_{uuid.uuid4().hex[:8]}", output_mode="append"
+            conv, f"stream_funnel_{uuid.uuid4().hex[:8]}", output_mode="append",
+            shuffle_partitions=16,
         )
         res = out.cache()
         res.count()  # pin rows before tmp cleanup
@@ -3106,7 +3107,11 @@ def streaming_fold_evicted(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="tubes_fold_evict_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 16, not the JVM-state default 8: the drain is per-key PYTHON state
+    # (applyInPandasWithState), where each partition is one Python
+    # worker walking its groups serially — measured sweep at sf0.1:
+    # 17.9 s @ 4, 12.5 s @ 8, 10.6 s @ 16, 15.4 s @ 32.
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         mn, mx = base.agg(F.min("ts_us"), F.max("ts_us")).first()
         if mn is None:
@@ -3130,7 +3135,8 @@ def streaming_fold_evicted(spark, sf_dir):
             event_time_col="ts", evict_gap_ms=GAP_MS,
         )
         out = drain_to_df(
-            folded, f"stream_fold_ev_{uuid.uuid4().hex[:8]}", output_mode="update"
+            folded, f"stream_fold_ev_{uuid.uuid4().hex[:8]}", output_mode="update",
+            shuffle_partitions=16,
         )
         res = out.select(
             F.col("key").cast("long").alias("fold_key"),

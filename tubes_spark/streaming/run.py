@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from tubes_spark.sink import Sink
 
 
-def state_sized_shuffle(spark: SparkSession, n: "int | None" = None):
+def state_sized_shuffle(
+    spark: SparkSession, n: "int | None" = None, exact: bool = False
+):
     """Context manager: run the enclosed STREAMING query start under a
     state-sized ``spark.sql.shuffle.partitions``, restoring the
     session's previous value on exit (r13 optimization, guide §2/§5).
@@ -36,7 +38,14 @@ def state_sized_shuffle(spark: SparkSession, n: "int | None" = None):
     a deployment with genuinely large keyed state raises it (state
     should be ~100 MB-1 GB per partition, the same sizing rule as any
     shuffle), while a query that already chose a smaller count keeps
-    it.  Streaming queries pin the count into the checkpoint's offset
+    it.  ``exact=True`` sets ``n`` verbatim (no min with the current
+    value): measured per-query, drains dominated by PER-KEY Python
+    state (applyInPandasWithState over many groups) want MORE
+    partitions than the JVM-state default — each partition is one
+    Python worker walking its groups serially, so the sweet spot
+    balances per-partition commit overhead against groups-per-worker
+    (fold-eviction sweep at sf0.1: 17.9 s @ 4, 12.5 s @ 8, 10.6 s @ 16,
+    15.4 s @ 32).  Streaming queries pin the count into the checkpoint's offset
     metadata at start, so restoring the session value afterwards never
     touches a running stream.  Partition count never changes WHAT any
     keyed/windowed operator computes — only how it is sharded — which
@@ -51,11 +60,14 @@ def state_sized_shuffle(spark: SparkSession, n: "int | None" = None):
         if cap is None:
             cap = int(os.environ.get("TUBES_SPARK_STREAM_PARTS", "0") or 0) or 8
         prev = spark.conf.get(key)
-        try:
-            cur = int(prev)
-        except (TypeError, ValueError):
-            cur = cap
-        spark.conf.set(key, str(min(cur, int(cap))))
+        if exact and n is not None:
+            spark.conf.set(key, str(int(n)))
+        else:
+            try:
+                cur = int(prev)
+            except (TypeError, ValueError):
+                cur = cap
+            spark.conf.set(key, str(min(cur, int(cap))))
         try:
             yield
         finally:
@@ -495,13 +507,20 @@ def merge_streams_interleaved(
 
 
 def drain_to_df(df: DataFrame, name: str, output_mode: str = "complete",
-                timeout_s: int = 600) -> DataFrame:
+                timeout_s: int = 600,
+                shuffle_partitions: "int | None" = None) -> DataFrame:
     """Run a bounded streaming plan to completion (AvailableNow) into a
     memory sink and return the final result table — the bridge that lets
     streaming plans face the same oracle gate as batch ones.  Memory
     sink rows live on the driver: only use for aggregated (small)
-    results."""
-    with state_sized_shuffle(df.sparkSession):
+    results.  ``shuffle_partitions`` overrides the state-sized default
+    exactly (see :func:`state_sized_shuffle` — per-key-Python-state
+    drains measure faster with more partitions than the JVM-state
+    default)."""
+    with state_sized_shuffle(
+        df.sparkSession, n=shuffle_partitions,
+        exact=shuffle_partitions is not None,
+    ):
         q = (
             df.writeStream.queryName(name)
             .format("memory")
