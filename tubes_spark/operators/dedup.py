@@ -620,52 +620,61 @@ def arith_minhash_bands(
 
     Band key = the r row-minima of the band concatenated as text; docs
     sharing any (band, key) are candidate near-duplicates at the usual
-    (1/b)^(1/r) similarity threshold.  Shingles reuse
-    :func:`tubes_spark.operators.text.word_shingles` — the exact string
+    (1/b)^(1/r) similarity threshold.  Shingles reuse the exact string
     form the `_SHINGLES` DuckDB macro reproduces (oracles.py), already
-    oracle-validated via jaccard_near_dup_pairs."""
-    from tubes_spark.operators.text import word_shingles_from_tokens, normalize
+    oracle-validated via jaccard_near_dup_pairs.
 
+    Construction is SQL-string rendered (r13 optimization, same
+    discipline as similarity's ``_sql_*`` builders): the per-Column
+    form cost ~0.6 s of py4j round trips PER CALL on the incremental
+    paths, which build this plan once per micro-batch plus once per
+    compaction.  The strings parse to the same integer-exact
+    arithmetic the Column form built — value parity is pinned by every
+    oracle gate on the family."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     fam = arith_hash_family(num_hashes)
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    qid = f"`{id_col}`"
+    norm_sql = f"trim(regexp_replace(lower(`{text_col}`), '\\\\s+', ' '))"
     toks = (
-        df.select(F.col(id_col), F.split(normalize(F.col(text_col)), " ").alias("toks"))
+        df.selectExpr(qid, f"split({norm_sql}, ' ') AS toks")
         .repartition(n_parts, F.col(id_col))
     )
-    ex = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles_from_tokens(F.col("toks"), shingle_k))
-        ).alias("sh"),
-    ).select(F.col(id_col), arith_shingle_hash(F.col("sh")).alias("x"))
+    # word_shingles_from_tokens over the materialized token column
+    sh_sql = (
+        f"CASE WHEN size(toks) < {shingle_k} "
+        f"THEN array(array_join(toks, ' ')) "
+        f"ELSE transform(sequence(0, greatest(size(toks) - {shingle_k}, 0)), "
+        f"i -> array_join(slice(toks, i + 1, {shingle_k}), ' ')) END"
+    )
+    ex = toks.selectExpr(
+        qid, f"explode(array_distinct({sh_sql})) AS sh"
+    ).selectExpr(
+        qid,
+        f"CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT) % {ARITH_P} AS x",
+    )
     mins = ex.groupBy(id_col).agg(
         *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(ARITH_P)).alias(f"m{i}")
+            F.expr(f"min(({a} * x + {b}) % {ARITH_P}) AS m{i}")
             for i, (a, b) in enumerate(fam)
         ]
     )
-    banded = mins.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"m{bnd * rows + r}").cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("key"),
-                    )
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(F.col(id_col), F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    key_sql = [
+        "concat_ws('_', "
+        + ", ".join(f"CAST(m{bnd * rows + r} AS STRING)" for r in range(rows))
+        + ")"
+        for bnd in range(bands)
+    ]
+    banded = mins.selectExpr(
+        qid,
+        "inline(array("
+        + ", ".join(
+            f"named_struct('band', {bnd}, 'key', {key_sql[bnd]})"
+            for bnd in range(bands)
+        )
+        + "))",
+    )
     return banded
 
 

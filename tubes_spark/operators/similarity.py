@@ -936,6 +936,33 @@ def _resolve_kernel(kernel: str, n_anchors: int) -> str:
     return kernel
 
 
+def _spread_broadcast_probe(df: DataFrame) -> DataFrame:
+    """Round-robin a broadcast-small frame across the session's cores
+    when its scan would otherwise under-parallelize the pair fan-out it
+    probes: a corpus that fits one parquet split reads as ONE task, and
+    when the planner broadcasts the other self-join side, every
+    within-cell pair's interpreted dot fold lands in that single task.
+    Only fires when the plan-estimated size is under the session's
+    broadcast threshold (so the join's other side is the broadcast and
+    this extra exchange moves a few MB once) AND the current partition
+    count is below ``defaultParallelism``; a corpus past the threshold
+    is returned unchanged — there the planner keys both sides on the
+    cell and that exchange provides the parallelism."""
+    try:
+        sc = df.sparkSession.sparkContext
+        par = sc.defaultParallelism
+        thr = int(
+            df.sparkSession._jsparkSession.sessionState().conf()
+            .autoBroadcastJoinThreshold()
+        )
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if 0 < est <= max(thr, 0) and df.rdd.getNumPartitions() < par:
+            return df.repartition(par)
+    except Exception:
+        pass
+    return df
+
+
 def _assign_cells_vectorized(
     df: DataFrame,
     vec_col: str,
@@ -1863,7 +1890,10 @@ def mine_hard_negatives(
     if k == "vectorized":
         return _mine_hard_negatives_vectorized(c, id_col, vec_col, label_col)
     c = c.withColumn("__hn_nv__", norm(F.col(vec_col)))
-    pairs = c.alias("q").join(
+    # probe side spread: the pair fan-out (|cell|^2 dot folds) must not
+    # run in one scan task when the stored side is broadcast (guide §2.5
+    # input under-parallelism; result-invariant round-robin)
+    pairs = _spread_broadcast_probe(c).alias("q").join(
         c.alias("n"),
         (F.col("n.cell") == F.col("q.cell"))
         & (F.col(f"n.{label_col}") != F.col(f"q.{label_col}")),
