@@ -63,6 +63,21 @@ def get_spark(
         # 1g: the r3 bench compiles ~110 distinct plans best-of-3 and
         # still showed late-battery throughput decay at 512m
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # r13 optimization (guide §7.3 thread-count forensics): Spark
+        # 4.1's ChecksumCheckpointFileManager (default on) writes a
+        # checksum twin for every streaming-checkpoint file through a
+        # per-manager 2-thread pool that is NEVER shut down — measured
+        # ~128 leaked JVM threads PER bounded drain (a stream-stream
+        # join run 8x climbed 487 -> 1031 threads and 8.3 s -> 32.6 s;
+        # with checksums off the same loop holds ~380 threads and flat
+        # wall).  Our checkpoints are ephemeral per-query dirs verified
+        # end-to-end by the oracle gate, so the integrity twin buys
+        # nothing; deployments wanting it back set
+        # TUBES_SPARK_CKPT_CHECKSUM=true.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            os.environ.get("TUBES_SPARK_CKPT_CHECKSUM", "false"),
+        )
     )
     if state_store == "rocksdb":
         builder = builder.config(

@@ -68,10 +68,32 @@ def state_sized_shuffle(
             except (TypeError, ValueError):
                 cur = cap
             spark.conf.set(key, str(min(cur, int(cap))))
+        # r13 (guide §7.3): Spark 4.1's checkpoint-file checksum twin
+        # leaks its writer threads (~128 per bounded drain, measured
+        # 8.3 s -> 32.6 s over 8 drains of the stream-stream join) and
+        # doubles the per-trigger checkpoint file count.  These drains
+        # use ephemeral per-query checkpoints whose results face the
+        # oracle gate, so integrity twins buy nothing — disable at
+        # query start (the conf pins into the started query), restore
+        # after.  get_spark defaults it off session-wide too; this
+        # scope covers drains running under a VANILLA session (the
+        # external driver), where the leak otherwise accumulates
+        # across its 270+-query correctness battery.
+        ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+        try:
+            prev_ck = spark.conf.get(ck)
+        except Exception:
+            prev_ck = None
+        if prev_ck is not None:
+            spark.conf.set(
+                ck, os.environ.get("TUBES_SPARK_CKPT_CHECKSUM", "false")
+            )
         try:
             yield
         finally:
             spark.conf.set(key, prev)
+            if prev_ck is not None:
+                spark.conf.set(ck, prev_ck)
 
     return _scope()
 
