@@ -3009,12 +3009,14 @@ def streaming_ttl_sessions(spark, sf_dir):
         F.floor(F.col("value") * 1_000_000).alias("vu"),
     )
     tmp = tempfile.mkdtemp(prefix="tubes_ttl_")
-    # state-partition sizing (same rationale as the stream-stream
-    # joins): 5 stateful triggers x 200 vanilla shuffle partitions is
-    # ~1000 task launches for KBs of keyed state; 8 partitions carry
-    # the same state volume per trigger
+    # state-partition sizing: per-key PYTHON state like the fold drain,
+    # but only ~300 session keys — r13 re-sweep at sf0.1 (checkpoint
+    # checksums off): 4.95 s @ 8, 4.60 s @ 16, 5.05 s @ 32.  Few groups
+    # per partition means task overhead wins past 16, so clamp the
+    # core-derived count there.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ttl_parts = min(16, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(ttl_parts))
     try:
         mn, mx = base.agg(F.min("ts_us"), F.max("ts_us")).first()
         if mn is None:
@@ -3038,7 +3040,8 @@ def streaming_ttl_sessions(spark, sf_dir):
             ttl_us=TTL_US, event_time_col="ts", delay_ms=10_000,
         )
         out = drain_to_df(
-            sess, f"stream_ttl_{uuid.uuid4().hex[:8]}", output_mode="append"
+            sess, f"stream_ttl_{uuid.uuid4().hex[:8]}", output_mode="append",
+            shuffle_partitions=ttl_parts,
         )
         res = out.select(
             F.col("key").cast("long").alias("user_id"),
@@ -3107,11 +3110,17 @@ def streaming_fold_evicted(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="tubes_fold_evict_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # 16, not the JVM-state default 8: the drain is per-key PYTHON state
-    # (applyInPandasWithState), where each partition is one Python
-    # worker walking its groups serially — measured sweep at sf0.1:
-    # 17.9 s @ 4, 12.5 s @ 8, 10.6 s @ 16, 15.4 s @ 32.
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    # one partition per CORE, not the JVM-state default 8: the drain is
+    # per-key PYTHON state (applyInPandasWithState) over ~9k fold keys,
+    # where each partition is one Python worker walking its groups
+    # serially — so with per-partition commit cost fixed (the r13
+    # checkpoint-checksum fix), parallelism should track the core
+    # count.  Re-measured sweep at sf0.1/local[32], checksums off:
+    # 8.66 s @ 8, 7.02 s @ 16, 6.92 s @ 24, 6.73 s @ 32.  (The earlier
+    # pin at 16 was an artifact of the leaked checksum-writer threads
+    # charging each extra partition ~2 threads per trigger.)
+    py_parts = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(py_parts))
     try:
         mn, mx = base.agg(F.min("ts_us"), F.max("ts_us")).first()
         if mn is None:
@@ -3136,7 +3145,7 @@ def streaming_fold_evicted(spark, sf_dir):
         )
         out = drain_to_df(
             folded, f"stream_fold_ev_{uuid.uuid4().hex[:8]}", output_mode="update",
-            shuffle_partitions=16,
+            shuffle_partitions=py_parts,
         )
         res = out.select(
             F.col("key").cast("long").alias("fold_key"),
