@@ -347,21 +347,35 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     # billions of nodes can overflow and alias two different states
     chk = F.sum(F.col("comp").cast("decimal(38,0)"))
     prev_sum = labels.agg(chk).first()[0]
-    for _ in range(max_iter):
+
+    def _propagate(lab):
         nb = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            edges.join(lab, edges["dst"] == lab["id"])
             .groupBy("src").agg(F.min("comp").alias("__nb__"))
         )
-        labels = (
-            labels.join(nb, labels["id"] == nb["src"], "left")
+        return (
+            lab.join(nb, lab["id"] == nb["src"], "left")
             .select(
                 F.col("id"),
                 F.least(F.col("comp"), F.coalesce(F.col("__nb__"), F.col("comp"))).alias("comp"),
             )
-            # truncate lineage each round — an iterative plan otherwise
-            # grows exponentially and re-executes every prior round
-            .localCheckpoint(eager=True)
         )
+
+    # r13 (optimization, guide §1.2): TWO propagation rounds per
+    # lineage cut + convergence check — the checkpoint job and the
+    # decimal-sum job are each per-check driver round trips, and a
+    # depth-2 join chain plans fine (same cadence trick as the
+    # PageRank loop; labels at a fixpoint are invariant under an extra
+    # round, so the result is bit-identical — at worst one already-
+    # converged round of work is spent detecting convergence).
+    rounds = 0
+    while rounds < max_iter:
+        labels = _propagate(labels)
+        rounds += 1
+        if rounds < max_iter:
+            labels = _propagate(labels)
+            rounds += 1
+        labels = labels.localCheckpoint(eager=True)
         cur = labels.agg(chk).first()[0]
         if cur == prev_sum:
             break

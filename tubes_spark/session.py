@@ -79,6 +79,25 @@ def get_spark(
             os.environ.get("TUBES_SPARK_CKPT_CHECKSUM", "false"),
         )
     )
+    # r13 optimization (guide §2.1: "local disk bandwidth for shuffle
+    # files can be the tighter limit on machines with slow disks"):
+    # shuffle files, spills and block-manager disk blocks default onto
+    # the fastest local volume present.  Stage forensics on the trigram
+    # build measured 83-104 s of CUMULATIVE shuffle-write time for
+    # 2.5-16 MB of shuffle bytes when the sandbox's virtio disk was
+    # contended — pure I/O stall, 6% CPU utilisation in the stalled
+    # stages.  At gate SFs the whole battery's shuffle volume is MBs,
+    # so RAM-backed /dev/shm is strictly safe here; a production
+    # deployment points TUBES_SPARK_LOCAL_DIR at its fast NVMe array
+    # (or unsets it to keep Spark's default) — the knob transfers, the
+    # tmpfs default is the local-mode instantiation of "fast local
+    # disks for shuffle".
+    local_dir = os.environ.get("TUBES_SPARK_LOCAL_DIR", "")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/tubes_spark_local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     if state_store == "rocksdb":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
