@@ -1105,3 +1105,25 @@ def test_pq_guard_covers_staged_publish_window(spark, tmp_path):
     # the PQ reader itself recovers the interrupted publish as before
     assert S._read_pq_codebooks(d).shape == (4, 8, 2)
     assert os.path.exists(f"{d}/_pq.parquet")
+
+
+def test_connected_components_paired_round_cadence(spark):
+    """r13 optimization pin: the CC loop now runs TWO label-propagation
+    rounds per lineage cut + convergence check.  A path graph of depth 9
+    needs ~8 propagation rounds to converge (strictly more than one
+    check window), and an odd max_iter exercises the trailing single
+    round — labels must equal the naive per-round result: every node
+    labelled with the chain's minimum id."""
+    from tubes_spark.operators.dedup import connected_components
+
+    # chain 100-101-...-109 plus an isolated pair (7, 8)
+    pairs = spark.createDataFrame(
+        [(100 + i, 100 + i + 1) for i in range(9)] + [(7, 8)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(pairs, max_iter=9).collect()
+    }
+    want = {(100 + i, 100) for i in range(10)} | {(7, 7), (8, 7)}
+    assert got == want
