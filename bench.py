@@ -587,7 +587,20 @@ def main() -> None:
         )
         + "\n"
     )
-    print(json.dumps(payload, separators=(",", ":")))
+    # VERDICT-r13 #8: BENCH_r12's stdout payload was truncated and the
+    # round-over-round geomean was lost (PERF_r13 prev_bench_ok=false).
+    # Guard the record's integrity at write time: the final stdout line
+    # must round-trip through json.loads and match the sidecar exactly,
+    # so a torn tail can never again cost the comparison.
+    line = json.dumps(payload, separators=(",", ":"))
+    assert json.loads(line) == payload, "bench stdout line does not round-trip"
+    assert json.loads(sidecar.read_text()) == payload, (
+        "BENCH_SIDECAR.json does not match the stdout payload"
+    )
+    assert json.loads(record.read_text())["parsed"] == payload, (
+        f"{record.name} does not match the stdout payload"
+    )
+    print(line)
     spark.stop()
 
 

@@ -2345,7 +2345,18 @@ def index_topk(
             StructField("match_id", idt),
             StructField("match_sim", DoubleType()),
         ]))
-    ab = _probe_assign(arriving, id_col, vec_col, anchors, kernel, n_probe)
+    # r14 (guide §2.5, same fix as r13's hard-negative probe spread):
+    # the query slice fits one parquet split, so the serving join's
+    # STREAM side — probe-cell assignment folds AND the per-pair
+    # scoring after the broadcast join — ran as ONE task (profiled on
+    # index_topk_search: a 1.5 s single-task stage at 1.49 s CPU inside
+    # a 3.0 s query).  Round-robin the arriving side across cores; the
+    # guard makes this a no-op past the broadcast threshold, where the
+    # cell exchange parallelizes anyway.
+    ab = _probe_assign(
+        _spread_broadcast_probe(arriving.select(id_col, vec_col)),
+        id_col, vec_col, anchors, kernel, n_probe,
+    )
     probe = ab.select(
         id_col, vec_col, F.explode("__probes__").alias("__pcell__")
     )
@@ -2641,7 +2652,7 @@ def purge_ann_tombstones(
 
         def _drop_dir(path: str) -> None:
             spark.sql(
-                f"DROP TABLE IF EXISTS {Sink._bucket_table_name(path)}"
+                f"DROP TABLE IF EXISTS {Sink._forget_bucket_table(spark, path)}"
             )
             shutil.rmtree(path, ignore_errors=True)
 
@@ -2856,7 +2867,18 @@ def index_topk_pq(
     books = _read_pq_codebooks(group_dir)
     kernel = _resolve_kernel(kernel, len(anchors))
     mm, _kk, sub = books.shape
-    ab = _probe_assign(arriving, id_col, vec_col, anchors, kernel, n_probe)
+    # r14 (guide §2.5, same fix as r13's hard-negative probe spread):
+    # the query slice fits one parquet split, so the serving join's
+    # STREAM side — probe-cell assignment folds AND the per-pair
+    # scoring after the broadcast join — ran as ONE task (profiled on
+    # index_topk_search: a 1.5 s single-task stage at 1.49 s CPU inside
+    # a 3.0 s query).  Round-robin the arriving side across cores; the
+    # guard makes this a no-op past the broadcast threshold, where the
+    # cell exchange parallelizes anyway.
+    ab = _probe_assign(
+        _spread_broadcast_probe(arriving.select(id_col, vec_col)),
+        id_col, vec_col, anchors, kernel, n_probe,
+    )
     probe = ab.select(
         id_col, vec_col, F.explode("__probes__").alias("__pcell__")
     )

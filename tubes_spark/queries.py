@@ -3013,9 +3013,12 @@ def streaming_ttl_sessions(spark, sf_dir):
     # but only ~300 session keys — r13 re-sweep at sf0.1 (checkpoint
     # checksums off): 4.95 s @ 8, 4.60 s @ 16, 5.05 s @ 32.  Few groups
     # per partition means task overhead wins past 16, so clamp the
-    # core-derived count there.
+    # core-derived count there.  ADVICE r13: clamp from BELOW too — the
+    # 8/16/32 sweep never measured small hosts, and the fold sweep
+    # showed 4 partitions markedly slower (17.9 s @ 4 vs 12.5 s @ 8),
+    # so a local[4] driver session stays at the measured floor of 8.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    ttl_parts = min(16, spark.sparkContext.defaultParallelism)
+    ttl_parts = min(16, max(8, spark.sparkContext.defaultParallelism))
     spark.conf.set("spark.sql.shuffle.partitions", str(ttl_parts))
     try:
         mn, mx = base.agg(F.min("ts_us"), F.max("ts_us")).first()

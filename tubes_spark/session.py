@@ -21,6 +21,53 @@ ROCKSDB_PROVIDER = (
 )
 
 
+def _tmpfs_headroom_ok(
+    mount: str = "/dev/shm", min_free: "int | None" = None
+) -> bool:
+    """True when the tmpfs mount has enough free bytes to safely host
+    shuffle/spill files (guide §5: tmpfs-backed shuffle turns disk
+    spill into RAM consumption — the OS, not Spark, pays when it
+    fills).  Threshold via $TUBES_SPARK_TMPFS_MIN_FREE_BYTES, default
+    8 GiB."""
+    if min_free is None:
+        min_free = int(
+            os.environ.get("TUBES_SPARK_TMPFS_MIN_FREE_BYTES", "0") or 0
+        ) or (8 * 1024**3)
+    try:
+        st = os.statvfs(mount)
+    except OSError:
+        return False
+    return st.f_bavail * st.f_frsize >= int(min_free)
+
+
+def _resolve_local_dir() -> str:
+    """The spark.local.dir to configure, or '' for Spark's default.
+
+    Precedence: an explicitly set TUBES_SPARK_LOCAL_DIR wins verbatim
+    ('' or 'default' meaning "leave spark.local.dir alone" — the
+    opt-out ADVICE r13 asked for); with the var unset, /dev/shm is
+    used only when it exists, has headroom (:func:`_tmpfs_headroom_ok`)
+    and the per-uid directory is (or can be made) owned by this user
+    with private permissions."""
+    env = os.environ.get("TUBES_SPARK_LOCAL_DIR")
+    if env is not None:
+        if env.strip().lower() in ("", "default"):
+            return ""
+        os.makedirs(env, exist_ok=True)
+        return env
+    if not os.path.isdir("/dev/shm") or not _tmpfs_headroom_ok("/dev/shm"):
+        return ""
+    cand = f"/dev/shm/tubes_spark_local_uid{os.getuid()}"
+    try:
+        os.makedirs(cand, mode=0o700, exist_ok=True)
+        st = os.stat(cand)
+        if st.st_uid != os.getuid():
+            return ""  # pre-planted foreign-owned path: refuse
+    except OSError:
+        return ""
+    return cand
+
+
 def get_spark(
     app_name: str = "tubes_spark",
     cpus: int | None = None,
@@ -86,17 +133,19 @@ def get_spark(
     # build measured 83-104 s of CUMULATIVE shuffle-write time for
     # 2.5-16 MB of shuffle bytes when the sandbox's virtio disk was
     # contended — pure I/O stall, 6% CPU utilisation in the stalled
-    # stages.  At gate SFs the whole battery's shuffle volume is MBs,
-    # so RAM-backed /dev/shm is strictly safe here; a production
-    # deployment points TUBES_SPARK_LOCAL_DIR at its fast NVMe array
-    # (or unsets it to keep Spark's default) — the knob transfers, the
-    # tmpfs default is the local-mode instantiation of "fast local
-    # disks for shuffle".
-    local_dir = os.environ.get("TUBES_SPARK_LOCAL_DIR", "")
-    if not local_dir and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/tubes_spark_local"
+    # stages.  A production deployment points TUBES_SPARK_LOCAL_DIR at
+    # its fast NVMe array; TUBES_SPARK_LOCAL_DIR="" or "default" keeps
+    # Spark's stock spark.local.dir (r14, ADVICE r13: an explicit
+    # opt-out now exists).  The tmpfs default is GUARDED (VERDICT r13
+    # #5): it only engages when /dev/shm has real headroom
+    # ($TUBES_SPARK_TMPFS_MIN_FREE_BYTES, default 8 GiB — far above
+    # gate-SF shuffle volumes; a workload whose spill could exhaust
+    # RAM-backed storage falls back to Spark's disk default), and the
+    # directory is per-uid and ownership-checked so a pre-planted
+    # foreign-owned path in the sticky world-writable /dev/shm is
+    # refused rather than written through.
+    local_dir = _resolve_local_dir()
     if local_dir:
-        os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
     if state_store == "rocksdb":
         builder = builder.config(

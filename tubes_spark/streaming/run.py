@@ -79,9 +79,22 @@ def state_sized_shuffle(
         # scope covers drains running under a VANILLA session (the
         # external driver), where the leak otherwise accumulates
         # across its 270+-query correctness battery.
+        # ADVICE r13: a session that EXPLICITLY opted back into checksum
+        # twins (builder-level conf, detectable via the SparkContext
+        # conf) wins over this ephemeral-checkpoint heuristic; only the
+        # engine-default (or get_spark's own default) is lowered here.
+        # A runtime `spark.conf.set` opt-in is indistinguishable from
+        # the engine default through the public conf API — such
+        # deployments set TUBES_SPARK_CKPT_CHECKSUM=true instead.
         ck = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+        prev_ck = None
         try:
-            prev_ck = spark.conf.get(ck)
+            explicit = spark.sparkContext.getConf().contains(ck) and (
+                os.environ.get("TUBES_SPARK_CKPT_CHECKSUM") is None
+                and spark.sparkContext.getConf().get(ck) == "true"
+            )
+            if not explicit:
+                prev_ck = spark.conf.get(ck)
         except Exception:
             prev_ck = None
         if prev_ck is not None:
