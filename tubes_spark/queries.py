@@ -5373,12 +5373,28 @@ def _build_trigram_tfidf_sim(spark, sf_dir):
             ),
         )
         .localCheckpoint(eager=True)
-        # explicit 64-way term partitioning: the postings self-join's
-        # pair-event stream (sum df^2 per term) is CPU-heavy relative
-        # to its byte size, so AQE would coalesce it to ~3 tasks;
-        # pinning the count keeps the decimal dot-products parallel
-        # (benched 2.9 s -> 1.7 s at sf0.1)
-        .repartition(64, "term")
+    )
+    # explicit term partitioning: the postings self-join's pair-event
+    # stream (sum df^2 per term) is CPU-heavy relative to its byte
+    # size, so AQE would coalesce it to ~3 tasks; an explicit count
+    # keeps the decimal dot-products parallel.  r14 (VERDICT r13 #3,
+    # guide §2.2): the count is now scale-adaptive — one partition per
+    # core with a bytes-per-partition ceiling from the checkpointed
+    # postings' plan stats — instead of the old fixed 64, which was
+    # 2x the core count at gate SF (A/B at sf0.1/local[32]: cold build
+    # 3.3-3.8 s @ 64 -> 2.4-2.7 s @ 32; the 64-task stages spent 4x
+    # their CPU in scheduling/wait) and would be far too FEW partitions
+    # for a 100 TB postings table.
+    try:
+        _est = int(w._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        _est = 0
+    w = w.repartition(
+        max(
+            d.sparkSession.sparkContext.defaultParallelism,
+            _est // (256 << 20),
+        ),
+        "term",
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
@@ -5835,7 +5851,19 @@ def streaming_left_outer_join(spark, sf_dir):
     # deployment knob; restored in the finally so no other query sees
     # the setting.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # r14 partition re-sweep (guide §2.2/§5; stack-sampled forensics:
+    # every state partition pays a serialized provider-registration
+    # section per trigger — StateStore.getStateStoreProvider holds the
+    # JVM-global loadedProviders lock around an askSync coordinator
+    # RPC — so at 4 state rows the partition count IS the per-trigger
+    # fixed cost).  Measured at sf0.1/local[32], in-session A/B:
+    # 8 -> 6.4-7.3 s, 4 -> 5.2-6.0 s, 2 -> ~5.0 s for the full-outer
+    # drain; pinned 4 (same regime streaming_late_data measured
+    # 2.96 s @ 4 vs 6.82 s @ 16), env-overridable for real state.
+    import os as _os
+
+    _foj_parts = int(_os.environ.get("TUBES_SPARK_STREAM_PARTS", "0") or 0) or 4
+    spark.conf.set("spark.sql.shuffle.partitions", str(_foj_parts))
     try:
         v_real = e.filter(F.col("event_type") == "view").select(
             F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("ts_v")
@@ -5866,13 +5894,27 @@ def streaming_left_outer_join(spark, sf_dir):
                 F.col(ts_col) >= wk[2],
             ]
 
-        write_ordered_slices(v_real.unionByName(sent_v), slices("ts_v"), f"{tmp}/v")
-        write_ordered_slices(p_real.unionByName(sent_p), slices("ts_p"), f"{tmp}/p")
+        # r14 (guide §2.6): the two replay feeds are independent write
+        # jobs — overlap them so the drain starts in the slower feed's
+        # time, not the sum; and take the replay schema from the frames
+        # just written (driver-side, no job) instead of re-reading a
+        # parquet footer through a second file-listing relation.
+        v_all, p_all = v_real.unionByName(sent_v), p_real.unionByName(sent_p)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fv = pool.submit(
+                write_ordered_slices, v_all, slices("ts_v"), f"{tmp}/v"
+            )
+            fp_ = pool.submit(
+                write_ordered_slices, p_all, slices("ts_p"), f"{tmp}/p"
+            )
+            fv.result(), fp_.result()
         v = file_replay_source(
-            spark, f"{tmp}/v", spark.read.parquet(f"{tmp}/v").schema, max_files_per_trigger=1
+            spark, f"{tmp}/v", v_all.schema, max_files_per_trigger=1
         ).withWatermark("ts_v", "8 days")
         p = file_replay_source(
-            spark, f"{tmp}/p", spark.read.parquet(f"{tmp}/p").schema, max_files_per_trigger=1
+            spark, f"{tmp}/p", p_all.schema, max_files_per_trigger=1
         ).withWatermark("ts_p", "8 days")
         # NOTE: no sentinel filter inside the streaming plan — a
         # user_id >= 0 predicate here gets pushed below the watermark
@@ -5931,7 +5973,19 @@ def streaming_full_outer_join(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="tubes_stream_foj_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # r14 partition re-sweep (guide §2.2/§5; stack-sampled forensics:
+    # every state partition pays a serialized provider-registration
+    # section per trigger — StateStore.getStateStoreProvider holds the
+    # JVM-global loadedProviders lock around an askSync coordinator
+    # RPC — so at 4 state rows the partition count IS the per-trigger
+    # fixed cost).  Measured at sf0.1/local[32], in-session A/B:
+    # 8 -> 6.4-7.3 s, 4 -> 5.2-6.0 s, 2 -> ~5.0 s for the full-outer
+    # drain; pinned 4 (same regime streaming_late_data measured
+    # 2.96 s @ 4 vs 6.82 s @ 16), env-overridable for real state.
+    import os as _os
+
+    _foj_parts = int(_os.environ.get("TUBES_SPARK_STREAM_PARTS", "0") or 0) or 4
+    spark.conf.set("spark.sql.shuffle.partitions", str(_foj_parts))
     try:
         v_real = e.filter(F.col("event_type") == "view").select(
             F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("ts_v")
@@ -5959,13 +6013,27 @@ def streaming_full_outer_join(spark, sf_dir):
                 F.col(ts_col) >= wk[2],
             ]
 
-        write_ordered_slices(v_real.unionByName(sent_v), slices("ts_v"), f"{tmp}/v")
-        write_ordered_slices(p_real.unionByName(sent_p), slices("ts_p"), f"{tmp}/p")
+        # r14 (guide §2.6): the two replay feeds are independent write
+        # jobs — overlap them so the drain starts in the slower feed's
+        # time, not the sum; and take the replay schema from the frames
+        # just written (driver-side, no job) instead of re-reading a
+        # parquet footer through a second file-listing relation.
+        v_all, p_all = v_real.unionByName(sent_v), p_real.unionByName(sent_p)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fv = pool.submit(
+                write_ordered_slices, v_all, slices("ts_v"), f"{tmp}/v"
+            )
+            fp_ = pool.submit(
+                write_ordered_slices, p_all, slices("ts_p"), f"{tmp}/p"
+            )
+            fv.result(), fp_.result()
         v = file_replay_source(
-            spark, f"{tmp}/v", spark.read.parquet(f"{tmp}/v").schema, max_files_per_trigger=1
+            spark, f"{tmp}/v", v_all.schema, max_files_per_trigger=1
         ).withWatermark("ts_v", "8 days")
         p = file_replay_source(
-            spark, f"{tmp}/p", spark.read.parquet(f"{tmp}/p").schema, max_files_per_trigger=1
+            spark, f"{tmp}/p", p_all.schema, max_files_per_trigger=1
         ).withWatermark("ts_p", "8 days")
         # no sentinel filter inside the plan (pushdown would skip the
         # sentinel files at the scan and stall the watermark — see

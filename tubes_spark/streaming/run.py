@@ -34,11 +34,21 @@ def state_sized_shuffle(
     going 8 -> 4 partitions at sf0.1, and a vanilla driver session runs
     these drains at the 200 default: 200 state files per trigger for a
     few thousand state rows).  The default is
-    ``min(current, $TUBES_SPARK_STREAM_PARTS or 8)`` — parameterised so
+    ``min(current, $TUBES_SPARK_STREAM_PARTS or 4)`` — parameterised so
     a deployment with genuinely large keyed state raises it (state
     should be ~100 MB-1 GB per partition, the same sizing rule as any
     shuffle), while a query that already chose a smaller count keeps
-    it.  ``exact=True`` sets ``n`` verbatim (no min with the current
+    it.  r14 re-sweep of the JVM-state default (8 vs 4, best-of-3 at
+    sf0.1/local[32]): 4 won or tied on all eight drains measured —
+    `streaming_dedup_watermark` 5.9 -> 3.3 s, `streaming_session_dynamic`
+    5.2 -> 2.6 s, `streaming_sliding_10m` 3.0 -> 2.6 s,
+    `streaming_topk_spacesaving` 4.1 -> 3.4 s — consistent with the
+    stack-sampled forensics that every state partition pays a
+    serialized provider-registration section per trigger
+    (StateStore.getStateStoreProvider holds the JVM-global
+    loadedProviders lock around an askSync coordinator RPC).  Even the
+    largest gate-SF state (~46 MB) sits below the ~100 MB-per-partition
+    floor, so 4 is the data-volume answer, not a core-count tune.  ``exact=True`` sets ``n`` verbatim (no min with the current
     value): measured per-query, drains dominated by PER-KEY Python
     state (applyInPandasWithState over many groups) want MORE
     partitions than the JVM-state default — each partition is one
@@ -58,7 +68,7 @@ def state_sized_shuffle(
         key = "spark.sql.shuffle.partitions"
         cap = n
         if cap is None:
-            cap = int(os.environ.get("TUBES_SPARK_STREAM_PARTS", "0") or 0) or 8
+            cap = int(os.environ.get("TUBES_SPARK_STREAM_PARTS", "0") or 0) or 4
         prev = spark.conf.get(key)
         if exact and n is not None:
             spark.conf.set(key, str(int(n)))
